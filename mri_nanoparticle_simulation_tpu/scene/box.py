@@ -1,0 +1,195 @@
+"""Scene construction: SimulationBox / BacteriaBox.
+
+Host-side construction of the simulation scene, mirroring the reference's
+class pair (src/SimulationBox.{h,cpp}, src/BacteriaBox.{h,cpp}) with the
+same template-method structure (populateSimulation, SimulationBox.cpp:77-97):
+
+    init_cells -> init_mnps -> init_waters -> init_lookuptable ->
+    apply_bcs_on_mnps -> [field acceleration structure] -> sortWaters
+
+Differences from the reference, by design:
+
+* Products are dense NumPy arrays (device-uploadable), not vectors of
+  structs: cells [n,3], mnps [m,5] (x,y,z,r,M), waters [w,3],
+  lookup [hash_dim^3, max_neighbors].
+* Reproducible: driven by the same counter-based Threefry stream as the
+  device engine (the reference seeded xoroshiro128+ with time(NULL),
+  cuda_sim.cu:911-912).
+* Step 6 of the reference populate() built the CPU octree here
+  (SimulationBox.cpp:86-92); the TPU design needs no octree — the field
+  acceleration structure (chunked local expansion / field grid) is built
+  on device from the MNP array by the fields/ package.
+* An optional native C++ fast path (csrc/scene_builder.cpp via
+  scene/native.py) produces bit-identical arrays for large scenes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from ..params import Params
+from . import images as images_mod
+from . import lookup as lookup_mod
+from . import morton
+from .nprng import CounterRNG
+
+# Distinct Threefry streams for each independent draw sequence.
+_STREAM_CELLS = 0xC0
+_STREAM_WATERS = 0xA0
+
+
+@dataclasses.dataclass
+class Scene:
+    """The populated simulation scene (the reference's accessor surface:
+    getCells/getWaters/getMNPs/getLookupTable/getMNPCount,
+    SimulationBox.h:50-93)."""
+
+    params: Params
+    cells: np.ndarray          # [num_cells, 3] cell centers, µm
+    mnps: np.ndarray           # [n_mnp, 5] x,y,z,r,M — base dipoles first,
+                               # then periodic images
+    waters: np.ndarray         # [num_water, 3] initial positions, µm
+    lookup_table: np.ndarray   # [hash_dim^3, max_neighbors] int32, -1 padded
+    num_intra_mnps: int        # MNPs inside the box (= num_cells here)
+
+    @property
+    def mnp_count(self) -> int:
+        """Total MNPs including periodic images (getMNPCount,
+        SimulationBox.cpp:592-594)."""
+        return len(self.mnps)
+
+    def write_stats(self, path: str = "simulation_stats.csv") -> None:
+        """print_simulation_stats parity (SimulationBox.cpp:214-237)."""
+        p = self.params
+        with open(path, "w") as f:
+            f.write(f"Number of MNPs, {self.num_intra_mnps}\n")
+            for x, y, z, r, _ in self.mnps[: self.num_intra_mnps]:
+                f.write(f"{x:.17g},{y:.17g},{z:.17g},{r:.17g}\n")
+            f.write(f"Number of Waters, {p.num_water}\n")
+            for x, y, z in self.waters:
+                f.write(f"{x:.17g},{y:.17g},{z:.17g}\n")
+            f.write(f"Number of Cells, {p.num_cells}\n")
+            for x, y, z in self.cells:
+                f.write(f"{x:.17g},{y:.17g},{z:.17g},{p.cell_r:.17g}\n")
+
+
+class SimulationBox:
+    """Abstract scene builder; subclasses supply init_cells/init_mnps/
+    init_waters (SimulationBox.h:50-93)."""
+
+    def __init__(self, params: Params, seed: int = 0):
+        self.params = params.validate()
+        self.seed = seed
+        self._scene: Optional[Scene] = None
+
+    # -- template method ----------------------------------------------------
+
+    def populate(self) -> Scene:
+        """populateSimulation (SimulationBox.cpp:77-97)."""
+        p = self.params
+        cells = self.init_cells()
+        mnps = self.init_mnps(cells)
+        num_intra = len(mnps)
+        lookup = lookup_mod.build_lookup_table(cells, p)
+        waters = self.init_waters(cells)
+        mnps = images_mod.apply_bcs_on_mnps(mnps, p)
+        waters = self.sort_waters(waters)
+        self._scene = Scene(params=p, cells=cells, mnps=mnps, waters=waters,
+                            lookup_table=lookup, num_intra_mnps=num_intra)
+        return self._scene
+
+    # -- hooks ---------------------------------------------------------------
+
+    def init_cells(self) -> np.ndarray:
+        raise NotImplementedError
+
+    def init_mnps(self, cells: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def init_waters(self, cells: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def sort_waters(self, waters: np.ndarray) -> np.ndarray:
+        """Z-order walker sort (sortWaters, SimulationBox.cpp:131-147).
+
+        Physically inert (walker order doesn't enter the dynamics); retained
+        so spatially-adjacent walkers share chunk candidates, and for parity.
+        """
+        order = morton.morton_argsort(waters, self.params.bound)
+        return waters[order]
+
+    # -- queries -------------------------------------------------------------
+
+    def check_lattice_containment(self, cells: np.ndarray,
+                                  pos: np.ndarray) -> np.ndarray:
+        """Index of the cell containing each position, -1 if none
+        (checkLatticeContainment, SimulationBox.cpp:161-173)."""
+        d2 = np.sum((pos[:, None, :] - cells[None, :, :]) ** 2, axis=2)
+        inside = d2 < self.params.cell_r ** 2
+        # reference loop keeps the *last* containing index
+        idx = np.where(inside.any(axis=1),
+                       (len(cells) - 1) - np.argmax(inside[:, ::-1], axis=1),
+                       -1)
+        return idx.astype(np.int32)
+
+    @property
+    def scene(self) -> Scene:
+        if self._scene is None:  # accessor guards, SimulationBox.cpp:536-583
+            raise RuntimeError("populate() has not been called")
+        return self._scene
+
+
+class BacteriaBox(SimulationBox):
+    """Randomly-thrown non-overlapping spherical cells, one point dipole at
+    each center, waters thrown in a centered sub-cube
+    (src/BacteriaBox.{h,cpp})."""
+
+    def init_cells(self) -> np.ndarray:
+        """Rejection-throw cell centers in [cell_r, bound - cell_r]^3 with
+        pairwise separation >= 2*cell_r (BacteriaBox.cpp:49-72)."""
+        p = self.params
+        gen = CounterRNG(self.seed, _STREAM_CELLS)
+        lo, span = p.cell_r, p.bound - 2 * p.cell_r
+        cells = np.empty((p.num_cells, 3))
+        for i in range(p.num_cells):
+            while True:
+                xyz = lo + gen.uniform3() * span
+                if i == 0:
+                    break
+                d2 = np.sum((cells[:i] - xyz) ** 2, axis=1)
+                if d2.min() >= 4 * p.cell_r * p.cell_r:
+                    break
+            cells[i] = xyz
+        return cells
+
+    def init_mnps(self, cells: np.ndarray) -> np.ndarray:
+        """One dipole of moment mmoment and radius 0 at each cell center
+        (BacteriaBox.cpp:114-121)."""
+        p = self.params
+        mnps = np.zeros((p.num_cells, 5))
+        mnps[:, :3] = cells
+        mnps[:, 4] = p.mmoment
+        return mnps
+
+    def init_waters(self, cells: np.ndarray) -> np.ndarray:
+        """Throw waters uniformly in the centered water_start_bound^3
+        sub-cube, rejecting intracellular throws when configured
+        (BacteriaBox.cpp:80-105, AVOID_INTRACELLULAR_THROW)."""
+        p = self.params
+        gen = CounterRNG(self.seed, _STREAM_WATERS)
+        offset = (p.bound - p.water_start_bound) / 2.0
+        waters = np.empty((p.num_water, 3))
+        r2 = p.cell_r ** 2
+        for i in range(p.num_water):
+            while True:
+                xyz = offset + gen.uniform3() * p.water_start_bound
+                if not p.avoid_intracellular_throw:
+                    break
+                d2 = np.sum((cells - xyz) ** 2, axis=1)
+                if d2.min() >= r2:
+                    break
+            waters[i] = xyz
+        return waters
