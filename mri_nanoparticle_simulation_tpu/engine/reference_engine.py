@@ -1,0 +1,282 @@
+"""Pure-JAX walker engine: the correctness anchor.
+
+One compiled program advances every walker through a *sprint* of timesteps
+(the reference's sprint concept, cuda_sim.cu:974, but with O(num_water)
+memory instead of 3.9 GB of materialized trajectories and RNG buffers).
+The structure maps the reference's four separate device passes —
+
+    cuRAND batch fill          (cuda_sim.cu:976-977)
+    simulateDiffusion          (cuda_sim.cu:688-746)
+    computePhaseAccumulation   (cuda_sim.cu:772-804)
+    cublasDgemv + performUpdate + thrust::reduce + flipPhases
+                               (cuda_sim.cu:996-1023)
+
+— onto one fused ``lax.scan`` hierarchy:
+
+    sprint
+      └─ scan over windows (pfreq steps each; one magnetization output per
+         window, Carr-Purcell flip when the step count hits a multiple of
+         tcp — semantics of cuda_sim.cu:996-1023)
+           └─ scan over chunks (chunk_steps each; per-walker field
+              expansion rebuilt at each chunk start — see fields/expansion)
+                └─ scan over steps: RNG -> displacement -> in/out stdev ->
+                   membrane reflection -> field + intracellular kick ->
+                   windowed kick accumulation (cuda_sim.cu:708-732, 625-640)
+
+Semantics notes (each a deliberate, documented decision):
+
+* Periodic wrapping happens at chunk boundaries, not every step
+  (the reference wraps per step, cuda_sim.cu:597-601).  Within a chunk a
+  walker strays at most ~1 µm past a face, where the field from the
+  MNP periodic images (border = 6 µm) equals the wrapped field by
+  construction, and cells never cross faces — so the dynamics are
+  identical; the stray is wrapped before it matters.
+* Phase is accumulated per window in full precision and folded into the
+  per-walker phase with Kahan compensation — 4e7 f32 additions of
+  ~1e-4-rad kicks would otherwise round away the curve.
+* The kick is evaluated at the *recorded* (post-reflection) position with
+  the recorded in-cell flag, matching computePhaseAccumulation's use of
+  the trajectory buffers; the reverted position's field is the previous
+  step's field, so it is carried, not recomputed.
+* Output is (sum cos phi, sum sin phi) per window; the reference only
+  emitted the in-phase sum (cuda_sim.cu:825,1013) — column one matches it.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import rng
+from ..fields import expansion
+from ..params import (DIRECTION_CUBE, KICK_AS_WRITTEN, KICK_CONSTANT,
+                      KICK_INTENDED, KICK_NONE, Params)
+
+
+class WalkerState(NamedTuple):
+    """Everything that persists across sprints (and into checkpoints)."""
+    pos: jnp.ndarray         # [W, 3] positions, µm
+    in_cell: jnp.ndarray     # [W] bool
+    phase: jnp.ndarray       # [W] accumulated phase, rad
+    phase_comp: jnp.ndarray  # [W] Kahan compensation for phase
+    step: jnp.ndarray        # scalar uint32, completed global steps
+    escapes: jnp.ndarray     # scalar int32, chunk-anchor escape count
+
+
+def init_state(waters: np.ndarray, params: Params,
+               dtype=jnp.float32) -> WalkerState:
+    w = waters.shape[0]
+    return WalkerState(
+        pos=jnp.asarray(waters, dtype),
+        in_cell=jnp.zeros(w, jnp.bool_),   # refreshed at first chunk start
+        phase=jnp.zeros(w, dtype),
+        phase_comp=jnp.zeros(w, dtype),
+        step=jnp.uint32(0),
+        escapes=jnp.int32(0),
+    )
+
+
+def intracellular_kick(params: Params, u_kick, in_cell, dtype):
+    """Per-step intracellular phase kick (accumulatePhase,
+    cuda_sim.cu:625-640), gated on cell residency.
+
+    KICK_AS_WRITTEN reproduces the reference's operator-precedence bug: the
+    Cauchy term's sign factor ``(((nD-.5)>0) - ((nD-.5))<0)`` parses to 0
+    for every input, leaving only the constant chemical-shift term (SURVEY
+    §7 quirk 1).  KICK_INTENDED implements the evident intent,
+    sign(u - 1/2).  Shared by all engines.
+    """
+    mode = params.kick_mode
+    if mode == KICK_NONE:
+        return None
+    if mode == KICK_AS_WRITTEN:
+        per_step = dtype(params.chem_shift_kick)
+    elif mode == KICK_CONSTANT:
+        per_step = dtype(params.phase_k * params.tau)
+    elif mode == KICK_INTENDED:
+        centered = u_kick - dtype(0.5)
+        cauchy = jnp.sqrt(
+            1.0 / jnp.maximum(2.0 * jnp.abs(centered), dtype(1e-12)) - 1.0)
+        per_step = (dtype(params.phase_stdev * params.tau) * cauchy
+                    * jnp.sign(centered) + dtype(params.chem_shift_kick))
+    else:
+        raise ValueError(mode)
+    return jnp.where(in_cell, per_step, dtype(0))
+
+
+def make_sprint_fn(params: Params, dtype=jnp.float32):
+    """Build the jitted sprint function.
+
+    Returns ``sprint(mnp_pos, mnp_M, key, state, lane_offset) ->
+    (state', windows)`` where ``key`` is a [2] uint32 array and ``windows``
+    is [n_windows, 2] local (sum cos, sum sin) per output window.
+    ``lane_offset`` makes walker RNG lanes globally unique when walkers are
+    sharded across devices.
+    """
+    params.validate()
+    if params.pfreq % params.chunk_steps != 0:
+        raise NotImplementedError(
+            "this engine requires chunk_steps to divide pfreq")
+    chunks_per_window = params.pfreq // params.chunk_steps
+    n_windows = params.sprint_steps // params.pfreq
+    travel2 = dtype(expansion.default_travel_bound(params) ** 2)
+    use_reflection = params.reflect_io > 0 or params.reflect_oi > 0
+    use_kick_u = params.kick_mode == KICK_INTENDED
+    n_words = 7 if (use_reflection or use_kick_u) else 5
+    cell_r = dtype(params.cell_r)
+    in_stdev = dtype(params.in_stdev)
+    out_stdev = dtype(params.out_stdev)
+    phase_per_tesla = dtype(params.phase_per_tesla)
+    bound = dtype(params.bound)
+
+    def step_fn(key, nf, lane, carry, step_idx):
+        """One timestep for all walkers (simulateDiffusion body,
+        cuda_sim.cu:708-732, fused with the phase kick)."""
+        pos, in_cell, b_prev, acc, max_d2 = carry
+        # word layout: direction xyz (0-2), normal pair (3-4), coin+kick
+        # (5-6, only generated when reflection / intended-kick needs them —
+        # the default config needs 5 words, saving a Threefry call)
+        words = rng.words_for_step(key, step_idx, lane, n_words,
+                                   rounds=params.rng_rounds)
+        u_dir = [rng.uniform_from_bits(w, dtype) for w in words[:3]]
+        nrm = rng.normal_from_bits(words[3], words[4], dtype)
+        u_coin = rng.uniform_from_bits(words[5], dtype) if n_words > 5 \
+            else None
+        u_kick = rng.uniform_from_bits(words[6], dtype) if n_words > 6 \
+            else None
+
+        # displacement: direction x (normal magnitude scaled by the in/out
+        # diffusion stdev) — rand_displacement, cuda_sim.cu:562-586.
+        if params.direction_mode == DIRECTION_CUBE:
+            # reference quirk: direction = normalized uniform-in-cube
+            dx = 2.0 * u_dir[0] - 1.0
+            dy = 2.0 * u_dir[1] - 1.0
+            dz = 2.0 * u_dir[2] - 1.0
+            inv_norm = jax.lax.rsqrt(
+                jnp.maximum(dx * dx + dy * dy + dz * dz, dtype(1e-12)))
+        else:  # DIRECTION_SPHERE: corrected uniform-on-sphere
+            cos_t = 2.0 * u_dir[0] - 1.0
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, dtype(0)))
+            phi = dtype(2.0 * np.pi) * u_dir[1]
+            dx = sin_t * jnp.cos(phi)
+            dy = sin_t * jnp.sin(phi)
+            dz = cos_t
+            inv_norm = dtype(1.0)
+        mag = nrm * jnp.where(in_cell, in_stdev, out_stdev) * inv_norm
+        new_pos = pos + jnp.stack([dx * mag, dy * mag, dz * mag], axis=-1)
+
+        b, in_new, _ = expansion.evaluate(nf, new_pos, cell_r)
+
+        if use_reflection:
+            # cell_reflect (cuda_sim.cu:502-509): a membrane crossing
+            # bounces with probability reflectIO / reflectOI; a bounce
+            # reverts the walker wholesale (w = init, cuda_sim.cu:720-722),
+            # so position, field, and residency all roll back
+            flip = ((in_cell & ~in_new & (u_coin < dtype(params.reflect_io)))
+                    | (~in_cell & in_new
+                       & (u_coin < dtype(params.reflect_oi))))
+            new_pos = jnp.where(flip[:, None], pos, new_pos)
+            b = jnp.where(flip, b_prev, b)
+            in_new = jnp.where(flip, in_cell, in_new)
+
+        kick = b * phase_per_tesla
+        intra = intracellular_kick(params, u_kick, in_new, dtype)
+        if intra is not None:
+            kick = kick + intra
+        acc = acc + kick
+
+        delta = new_pos - nf.anchor
+        max_d2 = jnp.maximum(max_d2, jnp.sum(delta * delta, axis=-1))
+        return (new_pos, in_new, b, acc, max_d2)
+
+    def sprint(mnp_pos, mnp_M, key_arr, state: WalkerState, lane_offset):
+        key = (key_arr[0], key_arr[1])
+        w = state.pos.shape[0]
+        lane = jnp.arange(w, dtype=jnp.uint32) + jnp.uint32(lane_offset)
+
+        def chunk_body(chunk_carry, chunk_idx):
+            pos, in_cell, acc, step0, escapes = chunk_carry
+            # wrap into the box (boundary_conditions, cuda_sim.cu:597-601,
+            # applied at chunk granularity — see module docstring)
+            pos = jnp.mod(pos + bound, bound)
+            nf = expansion.build(pos, mnp_pos, mnp_M, params)
+            b0, in0, _ = expansion.evaluate(nf, pos, cell_r)
+
+            base = step0 + chunk_idx * jnp.uint32(params.chunk_steps)
+
+            def inner(c, i):
+                return step_fn(key, nf, lane, c, base + i), None
+
+            init = (pos, in0, b0, acc, jnp.zeros(w, dtype))
+            (pos, in_cell, _, acc, max_d2), _ = jax.lax.scan(
+                inner, init,
+                jnp.arange(params.chunk_steps, dtype=jnp.uint32))
+            escapes = escapes + jnp.sum(max_d2 > travel2,
+                                        dtype=jnp.int32)
+            return (pos, in_cell, acc, step0, escapes), None
+
+        def window_body(st: WalkerState, win_idx):
+            del win_idx  # st.step already advances window by window
+            step0 = st.step
+            (pos, in_cell, acc, _, escapes), _ = jax.lax.scan(
+                chunk_body,
+                (st.pos, st.in_cell, jnp.zeros(w, dtype), step0, st.escapes),
+                jnp.arange(chunks_per_window, dtype=jnp.uint32))
+
+            # performUpdate (cuda_sim.cu:814-828): fold the window's kick
+            # sum into the phase (Kahan-compensated), then emit the net
+            # magnetization
+            y = acc - st.phase_comp
+            t = st.phase + y
+            comp = (t - st.phase) - y
+            phase = t
+            out = jnp.stack([jnp.sum(jnp.cos(phase)),
+                             jnp.sum(jnp.sin(phase))])
+
+            # Carr-Purcell flip AFTER emission when the global step count
+            # reaches a multiple of tcp (cuda_sim.cu:1015-1020)
+            end_step = step0 + jnp.uint32(params.pfreq)
+            do_flip = (end_step % jnp.uint32(params.tcp)) == 0
+            phase = jnp.where(do_flip, -phase, phase)
+            comp = jnp.where(do_flip, -comp, comp)
+
+            return WalkerState(pos=pos, in_cell=in_cell, phase=phase,
+                               phase_comp=comp, step=end_step,
+                               escapes=escapes), out
+
+        state, wins = jax.lax.scan(window_body, state,
+                                   jnp.arange(n_windows, dtype=jnp.uint32))
+        return state, wins
+
+    return jax.jit(sprint)
+
+
+def run_simulation(scene, params: Params, seed: int = 0, dtype=jnp.float32,
+                   max_steps: int | None = None):
+    """Convenience driver: run the full (or truncated) simulation on one
+    device and return (times_ms [n], sum_cos [n], sum_sin [n], state).
+
+    The production path with CSV streaming and checkpointing lives in
+    engine/sim.py; this is the compact form used by tests and notebooks.
+    """
+    sprint_fn = make_sprint_fn(params, dtype)
+    mnp_pos = jnp.asarray(scene.mnps[:, :3], dtype)
+    mnp_M = jnp.asarray(scene.mnps[:, 4], dtype)
+    k = rng.key_from_seed(seed)
+    key_arr = jnp.asarray([np.uint32(k[0]), np.uint32(k[1])])
+    state = init_state(scene.waters, params, dtype)
+
+    total = params.t if max_steps is None else min(params.t, max_steps)
+    n_sprints = total // params.sprint_steps
+    outs = []
+    for _ in range(n_sprints):
+        state, wins = sprint_fn(mnp_pos, mnp_M, key_arr, state, 0)
+        outs.append(wins)
+    wins = jnp.concatenate(outs, axis=0) if outs \
+        else jnp.zeros((0, 2), dtype)
+    n = wins.shape[0]
+    times = (np.arange(1, n + 1) * params.pfreq) * params.tau
+    return times, np.asarray(wins[:, 0]), np.asarray(wins[:, 1]), state

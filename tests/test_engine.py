@@ -1,0 +1,258 @@
+"""Walker-engine physics tests.
+
+The strongest test here is the NumPy oracle: an independent, line-by-line
+transcription of the reference kernel semantics (diffusion, reflection,
+kick, windows, Carr-Purcell flips) driven by the *same* Threefry counter
+stream as the engine — so engine trajectories must match to floating-point
+tolerance.  The reference itself could never be tested this way (stateful
+time-seeded RNG)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mri_nanoparticle_simulation_tpu import params as P
+from mri_nanoparticle_simulation_tpu.engine import reference_engine as re
+from mri_nanoparticle_simulation_tpu.scene import BacteriaBox
+from mri_nanoparticle_simulation_tpu.scene.nprng import threefry2x32_np
+
+
+# ---------------------------------------------------------------------------
+# NumPy oracle
+# ---------------------------------------------------------------------------
+
+def np_words_for_step(seed, step, lanes, n_words):
+    key = (np.uint32(seed >> 32), np.uint32(seed & 0xFFFFFFFF))
+    out = []
+    old = np.seterr(over="ignore")
+    for pair in range((n_words + 1) // 2):
+        c1 = lanes.astype(np.uint32) + np.uint32(pair << 27)
+        w0, w1 = threefry2x32_np(key, np.full_like(c1, step), c1)
+        out += [w0, w1]
+    np.seterr(**old)
+    return out[:n_words]
+
+
+def np_uniform(bits):
+    return (bits >> np.uint32(8)).astype(np.float64) * 2.0 ** -24
+
+
+def np_normal(a, b):
+    ua, ub = np_uniform(a), np_uniform(b)
+    return np.sqrt(-2.0 * np.log1p(-ua)) * np.cos(2.0 * np.pi * ub)
+
+
+def np_field_masked(pos, mnps, cell_r):
+    d = pos[:, None, :] - mnps[None, :, :3]
+    r2 = np.sum(d * d, axis=2)
+    outside = r2 > cell_r ** 2
+    r2s = np.where(outside, r2, 1.0)
+    val = mnps[None, :, 4] * 1e11 * \
+        (2 * d[:, :, 2] ** 2 - d[:, :, 0] ** 2 - d[:, :, 1] ** 2) / \
+        (r2s * r2s * np.sqrt(r2s))
+    return np.sum(np.where(outside, val, 0.0), axis=1), outside
+
+
+def numpy_oracle(scene, p, seed, n_steps):
+    """Replay the engine semantics step by step in float64 NumPy."""
+    pos = scene.waters.copy()
+    mnps = scene.mnps
+    cells = scene.cells
+    w = len(pos)
+    lanes = np.arange(w)
+    phase = np.zeros(w)
+    acc = np.zeros(w)
+    use_refl = p.reflect_io > 0 or p.reflect_oi > 0
+    n_words = 7 if (use_refl or p.kick_mode == P.KICK_INTENDED) else 5
+
+    def in_cell_of(x):
+        d2 = np.sum((x[:, None, :] - cells[None]) ** 2, axis=2)
+        return d2.min(axis=1) < p.cell_r ** 2
+
+    outs = []
+    b_prev = np_field_masked(pos, mnps, p.cell_r)[0]
+    in_cell = in_cell_of(pos)
+    for s in range(n_steps):
+        if s % p.chunk_steps == 0:
+            pos = np.mod(pos + p.bound, p.bound)
+            b_prev, _ = np_field_masked(pos, mnps, p.cell_r)
+            in_cell = in_cell_of(pos)
+        words = np_words_for_step(seed, s, lanes, n_words)
+        ux, uy, uz = (np_uniform(words[i]) for i in range(3))
+        nrm = np_normal(words[3], words[4])
+        dx, dy, dz = 2 * ux - 1, 2 * uy - 1, 2 * uz - 1
+        inv = 1.0 / np.sqrt(np.maximum(dx * dx + dy * dy + dz * dz, 1e-12))
+        mag = nrm * np.where(in_cell, p.in_stdev, p.out_stdev) * inv
+        new = pos + np.stack([dx * mag, dy * mag, dz * mag], 1)
+        b, _ = np_field_masked(new, mnps, p.cell_r)
+        in_new = in_cell_of(new)
+        if use_refl:
+            coin = np_uniform(words[5])
+            flip = (in_cell & ~in_new & (coin < p.reflect_io)) | \
+                   (~in_cell & in_new & (coin < p.reflect_oi))
+            new = np.where(flip[:, None], pos, new)
+            b = np.where(flip, b_prev, b)
+            in_new = np.where(flip, in_cell, in_new)
+        kick = b * p.phase_per_tesla
+        if p.kick_mode == P.KICK_AS_WRITTEN:
+            kick = kick + in_new * p.chem_shift_kick
+        elif p.kick_mode == P.KICK_CONSTANT:
+            kick = kick + in_new * (p.phase_k * p.tau)
+        elif p.kick_mode == P.KICK_INTENDED:
+            u = np_uniform(words[6])
+            c = u - 0.5
+            cau = np.sqrt(1.0 / np.maximum(2 * np.abs(c), 1e-12) - 1.0)
+            kick = kick + in_new * (p.phase_stdev * p.tau * cau * np.sign(c)
+                                    + p.chem_shift_kick)
+        acc += kick
+        pos, in_cell, b_prev = new, in_new, b
+        if (s + 1) % p.pfreq == 0:
+            phase = phase + acc
+            acc = np.zeros(w)
+            outs.append([np.sum(np.cos(phase)), np.sum(np.sin(phase))])
+            if (s + 1) % p.tcp == 0:
+                phase = -phase
+    return pos, phase, np.array(outs)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    p = P.small_test_params(num_water=16, num_cells=6,
+                            totaltime=0.001, sprint_steps=500,
+                            taucp=0.0002,        # flip every 200 steps
+                            print_interval=0.0001, chunk_steps=50,
+                            # make intracellular physics actually happen
+                            water_start_bound=7.9, avoid_intracellular_throw=False)
+    sc = BacteriaBox(p, seed=11).populate()
+    return p, sc
+
+
+class TestOracleAgreement:
+    def run_both(self, p, sc, seed=5):
+        times, c, s, st = re.run_simulation(sc, p, seed=seed,
+                                            dtype=jnp.float64)
+        o_pos, o_phase, o_outs = numpy_oracle(sc, p, seed, p.t)
+        return (np.asarray(st.pos), np.asarray(st.phase), c, s,
+                o_pos, o_phase, o_outs)
+
+    def test_trajectories_match_oracle(self, tiny, f64):
+        p, sc = tiny
+        pos, phase, c, s, o_pos, o_phase, o_outs = self.run_both(p, sc)
+        # engine wraps at chunk starts; oracle identical — positions should
+        # agree to f64 roundoff + expansion-vs-exact field differences
+        # (field error ~1e-9 T alters no branch decisions here)
+        np.testing.assert_allclose(pos, o_pos, atol=1e-9)
+        np.testing.assert_allclose(phase, o_phase, atol=1e-7)
+        np.testing.assert_allclose(
+            np.stack([c, s], 1), o_outs, atol=1e-6)
+
+    def test_oracle_agreement_with_reflection(self, f64):
+        p = P.small_test_params(
+            num_water=16, num_cells=6, totaltime=0.0004, sprint_steps=400,
+            taucp=0.0002, print_interval=0.0001, chunk_steps=50,
+            water_start_bound=7.9, avoid_intracellular_throw=False,
+        ).with_permeability()
+        sc = BacteriaBox(p, seed=13).populate()
+        times, c, s, st = re.run_simulation(sc, p, seed=9,
+                                            dtype=jnp.float64)
+        o_pos, o_phase, o_outs = numpy_oracle(sc, p, 9, p.t)
+        np.testing.assert_allclose(np.asarray(st.pos), o_pos, atol=1e-9)
+        np.testing.assert_allclose(
+            np.stack([c, s], 1), o_outs, atol=1e-6)
+
+    def test_oracle_agreement_intended_kick(self, f64):
+        p = P.small_test_params(
+            num_water=16, num_cells=6, totaltime=0.0004, sprint_steps=400,
+            taucp=0.0002, print_interval=0.0001, chunk_steps=50,
+            water_start_bound=7.9, avoid_intracellular_throw=False,
+            kick_mode=P.KICK_INTENDED)
+        sc = BacteriaBox(p, seed=17).populate()
+        _, c, s, st = re.run_simulation(sc, p, seed=2, dtype=jnp.float64)
+        o_pos, o_phase, o_outs = numpy_oracle(sc, p, 2, p.t)
+        np.testing.assert_allclose(np.asarray(st.pos), o_pos, atol=1e-9)
+        np.testing.assert_allclose(
+            np.stack([c, s], 1), o_outs, atol=1e-6)
+
+
+class TestPhysics:
+    def test_diffusion_msd(self, f64):
+        """Per-step MSD = out_stdev^2 = pi*D*tau (parameters.h:120-121) —
+        the reference's calibration, preserved exactly."""
+        p = P.small_test_params(num_water=512, num_cells=1, mmoment=0.0,
+                                kick_mode=P.KICK_NONE, bound=40.0,
+                                water_start_bound=2.0, totaltime=0.001,
+                                sprint_steps=1000, taucp=10.0,
+                                hash_dim=4, near_k=1)
+        sc = BacteriaBox(p, seed=1).populate()
+        _, _, _, st = re.run_simulation(sc, p, seed=3, dtype=jnp.float64)
+        disp = np.asarray(st.pos) - sc.waters
+        # no wrap events: walkers start centered in a 40 µm box
+        msd = np.mean(np.sum(disp ** 2, axis=1))
+        expect = p.t * np.pi * p.D_extra * p.tau
+        assert msd == pytest.approx(expect, rel=0.15)
+
+    def test_determinism(self, tiny):
+        p, sc = tiny
+        r1 = re.run_simulation(sc, p, seed=4)
+        r2 = re.run_simulation(sc, p, seed=4)
+        np.testing.assert_array_equal(r1[1], r2[1])
+        np.testing.assert_array_equal(np.asarray(r1[3].pos),
+                                      np.asarray(r2[3].pos))
+
+    def test_seed_changes_run(self, tiny):
+        p, sc = tiny
+        r1 = re.run_simulation(sc, p, seed=4)
+        r2 = re.run_simulation(sc, p, seed=5)
+        assert not np.array_equal(np.asarray(r1[3].pos),
+                                  np.asarray(r2[3].pos))
+
+    def test_constant_kick_analytic(self, f64):
+        """mmoment=0 + constant kick + everyone inside the one giant cell:
+        phase is exactly n*K with sign flips at Carr-Purcell times, so
+        sum cos is analytic.  Verifies window accounting, emission-before-
+        flip ordering (cuda_sim.cu:1015-1022), and Kahan folding."""
+        p = P.small_test_params(num_water=32, num_cells=1, mmoment=0.0,
+                                kick_mode=P.KICK_CONSTANT, phase_k=400.0,
+                                bound=8.0, cell_r=3.5,
+                                water_start_bound=1.0,
+                                avoid_intracellular_throw=False,
+                                totaltime=0.001, sprint_steps=1000,
+                                taucp=0.0003, print_interval=0.0001,
+                                chunk_steps=100, near_k=1, hash_dim=4)
+        sc = BacteriaBox(p, seed=2).populate()
+        # all walkers inside the single cell the whole run (cell radius 3.5,
+        # water cube diag << 3.5 around the cell center region)
+        center = sc.cells[0]
+        assert np.all(np.linalg.norm(sc.waters - center, axis=1) < 2.0)
+        times, c, s, _ = re.run_simulation(sc, p, seed=8, dtype=jnp.float64)
+        K = p.phase_k * p.tau
+        phase = 0.0
+        expect = []
+        for step in range(p.pfreq, p.t + 1, p.pfreq):
+            phase += p.pfreq * K
+            expect.append(p.num_water * np.cos(phase))
+            if step % p.tcp == 0:
+                phase = -phase
+        np.testing.assert_allclose(c, expect, rtol=1e-9)
+
+    def test_impermeable_no_entry(self):
+        """reflectIO=reflectOI=1: walkers thrown outside cells never
+        acquire intracellular kicks (parameters.h:113-114)."""
+        p = P.small_test_params(num_water=64, num_cells=12, mmoment=0.0,
+                                kick_mode=P.KICK_CONSTANT, phase_k=1e6,
+                                totaltime=0.001, sprint_steps=1000,
+                                water_start_bound=7.0).impermeable()
+        sc = BacteriaBox(p, seed=21).populate()
+        _, c, s, st = re.run_simulation(sc, p, seed=6)
+        assert not np.asarray(st.in_cell).any()
+        np.testing.assert_allclose(c, p.num_water, rtol=1e-6)
+
+    def test_no_escapes(self, tiny):
+        p, sc = tiny
+        _, _, _, st = re.run_simulation(sc, p, seed=5)
+        assert int(st.escapes) == 0
+
+    def test_step_counter(self, tiny):
+        p, sc = tiny
+        _, _, _, st = re.run_simulation(sc, p, seed=5)
+        assert int(st.step) == p.t

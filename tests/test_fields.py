@@ -1,0 +1,158 @@
+"""Field model: closed forms vs autodiff, and the chunked local expansion
+vs exact masked dipole sums (the DEBUG_FIELD check of octree.cpp:435-449,
+done as a real test)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mri_nanoparticle_simulation_tpu import params as P
+from mri_nanoparticle_simulation_tpu.fields import dipole, expansion
+from mri_nanoparticle_simulation_tpu.scene import BacteriaBox
+
+
+class TestDipoleClosedForms:
+    def test_value_formula(self):
+        """B_z = M*1e11*(2dz^2-dx^2-dy^2)/r^5 (octree.cpp:206-210)."""
+        rng = np.random.default_rng(0)
+        d = rng.normal(size=(100, 3))
+        M = 3.5e-17
+        got = np.asarray(dipole.dipole_bz(d[:, 0], d[:, 1], d[:, 2], M))
+        r2 = np.sum(d * d, axis=1)
+        want = M * 1e11 * (2 * d[:, 2] ** 2 - d[:, 0] ** 2 - d[:, 1] ** 2) \
+            / r2 ** 2.5
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_masked_zero_inside(self):
+        got = dipole.dipole_bz_masked(0.1, 0.1, 0.1, 3.5e-17, cell_r=0.55)
+        assert float(got) == 0.0
+        outside = dipole.dipole_bz_masked(1.0, 0.0, 0.3, 3.5e-17, 0.55)
+        unmasked = dipole.dipole_bz(1.0, 0.0, 0.3, 3.5e-17)
+        assert float(outside) == pytest.approx(float(unmasked))
+
+    def test_masked_no_nan_at_origin(self):
+        got = dipole.dipole_bz_masked(0.0, 0.0, 0.0, 3.5e-17, 0.55)
+        assert float(got) == 0.0
+
+    def test_grad_matches_autodiff(self, f64):
+        f = lambda p: dipole.dipole_bz(p[0], p[1], p[2], 3.5e-17)
+        g_auto = jax.grad(f)
+        rng = np.random.default_rng(1)
+        for _ in range(20):
+            pt = jnp.asarray(rng.normal(size=3) * 2 + 0.5)
+            gx, gy, gz = dipole.dipole_bz_grad(pt[0], pt[1], pt[2], 3.5e-17)
+            auto = np.asarray(g_auto(pt))
+            # rtol blows up at u = r^2-5z^2 sign crossings where a
+            # component passes through zero; use a scale-aware atol
+            np.testing.assert_allclose(
+                np.array([gx, gy, gz]), auto,
+                rtol=1e-10, atol=1e-11 * np.abs(auto).max())
+
+    def test_hessian_matches_autodiff(self, f64):
+        f = lambda p: dipole.dipole_bz(p[0], p[1], p[2], 3.5e-17)
+        h_auto = jax.hessian(f)
+        rng = np.random.default_rng(2)
+        for _ in range(20):
+            pt = jnp.asarray(rng.normal(size=3) * 2 + 0.5)
+            hxx, hyy, hzz, hxy, hxz, hyz = dipole.dipole_bz_hessian(
+                pt[0], pt[1], pt[2], 3.5e-17)
+            H = np.asarray(h_auto(pt))
+            np.testing.assert_allclose(
+                np.array([hxx, hyy, hzz, hxy, hxz, hyz]),
+                np.array([H[0, 0], H[1, 1], H[2, 2],
+                          H[0, 1], H[0, 2], H[1, 2]]),
+                rtol=1e-10, atol=1e-11 * np.abs(H).max())
+
+    def test_hessian_traceless(self, f64):
+        """B_z is harmonic away from the dipole: Laplacian == 0."""
+        rng = np.random.default_rng(3)
+        d = rng.normal(size=(50, 3)) * 2 + 0.3
+        hxx, hyy, hzz, *_ = dipole.dipole_bz_hessian(
+            jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]), jnp.asarray(d[:, 2]),
+            3.5e-17)
+        trace = np.asarray(hxx + hyy + hzz)
+        scale = np.max(np.abs(np.asarray(hxx)))
+        np.testing.assert_allclose(trace, 0.0, atol=scale * 1e-10)
+
+
+@pytest.fixture(scope="module")
+def ref_scene():
+    """A reference-density scene (sparse cells, full box) for accuracy."""
+    p = P.DEFAULT.replace(num_water=128)
+    sc = BacteriaBox(p, seed=7).populate()
+    return p, sc
+
+
+class TestLocalExpansion:
+    def _setup(self, p, sc, anchors, rng):
+        mnp_pos = jnp.asarray(sc.mnps[:, :3])
+        mnp_M = jnp.asarray(sc.mnps[:, 4])
+        nf = expansion.build(jnp.asarray(anchors), mnp_pos, mnp_M, p)
+        tb = expansion.default_travel_bound(p)
+        offs = np.clip(rng.normal(scale=tb / 3, size=anchors.shape), -tb, tb)
+        pos = jnp.asarray(anchors + offs)
+        exact = dipole.total_field_masked(pos, mnp_pos, mnp_M, p.cell_r)
+        fast, in_cell, d2min = expansion.evaluate(nf, pos, p.cell_r)
+        return pos, fast, in_cell, exact
+
+    def test_field_accuracy_uniform(self, ref_scene, f64):
+        """Calibrated: observed max err ~3e-9 T vs mean |B| ~5e-7 T."""
+        p, sc = ref_scene
+        rng = np.random.default_rng(0)
+        anchors = rng.random((256, 3)) * p.bound
+        _, fast, _, exact = self._setup(p, sc, anchors, rng)
+        err = np.abs(np.asarray(fast - exact))
+        assert err.max() < 2e-8
+        # per-step phase-kick error far below MC noise
+        assert err.max() * p.phase_per_tesla < 1e-8
+
+    def test_field_accuracy_near_cells(self, ref_scene, f64):
+        """Anchors clustered around cells: the hard regime (masked
+        near-field + steep gradients)."""
+        p, sc = ref_scene
+        rng = np.random.default_rng(1)
+        anchors = sc.cells[rng.integers(0, p.num_cells, 256)] + \
+            rng.normal(scale=1.0, size=(256, 3))
+        anchors = np.clip(anchors, 0.01, p.bound - 0.01)
+        _, fast, _, exact = self._setup(p, sc, anchors, rng)
+        err = np.abs(np.asarray(fast - exact))
+        assert err.max() < 5e-8
+
+    def test_in_cell_exact(self, ref_scene):
+        p, sc = ref_scene
+        rng = np.random.default_rng(2)
+        anchors = sc.cells[rng.integers(0, p.num_cells, 512)] + \
+            rng.normal(scale=0.8, size=(512, 3))
+        anchors = np.clip(anchors, 0.01, p.bound - 0.01)
+        pos, _, in_cell, _ = self._setup(p, sc, anchors, rng)
+        d2 = np.min(np.sum(
+            (np.asarray(pos)[:, None] - sc.cells[None]) ** 2, axis=2), axis=1)
+        truly = d2 < p.cell_r ** 2
+        assert truly.sum() > 10  # the regime is actually exercised
+        np.testing.assert_array_equal(np.asarray(in_cell), truly)
+
+    def test_f32_accuracy(self, ref_scene, f64):
+        """The production dtype: f32 evaluation stays within kick tolerance."""
+        p, sc = ref_scene
+        rng = np.random.default_rng(3)
+        anchors = rng.random((256, 3)) * p.bound
+        mnp_pos = jnp.asarray(sc.mnps[:, :3], jnp.float32)
+        mnp_M = jnp.asarray(sc.mnps[:, 4], jnp.float32)
+        nf = expansion.build(jnp.asarray(anchors, jnp.float32),
+                             mnp_pos, mnp_M, p)
+        tb = expansion.default_travel_bound(p)
+        offs = np.clip(rng.normal(scale=tb / 3, size=(256, 3)), -tb, tb)
+        pos32 = jnp.asarray(anchors + offs, jnp.float32)
+        fast, _, _ = expansion.evaluate(nf, pos32, p.cell_r)
+        exact = dipole.total_field_masked(
+            jnp.asarray(anchors + offs), jnp.asarray(sc.mnps[:, :3]),
+            jnp.asarray(sc.mnps[:, 4]), p.cell_r)
+        err = np.abs(np.asarray(fast, np.float64) - np.asarray(exact))
+        assert err.max() * p.phase_per_tesla < 1e-7
+
+    def test_near_k_margin(self, ref_scene):
+        """Default scene needs far fewer than near_k=8 candidates."""
+        p, sc = ref_scene
+        worst = expansion.validate_near_k(sc.cells, p, n_probe=50_000)
+        assert worst <= p.near_k
