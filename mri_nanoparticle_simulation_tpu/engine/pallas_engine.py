@@ -1,0 +1,446 @@
+"""Fused Pallas TPU chunk kernel — the production engine.
+
+Why this exists: the pure-JAX engine (reference_engine.py) is HBM-bound.
+Every ``lax.scan`` step round-trips the walker carry plus the per-walker
+field model through HBM (~1 MB/step at 4k walkers -> ~300 GB/s sustained,
+measured), capping it at ~6.5e8 walker-steps/s on a v5e.  The entire
+working set — walker state (~200 KB) and the chunk field model (~1 MB) —
+fits in VMEM with room to spare, so a kernel that keeps it resident for a
+whole chunk of timesteps eliminates that traffic entirely: per-chunk I/O is
+one VMEM fill + drain, amortized to ~0.5 KB/step.
+
+This is the TPU answer to the reference's ``simulateDiffusion`` +
+``computePhaseAccumulation`` + cuBLAS/thrust pipeline (cuda_sim.cu:688-804,
+996-1023), fused into ONE kernel that also does the RNG (in registers —
+the reference pre-filled 3.9 GB of cuRAND buffers per sprint), the window
+reductions, and the Carr-Purcell flips.
+
+Layout: walkers are padded to a multiple of 128 and live as [R, 128] f32
+planes (R = W_pad/128 sublanes x 128 lanes — the native VPU shape).  The
+near-field model is K slabs of [R, 128] per component; the inner loop is
+pure elementwise VPU work with zero gathers (see fields/expansion.py).
+
+RNG modes:
+* ``threefry``: the same counter-based Threefry-2x32 stream as the scan
+  engine, bit-for-bit — used to cross-validate the two engines on
+  identical trajectories.
+* ``hardware``: the TPU's native PRNG (pltpu.prng_random_bits), seeded per
+  (chunk, key); statistically equivalent, measurably faster, still fully
+  deterministic for a fixed seed/schedule.
+
+The XLA side (recandidate + window bookkeeping) wraps the kernel in
+``make_sprint_fn`` with the same signature/semantics as the scan engine's.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import rng
+from ..fields import expansion
+from ..params import DIRECTION_CUBE, KICK_INTENDED, Params
+from .reference_engine import WalkerState, intracellular_kick
+
+LANES = 128
+
+RNG_THREEFRY = "threefry"
+RNG_HARDWARE = "hardware"
+
+
+class PlaneState(NamedTuple):
+    """Walker state as [R, 128] VPU planes (pallas-engine native form)."""
+    px: jnp.ndarray
+    py: jnp.ndarray
+    pz: jnp.ndarray
+    in_cell: jnp.ndarray     # f32 0/1 mask
+    phase: jnp.ndarray
+    phase_comp: jnp.ndarray
+    step: jnp.ndarray        # scalar uint32
+    escapes: jnp.ndarray     # scalar int32
+
+
+def pad_count(num_water: int) -> int:
+    return -(-num_water // LANES) * LANES
+
+
+def to_planes(state: WalkerState, params: Params) -> PlaneState:
+    """[W]-vector state -> padded [R, 128] planes.  Dummy lanes (beyond
+    num_water) start at the box center and simply diffuse; the `valid`
+    mask (built in make_sprint_fn) excludes them from magnetization sums."""
+    w = state.pos.shape[0]
+    wp = pad_count(w)
+    r = wp // LANES
+
+    def plane(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((wp - w,), fill, x.dtype)]).reshape(r, LANES)
+
+    half = jnp.asarray(params.bound / 2, state.pos.dtype)
+    return PlaneState(
+        px=plane(state.pos[:, 0], half),
+        py=plane(state.pos[:, 1], half),
+        pz=plane(state.pos[:, 2], half),
+        in_cell=plane(state.in_cell.astype(state.pos.dtype), 0),
+        phase=plane(state.phase, 0),
+        phase_comp=plane(state.phase_comp, 0),
+        step=state.step,
+        escapes=state.escapes,
+    )
+
+
+def from_planes(ps: PlaneState, num_water: int) -> WalkerState:
+    def vec(x):
+        return x.reshape(-1)[:num_water]
+    return WalkerState(
+        pos=jnp.stack([vec(ps.px), vec(ps.py), vec(ps.pz)], axis=-1),
+        in_cell=vec(ps.in_cell) > 0.5,
+        phase=vec(ps.phase),
+        phase_comp=vec(ps.phase_comp),
+        step=ps.step,
+        escapes=ps.escapes,
+    )
+
+
+def _threefry_words(key01, c0_scalar, lane, n_words, rounds):
+    """Counter-based words on a [R,128] lane grid; bitwise-identical to
+    rng.words_for_step."""
+    c0 = jnp.full_like(lane, c0_scalar)
+    out = []
+    for pair in range((n_words + 1) // 2):
+        w0, w1 = rng.threefry2x32(key01, c0,
+                                  lane + jnp.uint32(pair << 27),
+                                  rounds=rounds)
+        out += [w0, w1]
+    return out[:n_words]
+
+
+def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
+                      rng_impl: str = RNG_THREEFRY,
+                      interpret: bool = False):
+    """Build the pallas_call executing one chunk (chunk_steps timesteps,
+    spanning chunk_steps/pfreq output windows) for all walkers.
+
+    Signature of the returned function:
+        f(scalars_u32[4], lane_u32[R,128], valid[R,128],
+          state planes (px,py,pz,in_cell,phase,comp),
+          near (nx,ny,nz,nM)[K,R,128], taylor 10x[R,128],
+          anchor (ax,ay,az)[R,128])
+        -> (px,py,pz,in_cell,phase,comp, b_last, max_d2, wins[n_win,2])
+
+    scalars = [step0, key_hi, key_lo, chunk_seed].
+    """
+    params.validate()
+    if params.chunk_steps % params.pfreq != 0:
+        raise ValueError(
+            "pallas engine requires chunk_steps to be a multiple of pfreq")
+    n_win = params.chunk_steps // params.pfreq
+    k = params.near_k
+    use_reflection = params.reflect_io > 0 or params.reflect_oi > 0
+    use_kick_u = params.kick_mode == KICK_INTENDED
+    n_words = 7 if (use_reflection or use_kick_u) else 5
+
+    # plain python floats: weak-typed scalars that adopt the plane dtype
+    # without becoming traced constants the kernel would have to capture
+    cell_r2 = float(params.cell_r ** 2)
+    in_stdev = float(params.in_stdev)
+    out_stdev = float(params.out_stdev)
+    phase_per_tesla = float(params.phase_per_tesla)
+    field_scale = 1e11
+    two_pi = float(2.0 * np.pi)
+
+    def kernel(scalars, lane, valid,
+               px, py, pz, icell, phase0, comp0,
+               nx, ny, nz, nM,
+               b0, gx, gy, gz, hxx, hyy, hzz, hxy, hxz, hyz,
+               ax, ay, az,
+               o_px, o_py, o_pz, o_icell, o_phase, o_comp,
+               o_blast, o_maxd2, o_wins):
+        step0 = scalars[0]
+        key01 = (scalars[1], scalars[2])
+        if rng_impl == RNG_HARDWARE:
+            pltpu.prng_seed(scalars[3])
+
+        lane_v = lane[:]
+        valid_v = valid[:]
+        anchor_x, anchor_y, anchor_z = ax[:], ay[:], az[:]
+        tb0, tgx, tgy, tgz = b0[:], gx[:], gy[:], gz[:]
+        thxx, thyy, thzz = hxx[:], hyy[:], hzz[:]
+        thxy, thxz, thyz = hxy[:], hxz[:], hyz[:]
+
+        def draw_words(step_scalar):
+            if rng_impl == RNG_THREEFRY:
+                return _threefry_words(key01, step_scalar, lane_v, n_words,
+                                       params.rng_rounds)
+            # prng_random_bits yields int32; bitcast before the logical
+            # shift or sign extension corrupts the top bits
+            return [pltpu.bitcast(pltpu.prng_random_bits(lane_v.shape),
+                                  jnp.uint32)
+                    for _ in range(n_words)]
+
+        def eval_field(x, y, z):
+            """Masked K-near sum + far Taylor (expansion.evaluate, fused on
+            planes).  Returns (B, in_cell_mask, max over K of -d2...)."""
+            b_near = jnp.zeros_like(x)
+            inside = jnp.zeros_like(x)
+            min_d2 = jnp.full_like(x, 1e9)
+            for j in range(k):
+                dx = x - nx[j]
+                dy = y - ny[j]
+                dz = z - nz[j]
+                d2 = dx * dx + dy * dy + dz * dz
+                # d2 == 0 only if a walker sits exactly on a dipole
+                # (measure zero, but inf * 0 = nan would poison the run)
+                rs = jax.lax.rsqrt(jnp.maximum(d2, 1e-12))
+                rs2 = rs * rs
+                inv_r5 = rs2 * rs2 * rs
+                contrib = nM[j] * field_scale * \
+                    (2.0 * dz * dz - dx * dx - dy * dy) * inv_r5
+                outside = (d2 > cell_r2).astype(dtype)
+                b_near = b_near + contrib * outside
+                inside = jnp.maximum(inside, 1.0 - outside)
+                min_d2 = jnp.minimum(min_d2, d2)
+            ex = x - anchor_x
+            ey = y - anchor_y
+            ez = z - anchor_z
+            b_far = (tb0 + tgx * ex + tgy * ey + tgz * ez
+                     + 0.5 * (thxx * ex * ex + thyy * ey * ey
+                              + thzz * ez * ez)
+                     + thxy * ex * ey + thxz * ex * ez + thyz * ey * ez)
+            return b_near + b_far, inside, min_d2
+
+        def step_body(i, carry):
+            (x, y, z, incell, bprev, acc, maxd2, win_step0) = carry
+            words = draw_words(win_step0 + i.astype(jnp.uint32))
+            u0 = rng.uniform_from_bits(words[0], dtype)
+            u1 = rng.uniform_from_bits(words[1], dtype)
+            u2 = rng.uniform_from_bits(words[2], dtype)
+            ua = rng.uniform_from_bits(words[3], dtype)
+            ub = rng.uniform_from_bits(words[4], dtype)
+            nrm = jnp.sqrt(-2.0 * jnp.log(1.0 - ua)) * \
+                jnp.cos(two_pi * ub)
+
+            if params.direction_mode == DIRECTION_CUBE:
+                dx = 2.0 * u0 - 1.0
+                dy = 2.0 * u1 - 1.0
+                dz = 2.0 * u2 - 1.0
+                inv_norm = jax.lax.rsqrt(
+                    jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-12))
+            else:
+                cos_t = 2.0 * u0 - 1.0
+                sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+                phi = two_pi * u1
+                dx = sin_t * jnp.cos(phi)
+                dy = sin_t * jnp.sin(phi)
+                dz = cos_t
+                inv_norm = 1.0
+            stdev = incell * in_stdev + (1.0 - incell) * out_stdev
+            mag = nrm * stdev * inv_norm
+            x2 = x + dx * mag
+            y2 = y + dy * mag
+            z2 = z + dz * mag
+
+            b, in_new, _ = eval_field(x2, y2, z2)
+
+            if use_reflection:
+                u_coin = rng.uniform_from_bits(words[5], dtype)
+                cross_out = incell * (1.0 - in_new)
+                cross_in = (1.0 - incell) * in_new
+                flip = (cross_out * (u_coin < float(params.reflect_io))
+                        + cross_in * (u_coin < float(params.reflect_oi)))
+                keep = 1.0 - flip
+                x2 = keep * x2 + flip * x
+                y2 = keep * y2 + flip * y
+                z2 = keep * z2 + flip * z
+                b = keep * b + flip * bprev
+                in_new = keep * in_new + flip * incell
+
+            kick = b * phase_per_tesla
+            u_kick = (rng.uniform_from_bits(words[6], dtype)
+                      if use_kick_u else None)
+            intra = intracellular_kick(params, u_kick, in_new > 0.5, dtype)
+            if intra is not None:
+                kick = kick + intra
+            acc = acc + kick
+
+            ddx = x2 - anchor_x
+            ddy = y2 - anchor_y
+            ddz = z2 - anchor_z
+            maxd2 = jnp.maximum(maxd2, ddx * ddx + ddy * ddy + ddz * ddz)
+            return (x2, y2, z2, in_new, b, acc, maxd2, win_step0)
+
+        # chunk-start state
+        x, y, z = px[:], py[:], pz[:]
+        b_start, in_start, _ = eval_field(x, y, z)
+        phase = phase0[:]
+        comp = comp0[:]
+        maxd2 = jnp.zeros_like(x)
+        bprev = b_start
+        incell = in_start
+
+        for w_idx in range(n_win):
+            win_step0 = step0 + jnp.uint32(w_idx * params.pfreq)
+            acc = jnp.zeros_like(x)
+            (x, y, z, incell, bprev, acc, maxd2, _) = jax.lax.fori_loop(
+                0, params.pfreq, step_body,
+                (x, y, z, incell, bprev, acc, maxd2, win_step0))
+
+            # Kahan fold (performUpdate, cuda_sim.cu:814-828)
+            ky = acc - comp
+            kt = phase + ky
+            comp = (kt - phase) - ky
+            phase = kt
+            o_wins[w_idx, 0] = jnp.sum(jnp.cos(phase) * valid_v)
+            o_wins[w_idx, 1] = jnp.sum(jnp.sin(phase) * valid_v)
+
+            # Carr-Purcell flip after emission (cuda_sim.cu:1015-1020)
+            end_step = win_step0 + jnp.uint32(params.pfreq)
+            do_flip = (end_step % jnp.uint32(params.tcp)) == 0
+            sign = jnp.where(do_flip, -1.0, 1.0).astype(phase.dtype)
+            phase = phase * sign
+            comp = comp * sign
+
+        o_px[:] = x
+        o_py[:] = y
+        o_pz[:] = z
+        o_icell[:] = incell
+        o_phase[:] = phase
+        o_comp[:] = comp
+        o_blast[:] = bprev
+        o_maxd2[:] = maxd2
+
+    plane = jax.ShapeDtypeStruct((r_planes, LANES), dtype)
+    kslab = jax.ShapeDtypeStruct((k, r_planes, LANES), dtype)
+    u32plane = jax.ShapeDtypeStruct((r_planes, LANES), jnp.uint32)
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    n_inputs = 3 + 6 + 4 + 10 + 3
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            plane, plane, plane, plane, plane, plane,  # px..comp
+            plane, plane,                               # b_last, max_d2
+            jax.ShapeDtypeStruct((n_win, 2), dtype),    # window sums
+        ),
+        in_specs=[sspec] + [vspec] * (n_inputs - 1),
+        out_specs=tuple([vspec] * 8 + [sspec]),
+        interpret=interpret,
+    )
+    return call
+
+
+def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
+                   rng_impl: str = RNG_THREEFRY, interpret: bool = False):
+    """Jitted sprint with the same contract as
+    reference_engine.make_sprint_fn, but running chunks in the Pallas
+    kernel.  Operates on PlaneState.
+
+    sprint(mnp_pos, mnp_M, key_arr, plane_state, lane_offset)
+        -> (plane_state', wins [n_windows, 2])
+    """
+    params.validate()
+    wp = pad_count(num_water)
+    r = wp // LANES
+    if params.chunk_steps % params.pfreq == 0:
+        chunk_steps = params.chunk_steps
+    else:
+        raise ValueError("pallas engine: chunk_steps must be a multiple "
+                         "of pfreq (e.g. 2000 with pfreq=1000)")
+    n_chunks = params.sprint_steps // chunk_steps
+    if n_chunks * chunk_steps != params.sprint_steps:
+        raise ValueError("sprint_steps must be a multiple of chunk_steps")
+    n_win_chunk = chunk_steps // params.pfreq
+    travel2 = dtype(expansion.default_travel_bound(params) ** 2)
+    kern = make_chunk_kernel(params, r, dtype, rng_impl, interpret)
+    bound = dtype(params.bound)
+
+    valid = (jnp.arange(wp) < num_water).astype(dtype).reshape(r, LANES)
+
+    def sprint(mnp_pos, mnp_M, key_arr, ps: PlaneState, lane_offset):
+        lane = (jnp.arange(wp, dtype=jnp.uint32)
+                + jnp.uint32(lane_offset)).reshape(r, LANES)
+
+        def chunk_body(carry, chunk_idx):
+            del chunk_idx  # ps.step already advances chunk by chunk
+            ps, escapes = carry
+            # periodic wrap at chunk boundary (see reference_engine notes)
+            px = jnp.mod(ps.px + bound, bound)
+            py = jnp.mod(ps.py + bound, bound)
+            pz = jnp.mod(ps.pz + bound, bound)
+            pos = jnp.stack([px.reshape(-1), py.reshape(-1),
+                             pz.reshape(-1)], axis=-1)
+            nf = expansion.build(pos, mnp_pos, mnp_M, params)
+
+            def slab(a):  # [W, K] -> [K, R, 128]
+                return a.T.reshape(params.near_k, r, LANES)
+
+            def pl_(a):   # [W] -> [R, 128]
+                return a.reshape(r, LANES)
+
+            step0 = ps.step
+            scalars = jnp.asarray(
+                [step0, key_arr[0], key_arr[1],
+                 step0 ^ (key_arr[1] * jnp.uint32(2654435761))],
+                jnp.uint32)
+            (opx, opy, opz, oic, oph, ocmp, _oblast, omaxd2, wins) = kern(
+                scalars, lane, valid,
+                px, py, pz, ps.in_cell, ps.phase, ps.phase_comp,
+                slab(nf.near_pos[..., 0]), slab(nf.near_pos[..., 1]),
+                slab(nf.near_pos[..., 2]), slab(nf.near_M),
+                pl_(nf.b0),
+                pl_(nf.grad[..., 0]), pl_(nf.grad[..., 1]),
+                pl_(nf.grad[..., 2]),
+                pl_(nf.hess[..., 0]), pl_(nf.hess[..., 1]),
+                pl_(nf.hess[..., 2]), pl_(nf.hess[..., 3]),
+                pl_(nf.hess[..., 4]), pl_(nf.hess[..., 5]),
+                px, py, pz)
+            escapes = escapes + jnp.sum(
+                (omaxd2 * valid) > travel2, dtype=jnp.int32)
+            new_ps = PlaneState(px=opx, py=opy, pz=opz, in_cell=oic,
+                                phase=oph, phase_comp=ocmp,
+                                step=step0 + jnp.uint32(chunk_steps),
+                                escapes=escapes)
+            return (new_ps, escapes), wins
+
+        (ps, escapes), wins = jax.lax.scan(
+            chunk_body, (ps, ps.escapes),
+            jnp.arange(n_chunks, dtype=jnp.uint32))
+        ps = ps._replace(escapes=escapes)
+        return ps, wins.reshape(n_chunks * n_win_chunk, 2)
+
+    return jax.jit(sprint)
+
+
+def run_simulation(scene, params: Params, seed: int = 0, dtype=jnp.float32,
+                   rng_impl: str = RNG_THREEFRY, interpret: bool = False,
+                   max_steps: int | None = None):
+    """Single-device full run with the Pallas engine (mirror of
+    reference_engine.run_simulation)."""
+    from .reference_engine import init_state
+
+    num_water = scene.waters.shape[0]
+    sprint_fn = make_sprint_fn(params, num_water, dtype, rng_impl, interpret)
+    mnp_pos = jnp.asarray(scene.mnps[:, :3], dtype)
+    mnp_M = jnp.asarray(scene.mnps[:, 4], dtype)
+    kk = rng.key_from_seed(seed)
+    key_arr = jnp.asarray([np.uint32(kk[0]), np.uint32(kk[1])])
+    ps = to_planes(init_state(scene.waters, params, dtype), params)
+
+    total = params.t if max_steps is None else min(params.t, max_steps)
+    outs = []
+    for _ in range(total // params.sprint_steps):
+        ps, wins = sprint_fn(mnp_pos, mnp_M, key_arr, ps, 0)
+        outs.append(wins)
+    wins = jnp.concatenate(outs, axis=0) if outs else jnp.zeros((0, 2), dtype)
+    n = wins.shape[0]
+    times = (np.arange(1, n + 1) * params.pfreq) * params.tau
+    return times, np.asarray(wins[:, 0]), np.asarray(wins[:, 1]), \
+        from_planes(ps, num_water)

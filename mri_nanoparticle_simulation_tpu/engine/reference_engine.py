@@ -92,19 +92,20 @@ def intracellular_kick(params: Params, u_kick, in_cell, dtype):
     mode = params.kick_mode
     if mode == KICK_NONE:
         return None
+    del dtype  # python-float constants stay weak-typed in any precision
     if mode == KICK_AS_WRITTEN:
-        per_step = dtype(params.chem_shift_kick)
+        per_step = float(params.chem_shift_kick)
     elif mode == KICK_CONSTANT:
-        per_step = dtype(params.phase_k * params.tau)
+        per_step = float(params.phase_k * params.tau)
     elif mode == KICK_INTENDED:
-        centered = u_kick - dtype(0.5)
+        centered = u_kick - 0.5
         cauchy = jnp.sqrt(
-            1.0 / jnp.maximum(2.0 * jnp.abs(centered), dtype(1e-12)) - 1.0)
-        per_step = (dtype(params.phase_stdev * params.tau) * cauchy
-                    * jnp.sign(centered) + dtype(params.chem_shift_kick))
+            1.0 / jnp.maximum(2.0 * jnp.abs(centered), 1e-12) - 1.0)
+        per_step = (float(params.phase_stdev * params.tau) * cauchy
+                    * jnp.sign(centered) + float(params.chem_shift_kick))
     else:
         raise ValueError(mode)
-    return jnp.where(in_cell, per_step, dtype(0))
+    return jnp.where(in_cell, per_step, 0.0)
 
 
 def make_sprint_fn(params: Params, dtype=jnp.float32):
@@ -117,10 +118,16 @@ def make_sprint_fn(params: Params, dtype=jnp.float32):
     sharded across devices.
     """
     params.validate()
-    if params.pfreq % params.chunk_steps != 0:
-        raise NotImplementedError(
-            "this engine requires chunk_steps to divide pfreq")
-    chunks_per_window = params.pfreq // params.chunk_steps
+    window_major = params.pfreq % params.chunk_steps == 0
+    if window_major:
+        # rebuild >= once per window: scan windows -> chunks -> steps
+        chunks_per_window = params.pfreq // params.chunk_steps
+    elif params.chunk_steps % params.pfreq == 0:
+        # rebuild spans windows: scan chunks -> windows -> steps (the
+        # pallas production configuration, e.g. chunk 2000 / pfreq 1000)
+        windows_per_chunk = params.chunk_steps // params.pfreq
+    else:
+        raise ValueError("chunk_steps must divide or be a multiple of pfreq")
     n_windows = params.sprint_steps // params.pfreq
     travel2 = dtype(expansion.default_travel_bound(params) ** 2)
     use_reflection = params.reflect_io > 0 or params.reflect_oi > 0
@@ -251,6 +258,57 @@ def make_sprint_fn(params: Params, dtype=jnp.float32):
                                    jnp.arange(n_windows, dtype=jnp.uint32))
         return state, wins
 
+    def sprint_chunk_major(mnp_pos, mnp_M, key_arr, state: WalkerState,
+                           lane_offset):
+        key = (key_arr[0], key_arr[1])
+        w = state.pos.shape[0]
+        lane = jnp.arange(w, dtype=jnp.uint32) + jnp.uint32(lane_offset)
+        n_chunks = params.sprint_steps // params.chunk_steps
+
+        def chunk_body(st: WalkerState, _):
+            pos = jnp.mod(st.pos + bound, bound)
+            nf = expansion.build(pos, mnp_pos, mnp_M, params)
+            b0, in0, _ = expansion.evaluate(nf, pos, cell_r)
+            maxd2_0 = jnp.zeros(w, dtype)
+
+            def window_body(win_carry, win_idx):
+                pos, in_cell, b_prev, maxd2, phase, comp = win_carry
+                base = st.step + win_idx * jnp.uint32(params.pfreq)
+
+                def inner(c, i):
+                    return step_fn(key, nf, lane, c, base + i), None
+
+                (pos, in_cell, b_prev, acc, maxd2), _ = jax.lax.scan(
+                    inner, (pos, in_cell, b_prev, jnp.zeros(w, dtype),
+                            maxd2),
+                    jnp.arange(params.pfreq, dtype=jnp.uint32))
+                y = acc - comp
+                t = phase + y
+                comp = (t - phase) - y
+                phase = t
+                out = jnp.stack([jnp.sum(jnp.cos(phase)),
+                                 jnp.sum(jnp.sin(phase))])
+                end_step = base + jnp.uint32(params.pfreq)
+                do_flip = (end_step % jnp.uint32(params.tcp)) == 0
+                phase = jnp.where(do_flip, -phase, phase)
+                comp = jnp.where(do_flip, -comp, comp)
+                return (pos, in_cell, b_prev, maxd2, phase, comp), out
+
+            (pos, in_cell, _, maxd2, phase, comp), outs = jax.lax.scan(
+                window_body, (pos, in0, b0, maxd2_0, st.phase,
+                              st.phase_comp),
+                jnp.arange(windows_per_chunk, dtype=jnp.uint32))
+            escapes = st.escapes + jnp.sum(maxd2 > travel2, dtype=jnp.int32)
+            return WalkerState(
+                pos=pos, in_cell=in_cell, phase=phase, phase_comp=comp,
+                step=st.step + jnp.uint32(params.chunk_steps),
+                escapes=escapes), outs
+
+        state, wins = jax.lax.scan(chunk_body, state, None, length=n_chunks)
+        return state, wins.reshape(n_windows, 2)
+
+    if not window_major:
+        return jax.jit(sprint_chunk_major)
     return jax.jit(sprint)
 
 

@@ -1,0 +1,258 @@
+"""Simulation orchestrator: scene -> device -> sprints -> CSV.
+
+The TPU-native analogue of ``simulateWaters`` (src/cuda_sim.cu:902-1034)
+and the ``main`` driver (src/T2_GPU_sim.cu:58-61): builds the scene, runs
+the sprint loop, streams the T2 curve to CSV with the reference's filename
+convention and schema, reports throughput, and (beyond the reference)
+checkpoints and resumes.
+
+Host<->device flow: the device only ever sends back [n_windows, 2] window
+sums per sprint (a few hundred bytes); sprints are dispatched ahead of
+reads, so the device never waits on the host CSV writer.
+
+Run as a CLI:
+    python -m mri_nanoparticle_simulation_tpu.engine.sim \
+        --num-water 4032 --totaltime 40 --engine pallas --out t2.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import rng
+from ..fields import expansion
+from ..io import checkpoint as ckpt_mod
+from ..io import writer as writer_mod
+from ..params import Params
+from ..scene import BacteriaBox
+from . import pallas_engine, reference_engine
+
+ENGINES = ("pallas", "scan")
+
+
+class SimulationRunner:
+    """Owns the scene, the compiled sprint function, and walker state."""
+
+    def __init__(self, params: Params, scene_seed: int = 0, seed: int = 0,
+                 engine: str = "pallas", dtype=jnp.float32,
+                 rng_impl: str = pallas_engine.RNG_HARDWARE,
+                 interpret: bool = False, check_coverage: bool = True):
+        self.params = params.validate()
+        self.seed = seed
+        self.scene_seed = scene_seed
+        self.engine = engine
+        self.dtype = dtype
+
+        self.scene = BacteriaBox(params, seed=scene_seed).populate()
+        if check_coverage:
+            worst = expansion.validate_near_k(self.scene.cells, params,
+                                              n_probe=50_000)
+            if worst > params.near_k:
+                raise ValueError(
+                    f"scene requires near_k >= {worst} for exact in-cell "
+                    f"tests at chunk_steps={params.chunk_steps} "
+                    f"(configured near_k={params.near_k}); raise near_k or "
+                    f"lower chunk_steps")
+
+        self.mnp_pos = jnp.asarray(self.scene.mnps[:, :3], dtype)
+        self.mnp_M = jnp.asarray(self.scene.mnps[:, 4], dtype)
+        k = rng.key_from_seed(seed)
+        self.key_arr = jnp.asarray([np.uint32(k[0]), np.uint32(k[1])])
+
+        if engine == "pallas":
+            self._sprint = pallas_engine.make_sprint_fn(
+                params, params.num_water, dtype, rng_impl, interpret)
+        elif engine == "scan":
+            self._sprint = reference_engine.make_sprint_fn(params, dtype)
+        else:
+            raise ValueError(f"unknown engine {engine!r}; use one of "
+                             f"{ENGINES}")
+
+        self.state = reference_engine.init_state(
+            self.scene.waters, params, dtype)
+
+    # -- state plumbing ------------------------------------------------------
+
+    def _run_sprint(self):
+        if self.engine == "pallas":
+            ps = getattr(self, "_planes", None)
+            if ps is None:
+                ps = pallas_engine.to_planes(self.state, self.params)
+            ps, wins = self._sprint(self.mnp_pos, self.mnp_M, self.key_arr,
+                                    ps, 0)
+            self._planes = ps
+            return wins
+        st, wins = self._sprint(self.mnp_pos, self.mnp_M, self.key_arr,
+                                self.state, 0)
+        self.state = st
+        return wins
+
+    def _sync_state(self):
+        if self.engine == "pallas" and getattr(self, "_planes", None) is not None:
+            self.state = pallas_engine.from_planes(
+                self._planes, self.params.num_water)
+
+    def resume(self, path: str):
+        state, seed, scene_seed = ckpt_mod.load_checkpoint(
+            path, self.params, self.dtype)
+        if seed != self.seed or scene_seed != self.scene_seed:
+            raise ValueError(
+                f"checkpoint seeds (run={seed}, scene={scene_seed}) do not "
+                f"match runner seeds (run={self.seed}, "
+                f"scene={self.scene_seed})")
+        self.state = state
+        self._planes = None
+        if self.engine == "pallas":
+            self._planes = pallas_engine.to_planes(state, self.params)
+
+    # -- main loop -----------------------------------------------------------
+
+    def run(self, csv_path: Optional[str] = None, quadrature: bool = False,
+            checkpoint_path: Optional[str] = None,
+            checkpoint_every_sprints: int = 0, progress: bool = True,
+            max_steps: Optional[int] = None):
+        """Run from the current state to completion, streaming CSV.
+
+        Returns (times_ms, sum_cos, sum_sin, stats_dict).
+        """
+        p = self.params
+        total = p.t if max_steps is None else min(p.t, max_steps)
+        start_step = int(np.asarray(self.state.step))
+        n_sprints = (total - start_step) // p.sprint_steps
+        win_per_sprint = p.sprint_steps // p.pfreq
+
+        writer = None
+        if csv_path is not None:
+            writer = writer_mod.T2CsvWriter(csv_path, p, quadrature)
+            writer.__enter__()
+
+        t0 = time.perf_counter()
+        pending = []          # dispatched sprints not yet written out
+        all_wins = []
+        try:
+            for i in range(n_sprints):
+                wins = self._run_sprint()
+                pending.append((start_step // p.pfreq + i * win_per_sprint,
+                                wins))
+                # keep one sprint in flight: write the previous sprint's
+                # windows while the device runs the current one
+                if len(pending) > 1:
+                    self._drain(pending.pop(0), writer, all_wins)
+                if checkpoint_path and checkpoint_every_sprints and \
+                        (i + 1) % checkpoint_every_sprints == 0:
+                    self._sync_state()
+                    ckpt_mod.save_checkpoint(checkpoint_path, self.state,
+                                             p, self.seed, self.scene_seed)
+                if progress and (i + 1) % max(1, n_sprints // 20) == 0:
+                    done = (i + 1) * p.sprint_steps
+                    rate = done * p.num_water / (time.perf_counter() - t0)
+                    print(f"  sprint {i + 1}/{n_sprints} "
+                          f"({rate:.2e} walker-steps/s)", file=sys.stderr)
+            while pending:
+                self._drain(pending.pop(0), writer, all_wins)
+        finally:
+            if writer is not None:
+                writer.close()
+        wall = time.perf_counter() - t0
+
+        self._sync_state()
+        if checkpoint_path:
+            ckpt_mod.save_checkpoint(checkpoint_path, self.state, p,
+                                     self.seed, self.scene_seed)
+
+        wins = np.concatenate(all_wins, 0) if all_wins else np.zeros((0, 2))
+        n = len(wins)
+        times = (np.arange(start_step // p.pfreq + 1,
+                           start_step // p.pfreq + n + 1) * p.pfreq) * p.tau
+        stats = {
+            "wall_s": wall,
+            "walker_steps_per_s": n_sprints * p.sprint_steps * p.num_water
+            / wall if wall > 0 else 0.0,
+            "escapes": int(np.asarray(self.state.escapes)),
+            "steps": int(np.asarray(self.state.step)),
+        }
+        return times, wins[:, 0], wins[:, 1], stats
+
+    @staticmethod
+    def _drain(item, writer, all_wins):
+        first_idx, wins = item
+        wins = np.asarray(wins)
+        all_wins.append(wins)
+        if writer is not None:
+            writer.append_windows(first_idx, wins)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="TPU Monte Carlo MRI T2 simulation (reference: "
+                    "RabinKarp/MRI_Nanoparticle_Simulation)")
+    ap.add_argument("--num-water", type=int, default=4032)
+    ap.add_argument("--num-cells", type=int, default=270)
+    ap.add_argument("--totaltime", type=float, default=40.0,
+                    help="simulated time, ms")
+    ap.add_argument("--taucp", type=float, default=5.5)
+    ap.add_argument("--mmoment", type=float, default=3.5e-17)
+    ap.add_argument("--cell-r", type=float, default=0.55)
+    ap.add_argument("--kick-mode", default="as_written",
+                    choices=["as_written", "intended", "constant", "none"])
+    ap.add_argument("--permeable", action="store_true",
+                    help="use the physical reflectIO/OI permeability")
+    ap.add_argument("--impermeable", action="store_true",
+                    help="reflectIO = reflectOI = 1")
+    ap.add_argument("--engine", default="pallas", choices=ENGINES)
+    ap.add_argument("--chunk-steps", type=int, default=2000)
+    ap.add_argument("--near-k", type=int, default=8)
+    ap.add_argument("--sprint-steps", type=int, default=20000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--scene-seed", type=int, default=0)
+    ap.add_argument("--out", default=None,
+                    help="CSV path (default: reference-style filename)")
+    ap.add_argument("--quadrature", action="store_true",
+                    help="also emit the sum-sin column")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="sprints between checkpoints")
+    ap.add_argument("--resume", default=None)
+    args = ap.parse_args(argv)
+
+    params = Params(
+        num_water=args.num_water, num_cells=args.num_cells,
+        totaltime=args.totaltime, taucp=args.taucp, mmoment=args.mmoment,
+        cell_r=args.cell_r, kick_mode=args.kick_mode,
+        chunk_steps=args.chunk_steps, near_k=args.near_k,
+        sprint_steps=args.sprint_steps,
+    )
+    if args.permeable:
+        params = params.with_permeability()
+    if args.impermeable:
+        params = params.impermeable()
+    params.validate()
+
+    csv_path = args.out or writer_mod.default_output_path(params)
+    print(f"Starting TPU simulation...\nPrinting to: {csv_path}",
+          file=sys.stderr)
+
+    runner = SimulationRunner(params, scene_seed=args.scene_seed,
+                              seed=args.seed, engine=args.engine)
+    if args.resume:
+        runner.resume(args.resume)
+
+    _, _, _, stats = runner.run(
+        csv_path=csv_path, quadrature=args.quadrature,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every_sprints=args.checkpoint_every)
+    print(f"Simulation complete: {stats['steps']} steps in "
+          f"{stats['wall_s']:.1f}s "
+          f"({stats['walker_steps_per_s']:.3e} walker-steps/s), "
+          f"{stats['escapes']} chunk escapes", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -65,14 +65,28 @@ def build(anchor, mnp_pos, mnp_M, params: Params) -> NearField:
     to a few flops per walker-step.
     """
     k = params.near_k
+    if k > mnp_pos.shape[0]:
+        raise ValueError(
+            f"near_k={k} exceeds the number of dipoles "
+            f"({mnp_pos.shape[0]}); selection would duplicate entries and "
+            f"double-count their field")
     d = anchor[:, None, :] - mnp_pos[None, :, :]        # [W, N, 3]
     d2 = jnp.sum(d * d, axis=-1)                        # [W, N]
 
-    # K nearest dipoles per walker (negated distances for top_k).
-    _, idx = jax.lax.top_k(-d2, k)                      # [W, K]
-    near_pos = jnp.take_along_axis(
-        jnp.broadcast_to(mnp_pos[None], (anchor.shape[0],) + mnp_pos.shape),
-        idx[..., None], axis=1)                         # [W, K, 3]
+    # K nearest dipoles per walker via K argmin passes.  (jax.lax.top_k on
+    # [W, N] takes minutes to compile for TPU and milliseconds to run;
+    # eight masked argmins compile instantly and run faster.)
+    w = anchor.shape[0]
+    n = mnp_pos.shape[0]
+    col = jnp.arange(n, dtype=jnp.int32)[None, :]
+    remaining = d2
+    idx_list = []
+    for _ in range(k):
+        j = jnp.argmin(remaining, axis=1).astype(jnp.int32)  # [W]
+        idx_list.append(j)
+        remaining = jnp.where(col == j[:, None], jnp.inf, remaining)
+    idx = jnp.stack(idx_list, axis=1)                   # [W, K]
+    near_pos = mnp_pos[idx]                             # [W, K, 3]
     near_M = mnp_M[idx]                                 # [W, K]
 
     # Far field = masked sum over all dipoles NOT in the near list.  We must
@@ -81,10 +95,8 @@ def build(anchor, mnp_pos, mnp_M, params: Params) -> NearField:
     # scale and their cancellation would wipe out the ~µT far field in f32.
     # Instead each contribution is weighted by an exclusion mask built from
     # the top-k indices.
-    w = anchor.shape[0]
-    is_far = jnp.ones((w, mnp_pos.shape[0]), anchor.dtype)
-    is_far = is_far.at[jnp.arange(w)[:, None], idx].set(0.0)
-    far = is_far > 0
+    far = jnp.isfinite(remaining)  # exactly the non-selected dipoles
+    is_far = far.astype(anchor.dtype)
     # guard the closed forms against r -> 0 at excluded dipoles: give them
     # a dummy displacement (their weight is 0, but inf * 0 = nan).
     dx = jnp.where(far, d[..., 0], 1.0)

@@ -1,0 +1,72 @@
+"""Checkpoint / resume for walker state.
+
+The reference has no checkpointing at all — all state lives on the GPU for
+the entire 14-minute run and a crash loses everything (SURVEY §5).
+Counter-based RNG makes snapshots trivial here: the complete resumable
+state is (positions, in_cell, phase, phase compensation, step counter,
+escape counter) plus the seed — the RNG needs no state because the step
+counter IS its state.
+
+Format: a single .npz with a params fingerprint so mismatched resumes fail
+loudly instead of silently simulating a different experiment.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.reference_engine import WalkerState
+from ..params import Params
+
+FORMAT_VERSION = 1
+
+
+def params_fingerprint(params: Params) -> str:
+    payload = json.dumps(dataclasses.asdict(params), sort_keys=True)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def save_checkpoint(path: str, state: WalkerState, params: Params,
+                    seed: int, scene_seed: int) -> None:
+    np.savez_compressed(
+        path,
+        version=FORMAT_VERSION,
+        pos=np.asarray(state.pos),
+        in_cell=np.asarray(state.in_cell),
+        phase=np.asarray(state.phase),
+        phase_comp=np.asarray(state.phase_comp),
+        step=np.asarray(state.step),
+        escapes=np.asarray(state.escapes),
+        seed=seed,
+        scene_seed=scene_seed,
+        params_fp=params_fingerprint(params),
+    )
+
+
+def load_checkpoint(path: str, params: Params,
+                    dtype=jnp.float32) -> Tuple[WalkerState, int, int]:
+    """Returns (state, seed, scene_seed); raises on params mismatch."""
+    z = np.load(path)
+    if int(z["version"]) != FORMAT_VERSION:
+        raise ValueError(f"unknown checkpoint version {z['version']}")
+    fp = str(z["params_fp"])
+    want = params_fingerprint(params)
+    if fp != want:
+        raise ValueError(
+            f"checkpoint was written with different parameters "
+            f"(fingerprint {fp} != {want}); refusing to resume")
+    state = WalkerState(
+        pos=jnp.asarray(z["pos"], dtype),
+        in_cell=jnp.asarray(z["in_cell"], bool),
+        phase=jnp.asarray(z["phase"], dtype),
+        phase_comp=jnp.asarray(z["phase_comp"], dtype),
+        step=jnp.uint32(z["step"]),
+        escapes=jnp.int32(z["escapes"]),
+    )
+    return state, int(z["seed"]), int(z["scene_seed"])

@@ -1,0 +1,75 @@
+"""Streaming CSV output of the T2 decay curve.
+
+Reference-compatible data product: one row per output window,
+``time_ms,sum_cos_phi`` (cuda_sim.cu:1022 ``fout << time*tau << "," <<
+target``), 40000 rows for the default 40 ms run, with the
+parameter-encoding filename convention of T2_GPU_sim.cu:28-49.  An
+optional third column adds the quadrature component (sum sin phi), which
+the reference never emitted (SURVEY §7 quirk 8).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import IO, Optional
+
+import numpy as np
+
+from ..params import Params
+
+
+class T2CsvWriter:
+    """Append-streaming writer; flushes per sprint like the reference
+    flushed per window (``endl``), so a crash loses at most one sprint."""
+
+    def __init__(self, path: str, params: Params, quadrature: bool = False):
+        self.path = path
+        self.params = params
+        self.quadrature = quadrature
+        self._f: Optional[IO[str]] = None
+        self._rows = 0
+
+    def __enter__(self):
+        self._f = open(self.path, "w")
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def append_windows(self, first_window_index: int,
+                       wins: np.ndarray) -> None:
+        """wins: [n, 2] (sum cos, sum sin) for windows starting at
+        ``first_window_index`` (0-based)."""
+        assert self._f is not None, "writer not opened"
+        pfreq, tau = self.params.pfreq, self.params.tau
+        lines = []
+        for i, (c, s) in enumerate(np.asarray(wins)):
+            t_ms = (first_window_index + i + 1) * pfreq * tau
+            if self.quadrature:
+                lines.append(f"{t_ms:.17g},{c:.17g},{s:.17g}\n")
+            else:
+                lines.append(f"{t_ms:.17g},{c:.17g}\n")
+        self._f.write("".join(lines))
+        self._f.flush()
+        self._rows += len(lines)
+
+    @property
+    def rows_written(self) -> int:
+        return self._rows
+
+    def close(self):
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+
+def default_output_path(params: Params, out_dir: str = ".") -> str:
+    return os.path.join(out_dir, params.output_filename(int(time.time())))
+
+
+def read_t2_csv(path: str):
+    """Load a T2 CSV (ours or the reference's) -> (times_ms, sum_cos[,
+    sum_sin])."""
+    data = np.loadtxt(path, delimiter=",", ndmin=2)
+    return tuple(data[:, i] for i in range(data.shape[1]))

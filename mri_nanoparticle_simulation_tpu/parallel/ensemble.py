@@ -1,0 +1,114 @@
+"""Multi-trial ensembles and parameter sweeps.
+
+The reference achieved "multitrial" runs by resubmitting PBS jobs with a
+timestamped filename (T2_GPU_sim.cu:45, GPU_Test.sub) — T2 curves were
+then averaged offline.  Here an ensemble is a first-class device
+computation: T independent trials (each its own scene and RNG streams)
+run as a vmapped sprint over a 2D ``(trials, walkers)`` mesh — trials
+spread over chips, walkers vectorized (or further sharded) within each
+trial, magnetization psum'd per trial.
+
+Scenes differ per trial (different random cell configurations and/or a
+swept ``mmoment``), so per-trial MNP arrays are padded to a common length
+with far-away zero-moment dipoles that can never be selected into a near
+list (they sit 1e6 µm outside the box) and contribute zero field.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import rng
+from ..engine import reference_engine
+from ..params import Params
+from ..scene import BacteriaBox
+
+TRIAL_AXIS = "trials"
+
+
+def build_trial_scenes(params: Params, n_trials: int, base_seed: int = 0,
+                       mmoments: Optional[Sequence[float]] = None):
+    """Build T scenes -> stacked (mnp_pos [T,N,3], mnp_M [T,N],
+    waters [T,W,3]).  ``mmoments`` (len T) sweeps the per-cell moment."""
+    scenes = [BacteriaBox(params, seed=base_seed + i).populate()
+              for i in range(n_trials)]
+    n_max = max(s.mnps.shape[0] for s in scenes)
+    pos = np.full((n_trials, n_max, 3), 1e6)
+    mom = np.zeros((n_trials, n_max))
+    waters = np.zeros((n_trials, params.num_water, 3))
+    for i, s in enumerate(scenes):
+        n = s.mnps.shape[0]
+        pos[i, :n] = s.mnps[:, :3]
+        mom[i, :n] = s.mnps[:, 4]
+        if mmoments is not None:
+            mom[i, :n] *= mmoments[i] / params.mmoment
+        waters[i] = s.waters
+    return pos, mom, waters, scenes
+
+
+def make_ensemble_sprint_fn(params: Params, mesh: Mesh, dtype=jnp.float32):
+    """vmapped-over-trials sprint, trials sharded over the mesh.
+
+    sprint(mnp_pos [T,N,3], mnp_M [T,N], keys [T,2], states (leading T))
+        -> (states, wins [T, n_windows, 2])
+    """
+    local = reference_engine.make_sprint_fn(params, dtype)
+    vm = jax.vmap(lambda mp, mm, k, st: local(mp, mm, k, st, 0))
+
+    tspec = P(TRIAL_AXIS)
+    state_spec = reference_engine.WalkerState(
+        pos=tspec, in_cell=tspec, phase=tspec, phase_comp=tspec,
+        step=tspec, escapes=tspec)
+    sharded = jax.shard_map(
+        vm, mesh=mesh,
+        in_specs=(tspec, tspec, tspec, state_spec),
+        out_specs=(state_spec, tspec), check_vma=False)
+    return jax.jit(sharded)
+
+
+def run_ensemble(params: Params, n_trials: int,
+                 mesh: Optional[Mesh] = None, base_seed: int = 0,
+                 run_seed: int = 1000,
+                 mmoments: Optional[Sequence[float]] = None,
+                 dtype=jnp.float32, max_steps: Optional[int] = None):
+    """Run T independent trials; returns (times_ms, sum_cos [T, n],
+    sum_sin [T, n]).  Average over axis 0 for the ensemble curve."""
+    if mesh is None:
+        devs = jax.devices()
+        if n_trials % len(devs) == 0:
+            mesh = Mesh(np.asarray(devs), (TRIAL_AXIS,))
+        else:
+            mesh = Mesh(np.asarray(devs[:1]), (TRIAL_AXIS,))
+    params.validate()
+    mnp_pos, mnp_M, waters, _ = build_trial_scenes(
+        params, n_trials, base_seed, mmoments)
+
+    keys = []
+    for i in range(n_trials):
+        k = rng.key_from_seed(run_seed + i)
+        keys.append([np.uint32(k[0]), np.uint32(k[1])])
+    keys = jnp.asarray(keys)
+
+    states = [reference_engine.init_state(waters[i], params, dtype)
+              for i in range(n_trials)]
+    state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    sprint = make_ensemble_sprint_fn(params, mesh, dtype)
+    mnp_pos = jnp.asarray(mnp_pos, dtype)
+    mnp_M = jnp.asarray(mnp_M, dtype)
+
+    total = params.t if max_steps is None else min(params.t, max_steps)
+    outs = []
+    for _ in range(total // params.sprint_steps):
+        state, wins = sprint(mnp_pos, mnp_M, keys, state)
+        outs.append(wins)
+    wins = jnp.concatenate(outs, axis=1) if outs \
+        else jnp.zeros((n_trials, 0, 2), dtype)
+    n = wins.shape[1]
+    times = (np.arange(1, n + 1) * params.pfreq) * params.tau
+    return times, np.asarray(wins[..., 0]), np.asarray(wins[..., 1]), state

@@ -119,7 +119,11 @@ def uniform_from_bits(bits: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     24-bit resolution is far below every physical scale here: positions move
     ~2.3e-3 µm/step, so quantizing the direction at 2^-24 is ~1e-10 µm.)
     """
-    return (bits >> jnp.uint32(8)).astype(dtype) * dtype(2.0 ** -24)
+    shifted = bits >> jnp.uint32(8)
+    # view the (now < 2^24, hence sign-safe) word as int32 before the float
+    # conversion: Mosaic has no uint32->float cast, int32->float is native
+    as_int = jax.lax.bitcast_convert_type(shifted, jnp.int32)
+    return as_int.astype(dtype) * (2.0 ** -24)
 
 
 def normal_from_bits(bits_a: jnp.ndarray, bits_b: jnp.ndarray,

@@ -11,8 +11,11 @@ hence the top-of-file manipulation.
 
 import os
 
-if os.environ.get("MRI_TPU_TESTS", "0") != "1":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_USE_TPU = os.environ.get("MRI_TPU_TESTS", "0") == "1"
+if not _USE_TPU:
+    # The axon TPU plugin presets JAX_PLATFORMS=axon and ignores an env
+    # override, so force the platform through the config API instead.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -20,6 +23,9 @@ if os.environ.get("MRI_TPU_TESTS", "0") != "1":
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
+
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 
 def pytest_configure(config):

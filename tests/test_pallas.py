@@ -1,0 +1,111 @@
+"""Pallas engine cross-validation against the scan engine.
+
+Run in interpreter mode on CPU with the shared Threefry streams: the two
+engines consume identical random numbers and execute the same arithmetic,
+so trajectories agree to within compiler-level FMA/association differences
+(a few ULPs over thousands of steps) — the strongest practical equivalence
+for a rewritten kernel.  The real-TPU
+equivalents are exercised by bench.py and the tpu-marked test."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mri_nanoparticle_simulation_tpu import params as P
+from mri_nanoparticle_simulation_tpu.engine import pallas_engine as pe
+from mri_nanoparticle_simulation_tpu.engine import reference_engine as re
+from mri_nanoparticle_simulation_tpu.scene import BacteriaBox
+
+
+def both(p, seed_scene=3, seed=1):
+    sc = BacteriaBox(p, seed=seed_scene).populate()
+    r = re.run_simulation(sc, p, seed=seed, dtype=jnp.float32)
+    q = pe.run_simulation(sc, p, seed=seed, dtype=jnp.float32,
+                          interpret=True)
+    return r, q
+
+
+class TestEngineEquivalence:
+    def test_chunk_equals_pfreq(self):
+        p = P.small_test_params(chunk_steps=100, print_interval=0.0001,
+                                num_water=64, totaltime=0.001,
+                                sprint_steps=500)
+        (_, c1, s1, st1), (_, c2, s2, st2) = both(p)
+        np.testing.assert_allclose(np.asarray(st1.pos),
+                                   np.asarray(st2.pos), atol=5e-6)
+        np.testing.assert_allclose(c1, c2, atol=1e-3)
+
+    def test_chunk_spans_windows(self):
+        """chunk = 2 x pfreq: the production regime (chunk-major scan vs
+        multi-window kernel)."""
+        p = P.small_test_params(chunk_steps=200, print_interval=0.0001,
+                                num_water=64, totaltime=0.0008,
+                                sprint_steps=400)
+        (_, c1, s1, st1), (_, c2, s2, st2) = both(p)
+        np.testing.assert_allclose(np.asarray(st1.pos),
+                                   np.asarray(st2.pos), atol=5e-6)
+        np.testing.assert_allclose(c1, c2, atol=1e-3)
+        assert int(st1.step) == int(st2.step) == p.t
+
+    def test_with_reflection(self):
+        p = P.small_test_params(chunk_steps=100, print_interval=0.0001,
+                                num_water=32, totaltime=0.0004,
+                                sprint_steps=400, water_start_bound=7.9,
+                                avoid_intracellular_throw=False,
+                                ).with_permeability()
+        (_, c1, _, st1), (_, c2, _, st2) = both(p)
+        np.testing.assert_allclose(np.asarray(st1.pos),
+                                   np.asarray(st2.pos), atol=5e-6)
+        np.testing.assert_allclose(c1, c2, atol=1e-3)
+
+    def test_intended_kick(self):
+        p = P.small_test_params(chunk_steps=100, print_interval=0.0001,
+                                num_water=32, totaltime=0.0004,
+                                sprint_steps=400, water_start_bound=7.9,
+                                avoid_intracellular_throw=False,
+                                kick_mode=P.KICK_INTENDED)
+        (_, c1, _, st1), (_, c2, _, st2) = both(p)
+        np.testing.assert_array_equal(np.asarray(st1.pos),
+                                      np.asarray(st2.pos))
+        np.testing.assert_allclose(c1, c2, atol=1e-3)
+
+    def test_nonmultiple_walker_padding(self):
+        """num_water not a multiple of 128: dummy lanes must not leak into
+        the magnetization."""
+        p = P.small_test_params(chunk_steps=100, print_interval=0.0001,
+                                num_water=50, totaltime=0.0002,
+                                sprint_steps=200)
+        (_, c1, _, st1), (_, c2, _, st2) = both(p)
+        np.testing.assert_allclose(np.asarray(st1.pos),
+                                   np.asarray(st2.pos), atol=5e-6)
+        np.testing.assert_allclose(c1, c2, atol=1e-3)
+        assert abs(c2[0]) <= 50.0 + 1e-6
+
+
+class TestPlaneRoundtrip:
+    def test_to_from_planes(self):
+        p = P.small_test_params(num_water=50)
+        sc = BacteriaBox(p, seed=1).populate()
+        st = re.init_state(sc.waters, p)
+        ps = pe.to_planes(st, p)
+        st2 = pe.from_planes(ps, 50)
+        np.testing.assert_array_equal(np.asarray(st.pos),
+                                      np.asarray(st2.pos))
+        np.testing.assert_array_equal(np.asarray(st.in_cell),
+                                      np.asarray(st2.in_cell))
+
+
+@pytest.mark.tpu
+class TestOnHardware:
+    def test_compiled_kernel_matches_scan(self):
+        """Mosaic-compiled kernel vs scan engine on the real chip."""
+        p = P.small_test_params(chunk_steps=100, print_interval=0.0001,
+                                num_water=64, totaltime=0.0005,
+                                sprint_steps=500)
+        sc = BacteriaBox(p, seed=3).populate()
+        _, c1, _, st1 = re.run_simulation(sc, p, seed=1, dtype=jnp.float32)
+        _, c2, _, st2 = pe.run_simulation(sc, p, seed=1, dtype=jnp.float32,
+                                          interpret=False)
+        np.testing.assert_allclose(np.asarray(st1.pos),
+                                   np.asarray(st2.pos), atol=1e-4)
+        np.testing.assert_allclose(c1, c2, atol=0.05)

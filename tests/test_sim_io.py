@@ -1,0 +1,97 @@
+"""Orchestrator, CSV streaming, checkpoint/resume."""
+
+import numpy as np
+import pytest
+
+from mri_nanoparticle_simulation_tpu import params as P
+from mri_nanoparticle_simulation_tpu.engine.sim import SimulationRunner
+from mri_nanoparticle_simulation_tpu.io import checkpoint as ck
+from mri_nanoparticle_simulation_tpu.io import writer as wr
+
+
+@pytest.fixture(scope="module")
+def p():
+    return P.small_test_params(num_water=64, totaltime=0.002,
+                               sprint_steps=500)
+
+
+class TestRunner:
+    def test_full_run_csv(self, p, tmp_path):
+        path = str(tmp_path / "t2.csv")
+        r = SimulationRunner(p, scene_seed=1, seed=2, engine="scan")
+        times, cos, sin, stats = r.run(csv_path=path)
+        assert stats["steps"] == p.t
+        assert len(times) == p.t // p.pfreq
+        t2, c2 = wr.read_t2_csv(path)
+        np.testing.assert_allclose(t2, times, rtol=1e-12)
+        np.testing.assert_allclose(c2, cos, rtol=1e-6)
+
+    def test_quadrature_column(self, p, tmp_path):
+        path = str(tmp_path / "t2q.csv")
+        r = SimulationRunner(p, scene_seed=1, seed=2, engine="scan")
+        _, cos, sin, _ = r.run(csv_path=path, quadrature=True)
+        t2, c2, s2 = wr.read_t2_csv(path)
+        np.testing.assert_allclose(s2, sin, rtol=1e-6)
+
+    def test_resume_matches_uninterrupted(self, p, tmp_path):
+        """checkpoint at sprint 2 of 4, resume in a fresh runner -> final
+        state identical to the uninterrupted run (counter-based RNG)."""
+        ckpt = str(tmp_path / "state.npz")
+        full = SimulationRunner(p, scene_seed=3, seed=4, engine="scan")
+        _, cos_full, _, _ = full.run()
+
+        first = SimulationRunner(p, scene_seed=3, seed=4, engine="scan")
+        first.run(max_steps=2 * p.sprint_steps,
+                  checkpoint_path=ckpt)
+
+        second = SimulationRunner(p, scene_seed=3, seed=4, engine="scan")
+        second.resume(ckpt)
+        _, cos_rest, _, _ = second.run()
+
+        np.testing.assert_array_equal(np.asarray(second.state.pos),
+                                      np.asarray(full.state.pos))
+        np.testing.assert_array_equal(np.asarray(second.state.phase),
+                                      np.asarray(full.state.phase))
+        n_rest = len(cos_rest)
+        np.testing.assert_allclose(cos_full[-n_rest:], cos_rest, atol=1e-4)
+
+    def test_resume_rejects_wrong_params(self, p, tmp_path):
+        ckpt = str(tmp_path / "state2.npz")
+        r = SimulationRunner(p, scene_seed=3, seed=4, engine="scan")
+        r.run(max_steps=p.sprint_steps, checkpoint_path=ckpt)
+        p2 = p.replace(mmoment=1e-18)
+        r2 = SimulationRunner(p2, scene_seed=3, seed=4, engine="scan")
+        with pytest.raises(ValueError, match="different parameters"):
+            r2.resume(ckpt)
+
+    def test_coverage_guard(self):
+        """A dense scene with tiny K must be rejected up front."""
+        p = P.small_test_params(num_water=16, num_cells=40, bound=7.0,
+                                water_start_bound=5.0, near_k=1,
+                                chunk_steps=1000, print_interval=0.001,
+                                totaltime=0.002, sprint_steps=1000,
+                                taucp=0.001)
+        with pytest.raises(ValueError, match="near_k"):
+            SimulationRunner(p, engine="scan")
+
+
+class TestCheckpointFormat:
+    def test_roundtrip(self, p, tmp_path):
+        from mri_nanoparticle_simulation_tpu.engine.reference_engine import \
+            init_state
+        from mri_nanoparticle_simulation_tpu.scene import BacteriaBox
+        sc = BacteriaBox(p, seed=9).populate()
+        st = init_state(sc.waters, p)
+        path = str(tmp_path / "c.npz")
+        ck.save_checkpoint(path, st, p, seed=1, scene_seed=9)
+        st2, seed, scene_seed = ck.load_checkpoint(path, p)
+        assert (seed, scene_seed) == (1, 9)
+        np.testing.assert_array_equal(np.asarray(st.pos),
+                                      np.asarray(st2.pos))
+
+
+class TestFilename:
+    def test_reference_convention(self):
+        name = P.DEFAULT.output_filename(1700000000)
+        assert name == ("tau=1000ps_T-e=11largedipole_border=6um_"
+                        "impermeablemultitrial1700000000.csv")
