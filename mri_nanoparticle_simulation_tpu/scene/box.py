@@ -34,6 +34,7 @@ from ..params import Params
 from . import images as images_mod
 from . import lookup as lookup_mod
 from . import morton
+from . import native
 from .nprng import CounterRNG
 
 # Distinct Threefry streams for each independent draw sequence.
@@ -80,9 +81,13 @@ class SimulationBox:
     """Abstract scene builder; subclasses supply init_cells/init_mnps/
     init_waters (SimulationBox.h:50-93)."""
 
-    def __init__(self, params: Params, seed: int = 0):
+    def __init__(self, params: Params, seed: int = 0,
+                 prefer_native: bool = True):
         self.params = params.validate()
         self.seed = seed
+        #: use the C++ scene builder when available (bit-identical to the
+        #: NumPy path; matters for thousands of cells / 100k+ waters)
+        self.use_native = prefer_native and native.available()
         self._scene: Optional[Scene] = None
 
     # -- template method ----------------------------------------------------
@@ -93,7 +98,11 @@ class SimulationBox:
         cells = self.init_cells()
         mnps = self.init_mnps(cells)
         num_intra = len(mnps)
-        lookup = lookup_mod.build_lookup_table(cells, p)
+        if self.use_native:
+            lookup = native.build_lookup(cells, p.hash_dim, p.bound,
+                                         p.cell_r, p.max_neighbors)
+        else:
+            lookup = lookup_mod.build_lookup_table(cells, p)
         waters = self.init_waters(cells)
         mnps = images_mod.apply_bcs_on_mnps(mnps, p)
         waters = self.sort_waters(waters)
@@ -151,6 +160,9 @@ class BacteriaBox(SimulationBox):
         """Rejection-throw cell centers in [cell_r, bound - cell_r]^3 with
         pairwise separation >= 2*cell_r (BacteriaBox.cpp:49-72)."""
         p = self.params
+        if self.use_native:
+            return native.build_cells(self.seed, _STREAM_CELLS,
+                                      p.num_cells, p.cell_r, p.bound)
         gen = CounterRNG(self.seed, _STREAM_CELLS)
         lo, span = p.cell_r, p.bound - 2 * p.cell_r
         cells = np.empty((p.num_cells, 3))
@@ -179,6 +191,10 @@ class BacteriaBox(SimulationBox):
         sub-cube, rejecting intracellular throws when configured
         (BacteriaBox.cpp:80-105, AVOID_INTRACELLULAR_THROW)."""
         p = self.params
+        if self.use_native:
+            return native.build_waters(
+                self.seed, _STREAM_WATERS, p.num_water, cells, p.cell_r,
+                p.bound, p.water_start_bound, p.avoid_intracellular_throw)
         gen = CounterRNG(self.seed, _STREAM_WATERS)
         offset = (p.bound - p.water_start_bound) / 2.0
         waters = np.empty((p.num_water, 3))
