@@ -186,9 +186,8 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
 
         def eval_field(x, y, z):
             """Masked K-near sum + far Taylor (expansion.evaluate, fused on
-            planes).  Returns (B, in_cell_mask, max over K of -d2...)."""
+            planes).  Returns (B, in_cell_mask)."""
             b_near = jnp.zeros_like(x)
-            inside = jnp.zeros_like(x)
             min_d2 = jnp.full_like(x, 1e9)
             for j in range(k):
                 dx = x - nx[j]
@@ -200,12 +199,14 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                 rs = jax.lax.rsqrt(jnp.maximum(d2, 1e-12))
                 rs2 = rs * rs
                 inv_r5 = rs2 * rs2 * rs
+                # 2dz^2 - dx^2 - dy^2 == 3dz^2 - d2 (one op cheaper)
                 contrib = nM[j] * field_scale * \
-                    (2.0 * dz * dz - dx * dx - dy * dy) * inv_r5
-                outside = (d2 > cell_r2).astype(dtype)
-                b_near = b_near + contrib * outside
-                inside = jnp.maximum(inside, 1.0 - outside)
+                    (3.0 * dz * dz - d2) * inv_r5
+                b_near = b_near + jnp.where(d2 > cell_r2, contrib, 0.0)
                 min_d2 = jnp.minimum(min_d2, d2)
+            # one containment decision from the running min instead of a
+            # per-k mask chain
+            inside = jnp.where(min_d2 < cell_r2, 1.0, 0.0).astype(dtype)
             ex = x - anchor_x
             ey = y - anchor_y
             ez = z - anchor_z
@@ -213,7 +214,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                      + 0.5 * (thxx * ex * ex + thyy * ey * ey
                               + thzz * ez * ez)
                      + thxy * ex * ey + thxz * ex * ez + thyz * ey * ez)
-            return b_near + b_far, inside, min_d2
+            return b_near + b_far, inside
 
         def step_body(i, carry):
             (x, y, z, incell, bprev, acc, maxd2, win_step0) = carry
@@ -246,7 +247,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
             y2 = y + dy * mag
             z2 = z + dz * mag
 
-            b, in_new, _ = eval_field(x2, y2, z2)
+            b, in_new = eval_field(x2, y2, z2)
 
             if use_reflection:
                 u_coin = rng.uniform_from_bits(words[5], dtype)
@@ -277,7 +278,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
 
         # chunk-start state
         x, y, z = px[:], py[:], pz[:]
-        b_start, in_start, _ = eval_field(x, y, z)
+        b_start, in_start = eval_field(x, y, z)
         phase = phase0[:]
         comp = comp0[:]
         maxd2 = jnp.zeros_like(x)

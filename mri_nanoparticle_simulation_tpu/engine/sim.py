@@ -36,6 +36,21 @@ from . import pallas_engine, reference_engine
 ENGINES = ("pallas", "scan")
 
 
+def fit_sprint_steps(params: Params, requested: int) -> int:
+    """Largest sprint size <= requested that divides the total step count
+    and is a multiple of both pfreq and chunk_steps.  Bigger sprints mean
+    fewer host dispatches (each costs a tunnel round trip); the value has
+    no effect on physics or output cadence."""
+    unit = params.chunk_steps if params.chunk_steps >= params.pfreq \
+        else params.pfreq
+    best = unit
+    for mult in range(1, requested // unit + 1):
+        cand = unit * mult
+        if params.t % cand == 0:
+            best = cand
+    return best
+
+
 class SimulationRunner:
     """Owns the scene, the compiled sprint function, and walker state."""
 
@@ -135,15 +150,18 @@ class SimulationRunner:
         t0 = time.perf_counter()
         pending = []          # dispatched sprints not yet written out
         all_wins = []
+        # Drain in deep batches: every host read of device data pays a full
+        # dispatch round trip (~25 ms through the axon tunnel), so syncing
+        # per sprint would dominate the run.  A 32-sprint pipeline amortizes
+        # it to <1 ms/sprint while the device runs ahead asynchronously.
+        depth = 32
         try:
             for i in range(n_sprints):
                 wins = self._run_sprint()
                 pending.append((start_step // p.pfreq + i * win_per_sprint,
                                 wins))
-                # keep one sprint in flight: write the previous sprint's
-                # windows while the device runs the current one
-                if len(pending) > 1:
-                    self._drain(pending.pop(0), writer, all_wins)
+                if len(pending) >= depth:
+                    self._drain_batch(pending, writer, all_wins)
                 if checkpoint_path and checkpoint_every_sprints and \
                         (i + 1) % checkpoint_every_sprints == 0:
                     self._sync_state()
@@ -154,8 +172,7 @@ class SimulationRunner:
                     rate = done * p.num_water / (time.perf_counter() - t0)
                     print(f"  sprint {i + 1}/{n_sprints} "
                           f"({rate:.2e} walker-steps/s)", file=sys.stderr)
-            while pending:
-                self._drain(pending.pop(0), writer, all_wins)
+            self._drain_batch(pending, writer, all_wins)
         finally:
             if writer is not None:
                 writer.close()
@@ -180,9 +197,16 @@ class SimulationRunner:
         return times, wins[:, 0], wins[:, 1], stats
 
     @staticmethod
-    def _drain(item, writer, all_wins):
-        first_idx, wins = item
-        wins = np.asarray(wins)
+    def _drain_batch(pending, writer, all_wins):
+        """Fetch all pending sprints' window sums in ONE device->host
+        transfer (each np.asarray pays a full dispatch round trip, so
+        fetching sprint by sprint would cost more than the physics)."""
+        if not pending:
+            return
+        import jax.numpy as jnp
+        first_idx = pending[0][0]
+        wins = np.asarray(jnp.concatenate([w for _, w in pending], axis=0))
+        pending.clear()
         all_wins.append(wins)
         if writer is not None:
             writer.append_windows(first_idx, wins)
@@ -208,7 +232,9 @@ def main(argv=None):
     ap.add_argument("--engine", default="pallas", choices=ENGINES)
     ap.add_argument("--chunk-steps", type=int, default=2000)
     ap.add_argument("--near-k", type=int, default=8)
-    ap.add_argument("--sprint-steps", type=int, default=20000)
+    ap.add_argument("--sprint-steps", type=int, default=100000,
+                    help="steps per host dispatch batch (auto-shrunk to "
+                         "divide the total step count)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--scene-seed", type=int, default=0)
     ap.add_argument("--out", default=None,
@@ -228,6 +254,8 @@ def main(argv=None):
         chunk_steps=args.chunk_steps, near_k=args.near_k,
         sprint_steps=args.sprint_steps,
     )
+    params = params.replace(
+        sprint_steps=fit_sprint_steps(params, args.sprint_steps))
     if args.permeable:
         params = params.with_permeability()
     if args.impermeable:
