@@ -31,7 +31,9 @@ def main():
     from mri_nanoparticle_simulation_tpu.scene import BacteriaBox
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
-    p = Params(chunk_steps=2000, near_k=8, sprint_steps=100000).validate()
+    # sprint_steps=20000 compiles in seconds (larger host batches hit a
+    # pathological multi-minute XLA compile; see PLAN.md)
+    p = Params(chunk_steps=2000, near_k=8, sprint_steps=20000).validate()
     sc = BacteriaBox(p, seed=42).populate()
     mnp_pos = jnp.asarray(sc.mnps[:, :3], jnp.float32)
     mnp_M = jnp.asarray(sc.mnps[:, 4], jnp.float32)
@@ -44,7 +46,7 @@ def main():
             p, p.num_water, jnp.float32,
             rng_impl=pallas_engine.RNG_HARDWARE)
         ps = pallas_engine.to_planes(state, p)
-        n_sprints = 20
+        n_sprints = 100
     else:  # CPU fallback so the bench still runs anywhere
         sprint = reference_engine.make_sprint_fn(
             p.replace(chunk_steps=1000), jnp.float32)
