@@ -49,6 +49,12 @@ from ..params import DIRECTION_CUBE, KICK_INTENDED, Params
 from .reference_engine import WalkerState, intracellular_kick
 
 LANES = 128
+#: sublane rows per walker block: 32 x 128 = 4096 walkers per grid step.
+#: One block's working set (state + K near slabs + Taylor planes) is
+#: ~1.5 MB of VMEM, so arbitrarily large walker populations stream through
+#: the kernel block by block (Mosaic double-buffers the next block's DMA
+#: behind the current block's compute).
+BLOCK_ROWS = 32
 
 RNG_THREEFRY = "threefry"
 RNG_HARDWARE = "hardware"
@@ -67,7 +73,13 @@ class PlaneState(NamedTuple):
 
 
 def pad_count(num_water: int) -> int:
-    return -(-num_water // LANES) * LANES
+    """Pad to full VPU planes; populations beyond one block pad to a
+    whole number of blocks so the kernel grid divides evenly."""
+    wp = -(-num_water // LANES) * LANES
+    if wp > BLOCK_ROWS * LANES:
+        blk = BLOCK_ROWS * LANES
+        wp = -(-wp // blk) * blk
+    return wp
 
 
 def to_planes(state: WalkerState, params: Params) -> PlaneState:
@@ -165,7 +177,11 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         step0 = scalars[0]
         key01 = (scalars[1], scalars[2])
         if rng_impl == RNG_HARDWARE:
-            pltpu.prng_seed(scalars[3])
+            # distinct hardware-PRNG stream per walker block — seeding all
+            # blocks identically would give them identical random sequences
+            pltpu.prng_seed(scalars[3]
+                            + jnp.uint32(pl.program_id(0))
+                            * jnp.uint32(2654435761))
 
         lane_v = lane[:]
         valid_v = valid[:]
@@ -297,8 +313,8 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
             kt = phase + ky
             comp = (kt - phase) - ky
             phase = kt
-            o_wins[w_idx, 0] = jnp.sum(jnp.cos(phase) * valid_v)
-            o_wins[w_idx, 1] = jnp.sum(jnp.sin(phase) * valid_v)
+            o_wins[0, w_idx, 0] = jnp.sum(jnp.cos(phase) * valid_v)
+            o_wins[0, w_idx, 1] = jnp.sum(jnp.sin(phase) * valid_v)
 
             # Carr-Purcell flip after emission (cuda_sim.cu:1015-1020)
             end_step = win_step0 + jnp.uint32(params.pfreq)
@@ -316,23 +332,32 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         o_blast[:] = bprev
         o_maxd2[:] = maxd2
 
+    r_blk = min(r_planes, BLOCK_ROWS)
+    if r_planes % r_blk != 0:
+        raise ValueError(f"r_planes ({r_planes}) must be a multiple of the "
+                         f"block rows ({r_blk}); pad_count guarantees this")
+    n_blocks = r_planes // r_blk
+
     plane = jax.ShapeDtypeStruct((r_planes, LANES), dtype)
-    kslab = jax.ShapeDtypeStruct((k, r_planes, LANES), dtype)
-    u32plane = jax.ShapeDtypeStruct((r_planes, LANES), jnp.uint32)
+    pspec = pl.BlockSpec((r_blk, LANES), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((k, r_blk, LANES), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((4,), lambda b: (0,), memory_space=pltpu.SMEM)
+    wspec = pl.BlockSpec((1, n_win, 2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM)
 
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
-
-    n_inputs = 3 + 6 + 4 + 10 + 3
     call = pl.pallas_call(
         kernel,
+        grid=(n_blocks,),
         out_shape=(
             plane, plane, plane, plane, plane, plane,  # px..comp
             plane, plane,                               # b_last, max_d2
-            jax.ShapeDtypeStruct((n_win, 2), dtype),    # window sums
+            # per-block window sums; summed over blocks by the caller
+            jax.ShapeDtypeStruct((n_blocks, n_win, 2), dtype),
         ),
-        in_specs=[sspec] + [vspec] * (n_inputs - 1),
-        out_specs=tuple([vspec] * 8 + [sspec]),
+        in_specs=[sspec] + [pspec] * 8 + [kspec] * 4 + [pspec] * 13,
+        out_specs=tuple([pspec] * 8 + [wspec]),
         interpret=interpret,
     )
     return call
@@ -391,7 +416,8 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                 [step0, key_arr[0], key_arr[1],
                  step0 ^ (key_arr[1] * jnp.uint32(2654435761))],
                 jnp.uint32)
-            (opx, opy, opz, oic, oph, ocmp, _oblast, omaxd2, wins) = kern(
+            (opx, opy, opz, oic, oph, ocmp, _oblast, omaxd2,
+             block_wins) = kern(
                 scalars, lane, valid,
                 px, py, pz, ps.in_cell, ps.phase, ps.phase_comp,
                 slab(nf.near_pos[..., 0]), slab(nf.near_pos[..., 1]),
@@ -403,6 +429,7 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                 pl_(nf.hess[..., 2]), pl_(nf.hess[..., 3]),
                 pl_(nf.hess[..., 4]), pl_(nf.hess[..., 5]),
                 px, py, pz)
+            wins = jnp.sum(block_wins, axis=0)
             escapes = escapes + jnp.sum(
                 (omaxd2 * valid) > travel2, dtype=jnp.int32)
             new_ps = PlaneState(px=opx, py=opy, pz=opz, in_cell=oic,

@@ -109,3 +109,22 @@ class TestOnHardware:
         np.testing.assert_allclose(np.asarray(st1.pos),
                                    np.asarray(st2.pos), atol=1e-4)
         np.testing.assert_allclose(c1, c2, atol=0.05)
+
+
+class TestMultiBlock:
+    def test_two_block_grid_matches_scan(self):
+        """num_water > one 4096-walker block: the kernel runs a 2-step
+        grid; physics must match the scan engine exactly (per-block RNG
+        seeding and valid-mask handling are the risks)."""
+        p = P.small_test_params(chunk_steps=100, print_interval=0.0001,
+                                num_water=4200, num_cells=12,
+                                totaltime=0.0002, sprint_steps=200,
+                                taucp=0.0001)
+        sc = BacteriaBox(p, seed=3).populate()
+        _, c1, _, st1 = re.run_simulation(sc, p, seed=1, dtype=jnp.float32)
+        _, c2, _, st2 = pe.run_simulation(sc, p, seed=1, dtype=jnp.float32,
+                                          interpret=True)
+        assert pe.pad_count(4200) == 8192  # really 2 blocks
+        np.testing.assert_allclose(np.asarray(st1.pos),
+                                   np.asarray(st2.pos), atol=5e-6)
+        np.testing.assert_allclose(c1, c2, atol=1e-2)
