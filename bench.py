@@ -23,6 +23,9 @@ K40_BASELINE = 1.9e8  # walker-steps/s (BASELINE.md, derived README.md:16)
 
 def main():
     import jax
+    from mri_nanoparticle_simulation_tpu.utils.cache import \
+        enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
     from mri_nanoparticle_simulation_tpu import rng
     from mri_nanoparticle_simulation_tpu.engine import (pallas_engine,

@@ -52,8 +52,9 @@ import numpy as np
 
 from .. import rng
 from ..fields import expansion
-from ..params import (DIRECTION_CUBE, KICK_AS_WRITTEN, KICK_CONSTANT,
-                      KICK_INTENDED, KICK_NONE, Params)
+from ..fields import dipole
+from ..params import (DIRECTION_CUBE, FIELD_EXACT, KICK_AS_WRITTEN,
+                      KICK_CONSTANT, KICK_INTENDED, KICK_NONE, Params)
 
 
 class WalkerState(NamedTuple):
@@ -139,6 +140,21 @@ def make_sprint_fn(params: Params, dtype=jnp.float32):
     phase_per_tesla = dtype(params.phase_per_tesla)
     bound = dtype(params.bound)
 
+    exact_mode = params.field_mode == FIELD_EXACT
+
+    def field_at(nf, pos, mnp_pos, mnp_M):
+        """Field + residency: expansion (production) or brute-force exact
+        (the reference's EXPLICIT mode, octree.cpp:395-396)."""
+        if not exact_mode:
+            b, in_c, _ = expansion.evaluate(nf, pos, cell_r)
+            return b, in_c
+        d = pos[:, None, :] - mnp_pos
+        d2 = jnp.sum(d * d, axis=-1)
+        b = dipole.total_field_masked(pos, mnp_pos, mnp_M, cell_r)
+        return b, jnp.any(d2 < cell_r * cell_r, axis=-1)
+
+    mnp_pos_ref = [None, None]  # set by each sprint call before tracing
+
     def step_fn(key, nf, lane, carry, step_idx):
         """One timestep for all walkers (simulateDiffusion body,
         cuda_sim.cu:708-732, fused with the phase kick)."""
@@ -175,7 +191,7 @@ def make_sprint_fn(params: Params, dtype=jnp.float32):
         mag = nrm * jnp.where(in_cell, in_stdev, out_stdev) * inv_norm
         new_pos = pos + jnp.stack([dx * mag, dy * mag, dz * mag], axis=-1)
 
-        b, in_new, _ = expansion.evaluate(nf, new_pos, cell_r)
+        b, in_new = field_at(nf, new_pos, mnp_pos_ref[0], mnp_pos_ref[1])
 
         if use_reflection:
             # cell_reflect (cuda_sim.cu:502-509): a membrane crossing
@@ -200,6 +216,7 @@ def make_sprint_fn(params: Params, dtype=jnp.float32):
         return (new_pos, in_new, b, acc, max_d2)
 
     def sprint(mnp_pos, mnp_M, key_arr, state: WalkerState, lane_offset):
+        mnp_pos_ref[0], mnp_pos_ref[1] = mnp_pos, mnp_M
         key = (key_arr[0], key_arr[1])
         w = state.pos.shape[0]
         lane = jnp.arange(w, dtype=jnp.uint32) + jnp.uint32(lane_offset)
@@ -210,7 +227,7 @@ def make_sprint_fn(params: Params, dtype=jnp.float32):
             # applied at chunk granularity — see module docstring)
             pos = jnp.mod(pos + bound, bound)
             nf = expansion.build(pos, mnp_pos, mnp_M, params)
-            b0, in0, _ = expansion.evaluate(nf, pos, cell_r)
+            b0, in0 = field_at(nf, pos, mnp_pos, mnp_M)
 
             base = step0 + chunk_idx * jnp.uint32(params.chunk_steps)
 
@@ -260,6 +277,7 @@ def make_sprint_fn(params: Params, dtype=jnp.float32):
 
     def sprint_chunk_major(mnp_pos, mnp_M, key_arr, state: WalkerState,
                            lane_offset):
+        mnp_pos_ref[0], mnp_pos_ref[1] = mnp_pos, mnp_M
         key = (key_arr[0], key_arr[1])
         w = state.pos.shape[0]
         lane = jnp.arange(w, dtype=jnp.uint32) + jnp.uint32(lane_offset)
@@ -268,7 +286,7 @@ def make_sprint_fn(params: Params, dtype=jnp.float32):
         def chunk_body(st: WalkerState, _):
             pos = jnp.mod(st.pos + bound, bound)
             nf = expansion.build(pos, mnp_pos, mnp_M, params)
-            b0, in0, _ = expansion.evaluate(nf, pos, cell_r)
+            b0, in0 = field_at(nf, pos, mnp_pos, mnp_M)
             maxd2_0 = jnp.zeros(w, dtype)
 
             def window_body(win_carry, win_idx):

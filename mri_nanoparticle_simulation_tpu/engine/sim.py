@@ -213,6 +213,8 @@ class SimulationRunner:
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
     ap = argparse.ArgumentParser(
         description="TPU Monte Carlo MRI T2 simulation (reference: "
                     "RabinKarp/MRI_Nanoparticle_Simulation)")

@@ -112,3 +112,37 @@ def run_ensemble(params: Params, n_trials: int,
     n = wins.shape[1]
     times = (np.arange(1, n + 1) * params.pfreq) * params.tau
     return times, np.asarray(wins[..., 0]), np.asarray(wins[..., 1]), state
+
+
+def run_parameter_sweep(base_params: Params, name: str, values,
+                        n_trials_each: int = 1, base_seed: int = 0,
+                        run_seed: int = 1000, dtype=jnp.float32,
+                        max_steps=None):
+    """Sweep any Params field (e.g. cell_r, taucp, mmoment) across runs.
+
+    ``mmoment`` sweeps share one compiled program via :func:`run_ensemble`
+    (the moment is runtime data).  Every other knob is a compile-time
+    constant of the kernels — exactly as it was an nvcc-time constant in
+    the reference (README.md:13 "make clean && make") — so each value
+    compiles its own program; scenes are rebuilt per value since geometry
+    knobs change cell placement.
+
+    Returns (times_ms, curves [len(values), n_trials_each, n_windows]).
+    """
+    if name == "mmoment":
+        times, cos, _, _ = run_ensemble(
+            base_params, n_trials=len(values) * n_trials_each,
+            base_seed=base_seed, run_seed=run_seed,
+            mmoments=[v for v in values for _ in range(n_trials_each)],
+            dtype=dtype, max_steps=max_steps)
+        return times, cos.reshape(len(values), n_trials_each, -1)
+
+    curves = []
+    times = None
+    for i, v in enumerate(values):
+        p = base_params.replace(**{name: v}).validate()
+        times, cos, _, _ = run_ensemble(
+            p, n_trials=n_trials_each, base_seed=base_seed,
+            run_seed=run_seed + i * 10000, dtype=dtype, max_steps=max_steps)
+        curves.append(cos)
+    return times, np.stack(curves)

@@ -45,6 +45,13 @@ BOUNDARY_NONE = "none"      # no images (debug)
 DIRECTION_CUBE = "cube"      # reference quirk: normalized uniform-in-cube
 DIRECTION_SPHERE = "sphere"  # corrected: uniform on the unit sphere
 
+# Field evaluation backend for the scan engine.
+FIELD_EXPANSION = "expansion"  # chunked local expansion (production)
+FIELD_EXACT = "exact"          # brute-force masked sum over every dipole
+                               # each step — the reference's EXPLICIT mode
+                               # (octree.cpp:395-396) done exactly; slow,
+                               # used as an on-device oracle
+
 
 @dataclasses.dataclass(frozen=True)
 class Params:
@@ -121,6 +128,10 @@ class Params:
     #: Random123-recommended minimum and measurably faster)
     rng_rounds: int = 20
     direction_mode: str = DIRECTION_CUBE
+    #: scan-engine field backend (the Pallas engine always uses the
+    #: expansion; FIELD_EXACT turns the scan engine into an on-device
+    #: brute-force oracle)
+    field_mode: str = FIELD_EXPANSION
 
     # ----------------------------------------------------------------------
     # Derived quantities (reference ctor parameters.h:106-122 and
@@ -212,6 +223,8 @@ class Params:
             raise ValueError(f"unknown boundary_mode {self.boundary_mode!r}")
         if self.direction_mode not in (DIRECTION_CUBE, DIRECTION_SPHERE):
             raise ValueError(f"unknown direction_mode {self.direction_mode!r}")
+        if self.field_mode not in (FIELD_EXPANSION, FIELD_EXACT):
+            raise ValueError(f"unknown field_mode {self.field_mode!r}")
         if not 0 < self.water_start_bound <= self.bound:
             raise ValueError("water_start_bound must be in (0, bound]")
         return self

@@ -275,3 +275,17 @@ class TestPrecision:
         _, c32, _, _ = re.run_simulation(sc, p, seed=7, dtype=jnp.float32)
         err = np.abs(c64 - c32.astype(np.float64)) / p.num_water
         assert np.sqrt((err ** 2).mean()) < 3e-4
+
+    def test_exact_field_mode_matches_expansion(self):
+        """FIELD_EXACT (the reference's EXPLICIT mode) as an independent
+        oracle: trajectories must match the production expansion backend
+        (field differences ~1e-9 T never flip an f32 branch here)."""
+        p = P.small_test_params(num_water=32, totaltime=0.0005,
+                                sprint_steps=500)
+        sc = BacteriaBox(p, seed=3).populate()
+        _, c1, _, st1 = re.run_simulation(sc, p, seed=1)
+        _, c2, _, st2 = re.run_simulation(
+            sc, p.replace(field_mode=P.FIELD_EXACT), seed=1)
+        np.testing.assert_allclose(np.asarray(st1.pos),
+                                   np.asarray(st2.pos), atol=1e-5)
+        np.testing.assert_allclose(c1, c2, atol=1e-3)

@@ -78,3 +78,23 @@ class TestEnsemble:
         np.testing.assert_array_equal(np.asarray(st_e.pos)[0],
                                       np.asarray(st_s.pos))
         np.testing.assert_allclose(cos[0], c2, atol=1e-4)
+
+
+class TestSweep:
+    def test_cell_r_sweep(self):
+        """cell_r is kernel-static (like every reference knob was
+        nvcc-static): the sweep recompiles per value and geometry
+        responds (bigger cells -> waters thrown further out)."""
+        p = P.small_test_params(num_water=16, totaltime=0.0002,
+                                sprint_steps=200, num_cells=4)
+        times, curves = ensemble.run_parameter_sweep(
+            p, "cell_r", [0.4, 0.8], n_trials_each=1)
+        assert curves.shape == (2, 1, 2)
+
+    def test_mmoment_sweep_shares_compile(self):
+        p = P.small_test_params(num_water=16, totaltime=0.0002,
+                                sprint_steps=200)
+        times, curves = ensemble.run_parameter_sweep(
+            p, "mmoment", [0.0, p.mmoment], n_trials_each=2)
+        assert curves.shape == (2, 2, 2)
+        np.testing.assert_allclose(curves[0], 16.0, atol=1e-4)
