@@ -57,11 +57,7 @@ def main():
         ps = state
 
     def run_one(ps):
-        if on_tpu:
-            ps, wins = sprint(mnp_pos, mnp_M, key_arr, ps, 0)
-        else:
-            ps, wins = sprint(mnp_pos, mnp_M, key_arr, ps, 0)
-        return ps, wins
+        return sprint(mnp_pos, mnp_M, key_arr, ps, 0)
 
     # warmup / compile
     ps, wins = run_one(ps)

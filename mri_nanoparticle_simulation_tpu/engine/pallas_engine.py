@@ -44,7 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import rng
-from ..fields import expansion
+from ..fields import dipole, expansion
 from ..params import DIRECTION_CUBE, KICK_INTENDED, Params
 from .reference_engine import WalkerState, intracellular_kick
 
@@ -164,7 +164,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
     in_stdev = float(params.in_stdev)
     out_stdev = float(params.out_stdev)
     phase_per_tesla = float(params.phase_per_tesla)
-    field_scale = 1e11
+    field_scale = float(dipole.FIELD_SCALE)
     two_pi = float(2.0 * np.pi)
 
     def kernel(scalars, lane, valid,
@@ -394,9 +394,8 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
         lane = (jnp.arange(wp, dtype=jnp.uint32)
                 + jnp.uint32(lane_offset)).reshape(r, LANES)
 
-        def chunk_body(carry, chunk_idx):
+        def chunk_body(ps: PlaneState, chunk_idx):
             del chunk_idx  # ps.step already advances chunk by chunk
-            ps, escapes = carry
             # periodic wrap at chunk boundary (see reference_engine notes)
             px = jnp.mod(ps.px + bound, bound)
             py = jnp.mod(ps.py + bound, bound)
@@ -430,18 +429,16 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                 pl_(nf.hess[..., 4]), pl_(nf.hess[..., 5]),
                 px, py, pz)
             wins = jnp.sum(block_wins, axis=0)
-            escapes = escapes + jnp.sum(
+            escapes = ps.escapes + jnp.sum(
                 (omaxd2 * valid) > travel2, dtype=jnp.int32)
             new_ps = PlaneState(px=opx, py=opy, pz=opz, in_cell=oic,
                                 phase=oph, phase_comp=ocmp,
                                 step=step0 + jnp.uint32(chunk_steps),
                                 escapes=escapes)
-            return (new_ps, escapes), wins
+            return new_ps, wins
 
-        (ps, escapes), wins = jax.lax.scan(
-            chunk_body, (ps, ps.escapes),
-            jnp.arange(n_chunks, dtype=jnp.uint32))
-        ps = ps._replace(escapes=escapes)
+        ps, wins = jax.lax.scan(chunk_body, ps,
+                                jnp.arange(n_chunks, dtype=jnp.uint32))
         return ps, wins.reshape(n_chunks * n_win_chunk, 2)
 
     return jax.jit(sprint)

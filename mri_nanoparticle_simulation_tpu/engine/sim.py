@@ -66,8 +66,8 @@ class SimulationRunner:
 
         self.scene = BacteriaBox(params, seed=scene_seed).populate()
         if check_coverage:
-            worst = expansion.validate_near_k(self.scene.cells, params,
-                                              n_probe=50_000)
+            worst = expansion.validate_near_k(
+                self.scene.mnps[:, :3], params, n_probe=50_000)
             if worst > params.near_k:
                 raise ValueError(
                     f"scene requires near_k >= {worst} for exact in-cell "
@@ -144,7 +144,8 @@ class SimulationRunner:
 
         writer = None
         if csv_path is not None:
-            writer = writer_mod.T2CsvWriter(csv_path, p, quadrature)
+            writer = writer_mod.T2CsvWriter(csv_path, p, quadrature,
+                                            append=start_step > 0)
             writer.__enter__()
 
         t0 = time.perf_counter()
@@ -164,6 +165,9 @@ class SimulationRunner:
                     self._drain_batch(pending, writer, all_wins)
                 if checkpoint_path and checkpoint_every_sprints and \
                         (i + 1) % checkpoint_every_sprints == 0:
+                    # flush the CSV first: a checkpoint must never be
+                    # ahead of the rows on disk or a crash loses the gap
+                    self._drain_batch(pending, writer, all_wins)
                     self._sync_state()
                     ckpt_mod.save_checkpoint(checkpoint_path, self.state,
                                              p, self.seed, self.scene_seed)

@@ -148,29 +148,32 @@ def evaluate(nf: NearField, pos, cell_r):
     return b_near + b_far, in_cell, d2_min
 
 
-def validate_near_k(cells: np.ndarray, params: Params,
+def validate_near_k(dipole_pos: np.ndarray, params: Params,
                     travel_bound: float | None = None,
                     n_probe: int = 200_000, seed: int = 0) -> int:
     """Scene-level guarantee check for the near-list size K.
 
     Correctness requires: every dipole within ``cell_r + travel_bound`` of
     any chunk anchor is among that anchor's K nearest.  Sufficient
-    condition: no point in the box has more than K cell centers within
-    ``cell_r + travel_bound + margin``.  We probe densely (cells are thrown
-    uniformly at ~1% volume density, so the worst case is small) and return
-    the observed maximum count; callers raise if it exceeds near_k.
+    condition: no point in the box has more than K dipoles within
+    ``cell_r + travel_bound + margin``.  ``dipole_pos`` must be ALL
+    dipoles **including periodic images** (Scene.mnps[:, :3]): near a box
+    face, images compete for near-list slots and can crowd out the one
+    base cell a walker is about to enter.  We probe densely (uniform +
+    clustered near dipoles, which also covers the face shells where
+    images double the density) and return the observed maximum count;
+    callers raise if it exceeds near_k.
     """
     if travel_bound is None:
         travel_bound = default_travel_bound(params)
     reach = params.cell_r + travel_bound
     rng = np.random.default_rng(seed)
-    # probe uniformly + near cells (clusters are the risk)
     pts = rng.random((n_probe, 3)) * params.bound
-    near_cells = cells[rng.integers(0, len(cells), n_probe // 4)]
-    pts2 = near_cells + rng.normal(scale=reach, size=(n_probe // 4, 3))
-    probes = np.concatenate([pts, pts2])
+    near = dipole_pos[rng.integers(0, len(dipole_pos), n_probe // 2)]
+    pts2 = near + rng.normal(scale=reach, size=(n_probe // 2, 3))
+    probes = np.concatenate([pts, np.clip(pts2, 0.0, params.bound)])
     counts = np.zeros(len(probes), np.int64)
-    for c in cells:  # loop over cells to bound memory
+    for c in dipole_pos:  # loop over dipoles to bound memory
         d2 = np.sum((probes - c) ** 2, axis=1)
         counts += d2 < reach * reach
     return int(counts.max())

@@ -23,15 +23,19 @@ class T2CsvWriter:
     """Append-streaming writer; flushes per sprint like the reference
     flushed per window (``endl``), so a crash loses at most one sprint."""
 
-    def __init__(self, path: str, params: Params, quadrature: bool = False):
+    def __init__(self, path: str, params: Params, quadrature: bool = False,
+                 append: bool = False):
         self.path = path
         self.params = params
         self.quadrature = quadrature
+        #: append mode for checkpoint resume — opening with 'w' would
+        #: truncate the rows already streamed before the crash
+        self.append = append
         self._f: Optional[IO[str]] = None
         self._rows = 0
 
     def __enter__(self):
-        self._f = open(self.path, "w")
+        self._f = open(self.path, "a" if self.append else "w")
         return self
 
     def __exit__(self, *exc):

@@ -124,8 +124,9 @@ class Params:
     #: radius (µm) within which dipoles join the exact near list; beyond it
     #: the far field is a 2nd-order Taylor expansion about the chunk anchor
     near_radius: float = 2.0
-    #: Threefry rounds (20 = crypto-grade/jax-compatible; 13 is the
-    #: Random123-recommended minimum and measurably faster)
+    #: Threefry rounds; must be a multiple of 4 (key injections happen
+    #: every 4 rounds).  20 = crypto-grade/jax-compatible; 12 is plenty
+    #: for Monte Carlo statistics and measurably faster
     rng_rounds: int = 20
     direction_mode: str = DIRECTION_CUBE
     #: scan-engine field backend (the Pallas engine always uses the
@@ -225,6 +226,16 @@ class Params:
             raise ValueError(f"unknown direction_mode {self.direction_mode!r}")
         if self.field_mode not in (FIELD_EXPANSION, FIELD_EXACT):
             raise ValueError(f"unknown field_mode {self.field_mode!r}")
+        if self.rng_rounds % 4 != 0 or self.rng_rounds <= 0:
+            raise ValueError("rng_rounds must be a positive multiple of 4")
+        if self.tcp % self.pfreq != 0:
+            raise ValueError(
+                f"taucp must align with the output interval: tcp ({self.tcp}"
+                f" steps) is not a multiple of pfreq ({self.pfreq}); the "
+                f"Carr-Purcell flip fires at window boundaries (the "
+                f"reference had the same constraint implicitly — a "
+                f"misaligned taucp silently mistimes every echo, "
+                f"cuda_sim.cu:1018)")
         if not 0 < self.water_start_bound <= self.bound:
             raise ValueError("water_start_bound must be in (0, bound]")
         return self

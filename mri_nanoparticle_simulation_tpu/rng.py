@@ -56,9 +56,9 @@ def threefry2x32(key: Key, c0: jnp.ndarray, c1: jnp.ndarray,
 
     ``c0``/``c1`` may be arrays (broadcast together); returns two uint32
     arrays of the broadcast shape.  ``rounds=20`` is the standard (and
-    jax.random-compatible) strength; 13 is the Random123-recommended
-    minimum for statistical quality and is offered as a faster option for
-    the production kernel.
+    jax.random-compatible) strength; 12 (the nearest multiple of 4 to the
+    Random123-recommended minimum of 13 — injections happen every 4
+    rounds here) is ample for Monte Carlo statistics and faster.
     """
     if rounds % 4 != 0:
         raise ValueError("rounds must be a multiple of 4")
@@ -138,7 +138,10 @@ def normal_from_bits(bits_a: jnp.ndarray, bits_b: jnp.ndarray,
     """
     u_a = uniform_from_bits(bits_a, dtype)
     u_b = uniform_from_bits(bits_b, dtype)
-    r = jnp.sqrt(dtype(-2.0) * jnp.log1p(-u_a))
+    # jnp.log(1 - u), NOT log1p(-u): 1-u is exact for 24-bit uniforms, and
+    # the Pallas kernel uses the same expression, keeping the threefry-mode
+    # engines bit-identical (log1p can round one ulp differently)
+    r = jnp.sqrt(dtype(-2.0) * jnp.log(dtype(1.0) - u_a))
     theta = dtype(2.0 * math.pi) * u_b
     return r * jnp.cos(theta)
 

@@ -37,9 +37,12 @@ from . import morton
 from . import native
 from .nprng import CounterRNG
 
-# Distinct Threefry streams for each independent draw sequence.
-_STREAM_CELLS = 0xC0
-_STREAM_WATERS = 0xA0
+# Distinct Threefry streams for each independent draw sequence.  These are
+# c1 counter values; the engine's per-step streams use c1 = lane + pair<<27
+# (< 2^29 for <=134M walkers), so scene streams live above 2^31 where no
+# walker lane can ever collide with them (same key when seed == scene_seed).
+_STREAM_CELLS = 0x800000C0
+_STREAM_WATERS = 0x800000A0
 
 
 @dataclasses.dataclass

@@ -39,7 +39,7 @@ def np_uniform(bits):
 
 def np_normal(a, b):
     ua, ub = np_uniform(a), np_uniform(b)
-    return np.sqrt(-2.0 * np.log1p(-ua)) * np.cos(2.0 * np.pi * ub)
+    return np.sqrt(-2.0 * np.log(1.0 - ua)) * np.cos(2.0 * np.pi * ub)
 
 
 def np_field_masked(pos, mnps, cell_r):

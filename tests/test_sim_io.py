@@ -95,3 +95,24 @@ class TestFilename:
         name = P.DEFAULT.output_filename(1700000000)
         assert name == ("tau=1000ps_T-e=11largedipole_border=6um_"
                         "impermeablemultitrial1700000000.csv")
+
+
+class TestResumeCsv:
+    def test_resume_appends_not_truncates(self, p, tmp_path):
+        """A resumed run must append to the existing CSV, not wipe the
+        rows streamed before the crash."""
+        csv = str(tmp_path / "t2r.csv")
+        ckpt = str(tmp_path / "s.npz")
+        first = SimulationRunner(p, scene_seed=3, seed=4, engine="scan")
+        first.run(max_steps=2 * p.sprint_steps, csv_path=csv,
+                  checkpoint_path=ckpt)
+        rows_before = len(open(csv).readlines())
+        second = SimulationRunner(p, scene_seed=3, seed=4, engine="scan")
+        second.resume(ckpt)
+        second.run(csv_path=csv)
+        rows = open(csv).readlines()
+        assert len(rows) == p.t // p.pfreq
+        assert len(rows) > rows_before
+        # times strictly increasing across the seam
+        ts = [float(r.split(",")[0]) for r in rows]
+        assert all(b > a for a, b in zip(ts, ts[1:]))
