@@ -35,8 +35,9 @@ def main():
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     # sprint_steps=20000 compiles in seconds (larger host batches hit a
-    # pathological multi-minute XLA compile; see PLAN.md)
-    p = Params(chunk_steps=2000, near_k=8, sprint_steps=20000).validate()
+    # pathological multi-minute XLA compile; see PLAN.md).  chunk=4000/K=10
+    # is the fastest validated-coverage configuration for this scene.
+    p = Params(chunk_steps=4000, near_k=10, sprint_steps=20000).validate()
     sc = BacteriaBox(p, seed=42).populate()
     mnp_pos = jnp.asarray(sc.mnps[:, :3], jnp.float32)
     mnp_M = jnp.asarray(sc.mnps[:, 4], jnp.float32)
@@ -52,7 +53,7 @@ def main():
         n_sprints = 100
     else:  # CPU fallback so the bench still runs anywhere
         sprint = reference_engine.make_sprint_fn(
-            p.replace(chunk_steps=1000), jnp.float32)
+            p.replace(chunk_steps=1000, near_k=8), jnp.float32)
         n_sprints = 1
         ps = state
 

@@ -139,14 +139,21 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
     """Build the pallas_call executing one chunk (chunk_steps timesteps,
     spanning chunk_steps/pfreq output windows) for all walkers.
 
-    Signature of the returned function:
-        f(scalars_u32[4], lane_u32[R,128], valid[R,128],
-          state planes (px,py,pz,in_cell,phase,comp),
-          near (nx,ny,nz,nM)[K,R,128], taylor 10x[R,128],
-          anchor (ax,ay,az)[R,128])
-        -> (px,py,pz,in_cell,phase,comp, b_last, max_d2, wins[n_win,2])
+    Arguments are packed to keep per-launch binding cost low (the launch
+    overhead is material: ~0.2 ms/call, and a full run makes 20k calls):
 
-    scalars = [step0, key_hi, key_lo, chunk_seed].
+        f(scalars_u32[8],
+          state  [6, R, 128]  (px, py, pz, in_cell, phase, comp),
+          near   [4, K, R, 128]  (x, y, z, M),
+          taylor [10, R, 128]  (b0, gx, gy, gz, hxx, hyy, hzz, hxy, hxz, hyz))
+        -> (state' [6, R, 128], max_d2 [R, 128],
+            wins [n_blocks, n_win, 2])
+
+    scalars = [step0, key_hi, key_lo, chunk_seed, lane_offset, num_water,
+    0, 0].  The chunk anchor IS the input position (positions are wrapped
+    before the recandidate build), and walker lanes / validity masks are
+    derived in-kernel from (program_id, lane_offset, num_water) — no
+    per-launch index planes.
     """
     params.validate()
     if params.chunk_steps % params.pfreq != 0:
@@ -167,13 +174,14 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
     field_scale = float(dipole.FIELD_SCALE)
     two_pi = float(2.0 * np.pi)
 
-    def kernel(scalars, lane, valid,
-               px, py, pz, icell, phase0, comp0,
-               nx, ny, nz, nM,
-               b0, gx, gy, gz, hxx, hyy, hzz, hxy, hxz, hyz,
-               ax, ay, az,
-               o_px, o_py, o_pz, o_icell, o_phase, o_comp,
-               o_blast, o_maxd2, o_wins):
+    r_blk = min(r_planes, BLOCK_ROWS)
+    if r_planes % r_blk != 0:
+        raise ValueError(f"r_planes ({r_planes}) must be a multiple of the "
+                         f"block rows ({r_blk}); pad_count guarantees this")
+    n_blocks = r_planes // r_blk
+    blk_walkers = r_blk * LANES
+
+    def kernel(scalars, state, near, taylor, o_state, o_maxd2, o_wins):
         step0 = scalars[0]
         key01 = (scalars[1], scalars[2])
         if rng_impl == RNG_HARDWARE:
@@ -183,22 +191,28 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                             + jnp.uint32(pl.program_id(0))
                             * jnp.uint32(2654435761))
 
-        lane_v = lane[:]
-        valid_v = valid[:]
-        anchor_x, anchor_y, anchor_z = ax[:], ay[:], az[:]
-        tb0, tgx, tgy, tgz = b0[:], gx[:], gy[:], gz[:]
-        thxx, thyy, thzz = hxx[:], hyy[:], hzz[:]
-        thxy, thxz, thyz = hxy[:], hxz[:], hyz[:]
+        # in-kernel walker indices: block-local iota + block offset
+        local = (jax.lax.broadcasted_iota(jnp.int32, (r_blk, LANES), 0)
+                 * LANES
+                 + jax.lax.broadcasted_iota(jnp.int32, (r_blk, LANES), 1))
+        blk0 = pl.program_id(0) * blk_walkers
+        # scalar bitcasts are unsupported in Mosaic; do the uint32 view on
+        # the vector side and compare unsigned
+        idx_u = jax.lax.bitcast_convert_type(local + blk0, jnp.uint32)
+        valid_v = (idx_u < scalars[5]).astype(dtype)
+        lane_v = idx_u + scalars[4]
 
-        def draw_words(step_scalar):
-            if rng_impl == RNG_THREEFRY:
-                return _threefry_words(key01, step_scalar, lane_v, n_words,
-                                       params.rng_rounds)
+        anchor_x, anchor_y, anchor_z = state[0], state[1], state[2]
+        tb0, tgx, tgy, tgz = taylor[0], taylor[1], taylor[2], taylor[3]
+        thxx, thyy, thzz = taylor[4], taylor[5], taylor[6]
+        thxy, thxz, thyz = taylor[7], taylor[8], taylor[9]
+        nx, ny, nz, nM = near[0], near[1], near[2], near[3]
+
+        def hw_bits(n):
             # prng_random_bits yields int32; bitcast before the logical
             # shift or sign extension corrupts the top bits
-            return [pltpu.bitcast(pltpu.prng_random_bits(lane_v.shape),
-                                  jnp.uint32)
-                    for _ in range(n_words)]
+            return [pltpu.bitcast(pltpu.prng_random_bits((r_blk, LANES)),
+                                  jnp.uint32) for _ in range(n)]
 
         def eval_field(x, y, z):
             """Masked K-near sum + far Taylor (expansion.evaluate, fused on
@@ -232,17 +246,11 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                      + thxy * ex * ey + thxz * ex * ez + thyz * ey * ez)
             return b_near + b_far, inside
 
-        def step_body(i, carry):
-            (x, y, z, incell, bprev, acc, maxd2, win_step0) = carry
-            words = draw_words(win_step0 + i.astype(jnp.uint32))
-            u0 = rng.uniform_from_bits(words[0], dtype)
-            u1 = rng.uniform_from_bits(words[1], dtype)
-            u2 = rng.uniform_from_bits(words[2], dtype)
-            ua = rng.uniform_from_bits(words[3], dtype)
-            ub = rng.uniform_from_bits(words[4], dtype)
-            nrm = jnp.sqrt(-2.0 * jnp.log(1.0 - ua)) * \
-                jnp.cos(two_pi * ub)
-
+        def one_step(carry, u0, u1, u2, nrm, u_coin, u_kick):
+            """The physics of one timestep given its random inputs
+            (simulateDiffusion body, cuda_sim.cu:708-732, fused with the
+            phase kick)."""
+            (x, y, z, incell, bprev, acc, maxd2) = carry
             if params.direction_mode == DIRECTION_CUBE:
                 dx = 2.0 * u0 - 1.0
                 dy = 2.0 * u1 - 1.0
@@ -266,7 +274,6 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
             b, in_new = eval_field(x2, y2, z2)
 
             if use_reflection:
-                u_coin = rng.uniform_from_bits(words[5], dtype)
                 cross_out = incell * (1.0 - in_new)
                 cross_in = (1.0 - incell) * in_new
                 flip = (cross_out * (u_coin < float(params.reflect_io))
@@ -279,8 +286,6 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                 in_new = keep * in_new + flip * incell
 
             kick = b * phase_per_tesla
-            u_kick = (rng.uniform_from_bits(words[6], dtype)
-                      if use_kick_u else None)
             intra = intracellular_kick(params, u_kick, in_new > 0.5, dtype)
             if intra is not None:
                 kick = kick + intra
@@ -290,23 +295,66 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
             ddy = y2 - anchor_y
             ddz = z2 - anchor_z
             maxd2 = jnp.maximum(maxd2, ddx * ddx + ddy * ddy + ddz * ddz)
-            return (x2, y2, z2, in_new, b, acc, maxd2, win_step0)
+            return (x2, y2, z2, in_new, b, acc, maxd2)
 
-        # chunk-start state
-        x, y, z = px[:], py[:], pz[:]
+        def uni(bits):
+            return rng.uniform_from_bits(bits, dtype)
+
+        def run_window(win_step0, carry):
+            if rng_impl == RNG_THREEFRY:
+                # per-step counter draws: bit-compatible with the scan
+                # engine for cross-validation
+                def body(i, c):
+                    words = _threefry_words(
+                        key01, win_step0 + i.astype(jnp.uint32), lane_v,
+                        n_words, params.rng_rounds)
+                    nrm = jnp.sqrt(-2.0 * jnp.log(1.0 - uni(words[3]))) * \
+                        jnp.cos(two_pi * uni(words[4]))
+                    return one_step(
+                        c, uni(words[0]), uni(words[1]), uni(words[2]), nrm,
+                        uni(words[5]) if n_words > 5 else None,
+                        uni(words[6]) if n_words > 6 else None)
+                return jax.lax.fori_loop(0, params.pfreq, body, carry)
+
+            # hardware PRNG: two steps per iteration sharing one Box-Muller
+            # pair (cos and sin of the same draw are independent normals) —
+            # halves the log/sqrt/cos cost per step
+            extra = (1 if use_reflection else 0) + (1 if use_kick_u else 0)
+
+            def body2(i, c):
+                del i
+                w = hw_bits(8 + 2 * extra)
+                r_bm = jnp.sqrt(-2.0 * jnp.log(1.0 - uni(w[6])))
+                theta = two_pi * uni(w[7])
+                n1 = r_bm * jnp.cos(theta)
+                n2 = r_bm * jnp.sin(theta)
+                nw = 8
+                coin1 = uni(w[nw]) if use_reflection else None
+                coin2 = uni(w[nw + 1]) if use_reflection else None
+                nw += 2 if use_reflection else 0
+                kick1 = uni(w[nw]) if use_kick_u else None
+                kick2 = uni(w[nw + 1]) if use_kick_u else None
+                c = one_step(c, uni(w[0]), uni(w[1]), uni(w[2]), n1,
+                             coin1, kick1)
+                c = one_step(c, uni(w[3]), uni(w[4]), uni(w[5]), n2,
+                             coin2, kick2)
+                return c
+            return jax.lax.fori_loop(0, params.pfreq // 2, body2, carry)
+
+        # chunk-start state (anchor == input position)
+        x, y, z = state[0], state[1], state[2]
         b_start, in_start = eval_field(x, y, z)
-        phase = phase0[:]
-        comp = comp0[:]
+        phase = state[4]
+        comp = state[5]
         maxd2 = jnp.zeros_like(x)
-        bprev = b_start
-        incell = in_start
 
+        carry = (x, y, z, in_start, b_start, jnp.zeros_like(x), maxd2)
         for w_idx in range(n_win):
             win_step0 = step0 + jnp.uint32(w_idx * params.pfreq)
-            acc = jnp.zeros_like(x)
-            (x, y, z, incell, bprev, acc, maxd2, _) = jax.lax.fori_loop(
-                0, params.pfreq, step_body,
-                (x, y, z, incell, bprev, acc, maxd2, win_step0))
+            x, y, z, incell, bprev, _, maxd2 = carry
+            carry = (x, y, z, incell, bprev, jnp.zeros_like(x), maxd2)
+            carry = run_window(win_step0, carry)
+            (x, y, z, incell, bprev, acc, maxd2) = carry
 
             # Kahan fold (performUpdate, cuda_sim.cu:814-828)
             ky = acc - comp
@@ -323,27 +371,24 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
             phase = phase * sign
             comp = comp * sign
 
-        o_px[:] = x
-        o_py[:] = y
-        o_pz[:] = z
-        o_icell[:] = incell
-        o_phase[:] = phase
-        o_comp[:] = comp
-        o_blast[:] = bprev
+        (x, y, z, incell, _, _, maxd2) = carry
+        o_state[0] = x
+        o_state[1] = y
+        o_state[2] = z
+        o_state[3] = incell
+        o_state[4] = phase
+        o_state[5] = comp
         o_maxd2[:] = maxd2
 
-    r_blk = min(r_planes, BLOCK_ROWS)
-    if r_planes % r_blk != 0:
-        raise ValueError(f"r_planes ({r_planes}) must be a multiple of the "
-                         f"block rows ({r_blk}); pad_count guarantees this")
-    n_blocks = r_planes // r_blk
-
-    plane = jax.ShapeDtypeStruct((r_planes, LANES), dtype)
-    pspec = pl.BlockSpec((r_blk, LANES), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((k, r_blk, LANES), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((4,), lambda b: (0,), memory_space=pltpu.SMEM)
+    sspec = pl.BlockSpec((8,), lambda b: (0,), memory_space=pltpu.SMEM)
+    state_spec = pl.BlockSpec((6, r_blk, LANES), lambda b: (0, b, 0),
+                              memory_space=pltpu.VMEM)
+    near_spec = pl.BlockSpec((4, k, r_blk, LANES), lambda b: (0, 0, b, 0),
+                             memory_space=pltpu.VMEM)
+    taylor_spec = pl.BlockSpec((10, r_blk, LANES), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM)
+    maxd2_spec = pl.BlockSpec((r_blk, LANES), lambda b: (b, 0),
+                              memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((1, n_win, 2), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM)
 
@@ -351,13 +396,12 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         kernel,
         grid=(n_blocks,),
         out_shape=(
-            plane, plane, plane, plane, plane, plane,  # px..comp
-            plane, plane,                               # b_last, max_d2
-            # per-block window sums; summed over blocks by the caller
+            jax.ShapeDtypeStruct((6, r_planes, LANES), dtype),
+            jax.ShapeDtypeStruct((r_planes, LANES), dtype),
             jax.ShapeDtypeStruct((n_blocks, n_win, 2), dtype),
         ),
-        in_specs=[sspec] + [pspec] * 8 + [kspec] * 4 + [pspec] * 13,
-        out_specs=tuple([pspec] * 8 + [wspec]),
+        in_specs=[sspec, state_spec, near_spec, taylor_spec],
+        out_specs=(state_spec, maxd2_spec, wspec),
         interpret=interpret,
     )
     return call
@@ -391,9 +435,6 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
     valid = (jnp.arange(wp) < num_water).astype(dtype).reshape(r, LANES)
 
     def sprint(mnp_pos, mnp_M, key_arr, ps: PlaneState, lane_offset):
-        lane = (jnp.arange(wp, dtype=jnp.uint32)
-                + jnp.uint32(lane_offset)).reshape(r, LANES)
-
         def chunk_body(ps: PlaneState, chunk_idx):
             del chunk_idx  # ps.step already advances chunk by chunk
             # periodic wrap at chunk boundary (see reference_engine notes)
@@ -411,28 +452,33 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                 return a.reshape(r, LANES)
 
             step0 = ps.step
-            scalars = jnp.asarray(
+            scalars = jnp.stack(
                 [step0, key_arr[0], key_arr[1],
-                 step0 ^ (key_arr[1] * jnp.uint32(2654435761))],
-                jnp.uint32)
-            (opx, opy, opz, oic, oph, ocmp, _oblast, omaxd2,
-             block_wins) = kern(
-                scalars, lane, valid,
-                px, py, pz, ps.in_cell, ps.phase, ps.phase_comp,
-                slab(nf.near_pos[..., 0]), slab(nf.near_pos[..., 1]),
-                slab(nf.near_pos[..., 2]), slab(nf.near_M),
-                pl_(nf.b0),
-                pl_(nf.grad[..., 0]), pl_(nf.grad[..., 1]),
-                pl_(nf.grad[..., 2]),
-                pl_(nf.hess[..., 0]), pl_(nf.hess[..., 1]),
-                pl_(nf.hess[..., 2]), pl_(nf.hess[..., 3]),
-                pl_(nf.hess[..., 4]), pl_(nf.hess[..., 5]),
-                px, py, pz)
+                 step0 ^ (key_arr[1] * jnp.uint32(2654435761)),
+                 jnp.uint32(lane_offset), jnp.uint32(num_water),
+                 jnp.uint32(0), jnp.uint32(0)])
+            state_in = jnp.stack(
+                [px, py, pz, ps.in_cell, ps.phase, ps.phase_comp])
+            near = jnp.stack([slab(nf.near_pos[..., 0]),
+                              slab(nf.near_pos[..., 1]),
+                              slab(nf.near_pos[..., 2]),
+                              slab(nf.near_M)])
+            taylor = jnp.stack(
+                [pl_(nf.b0),
+                 pl_(nf.grad[..., 0]), pl_(nf.grad[..., 1]),
+                 pl_(nf.grad[..., 2]),
+                 pl_(nf.hess[..., 0]), pl_(nf.hess[..., 1]),
+                 pl_(nf.hess[..., 2]), pl_(nf.hess[..., 3]),
+                 pl_(nf.hess[..., 4]), pl_(nf.hess[..., 5])])
+
+            state_out, omaxd2, block_wins = kern(scalars, state_in, near,
+                                                 taylor)
             wins = jnp.sum(block_wins, axis=0)
             escapes = ps.escapes + jnp.sum(
                 (omaxd2 * valid) > travel2, dtype=jnp.int32)
-            new_ps = PlaneState(px=opx, py=opy, pz=opz, in_cell=oic,
-                                phase=oph, phase_comp=ocmp,
+            new_ps = PlaneState(px=state_out[0], py=state_out[1],
+                                pz=state_out[2], in_cell=state_out[3],
+                                phase=state_out[4], phase_comp=state_out[5],
                                 step=step0 + jnp.uint32(chunk_steps),
                                 escapes=escapes)
             return new_ps, wins
