@@ -119,11 +119,11 @@ class Params:
     #: steps between per-walker field-expansion rebuilds (chunk length).
     #: Must divide pfreq or be a multiple of it; see fields/local_expansion.
     chunk_steps: int = 500
-    #: number of nearest dipoles kept in each walker's exact near-field list
+    #: number of nearest dipoles kept in each walker's exact near-field
+    #: list (the rest are Taylor-expanded about the chunk anchor); the
+    #: scene-level validator (fields.expansion.validate_near_k) proves K
+    #: covers every cell a walker can reach within a chunk
     near_k: int = 8
-    #: radius (µm) within which dipoles join the exact near list; beyond it
-    #: the far field is a 2nd-order Taylor expansion about the chunk anchor
-    near_radius: float = 2.0
     #: Threefry rounds; must be a multiple of 4 (key injections happen
     #: every 4 rounds).  20 = crypto-grade/jax-compatible; 12 is plenty
     #: for Monte Carlo statistics and measurably faster
@@ -273,7 +273,6 @@ def small_test_params(**overrides) -> Params:
         sprint_steps=1000,
         chunk_steps=100,
         near_k=6,
-        near_radius=2.0,
     )
     base.update(overrides)
     return Params(**base).validate()
