@@ -36,6 +36,16 @@ from . import pallas_engine, reference_engine
 ENGINES = ("pallas", "scan")
 
 
+def fit_chunk_steps(params: Params, requested: int) -> int:
+    """Largest chunk size <= requested that is a multiple of pfreq and
+    divides the total step count (falls back to pfreq)."""
+    c = min(requested, params.t)
+    c -= c % params.pfreq
+    while c > params.pfreq and params.t % c != 0:
+        c -= params.pfreq
+    return max(c, params.pfreq)
+
+
 def fit_sprint_steps(params: Params, requested: int) -> int:
     """Largest sprint size <= requested that divides the total step count
     and is a multiple of both pfreq and chunk_steps.  Bigger sprints mean
@@ -236,8 +246,10 @@ def main(argv=None):
     ap.add_argument("--impermeable", action="store_true",
                     help="reflectIO = reflectOI = 1")
     ap.add_argument("--engine", default="pallas", choices=ENGINES)
-    ap.add_argument("--chunk-steps", type=int, default=2000)
-    ap.add_argument("--near-k", type=int, default=8)
+    ap.add_argument("--chunk-steps", type=int, default=4000,
+                    help="field-model rebuild interval (auto-shrunk for "
+                         "short runs)")
+    ap.add_argument("--near-k", type=int, default=10)
     ap.add_argument("--sprint-steps", type=int, default=100000,
                     help="steps per host dispatch batch (auto-shrunk to "
                          "divide the total step count)")
@@ -260,6 +272,8 @@ def main(argv=None):
         chunk_steps=args.chunk_steps, near_k=args.near_k,
         sprint_steps=args.sprint_steps,
     )
+    params = params.replace(
+        chunk_steps=fit_chunk_steps(params, args.chunk_steps))
     params = params.replace(
         sprint_steps=fit_sprint_steps(params, args.sprint_steps))
     if args.permeable:
