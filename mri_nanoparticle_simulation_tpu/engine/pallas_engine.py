@@ -435,6 +435,10 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
     valid = (jnp.arange(wp) < num_water).astype(dtype).reshape(r, LANES)
 
     def sprint(mnp_pos, mnp_M, key_arr, ps: PlaneState, lane_offset):
+        cache = (expansion.build_cache(mnp_pos, mnp_M, params)
+                 if expansion.uses_large_path(wp, mnp_pos.shape[0])
+                 else None)
+
         def chunk_body(ps: PlaneState, chunk_idx):
             del chunk_idx  # ps.step already advances chunk by chunk
             # periodic wrap at chunk boundary (see reference_engine notes)
@@ -443,7 +447,7 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
             pz = jnp.mod(ps.pz + bound, bound)
             pos = jnp.stack([px.reshape(-1), py.reshape(-1),
                              pz.reshape(-1)], axis=-1)
-            nf = expansion.build(pos, mnp_pos, mnp_M, params)
+            nf = expansion.build(pos, mnp_pos, mnp_M, params, cache=cache)
 
             def slab(a):  # [W, K] -> [K, R, 128]
                 return a.T.reshape(params.near_k, r, LANES)

@@ -220,13 +220,16 @@ def make_sprint_fn(params: Params, dtype=jnp.float32):
         key = (key_arr[0], key_arr[1])
         w = state.pos.shape[0]
         lane = jnp.arange(w, dtype=jnp.uint32) + jnp.uint32(lane_offset)
+        cache = (expansion.build_cache(mnp_pos, mnp_M, params)
+                 if expansion.uses_large_path(w, mnp_pos.shape[0])
+                 else None)
 
         def chunk_body(chunk_carry, chunk_idx):
             pos, in_cell, acc, step0, escapes = chunk_carry
             # wrap into the box (boundary_conditions, cuda_sim.cu:597-601,
             # applied at chunk granularity — see module docstring)
             pos = jnp.mod(pos + bound, bound)
-            nf = expansion.build(pos, mnp_pos, mnp_M, params)
+            nf = expansion.build(pos, mnp_pos, mnp_M, params, cache=cache)
             b0, in0 = field_at(nf, pos, mnp_pos, mnp_M)
 
             base = step0 + chunk_idx * jnp.uint32(params.chunk_steps)
@@ -282,10 +285,13 @@ def make_sprint_fn(params: Params, dtype=jnp.float32):
         w = state.pos.shape[0]
         lane = jnp.arange(w, dtype=jnp.uint32) + jnp.uint32(lane_offset)
         n_chunks = params.sprint_steps // params.chunk_steps
+        cache = (expansion.build_cache(mnp_pos, mnp_M, params)
+                 if expansion.uses_large_path(w, mnp_pos.shape[0])
+                 else None)
 
         def chunk_body(st: WalkerState, _):
             pos = jnp.mod(st.pos + bound, bound)
-            nf = expansion.build(pos, mnp_pos, mnp_M, params)
+            nf = expansion.build(pos, mnp_pos, mnp_M, params, cache=cache)
             b0, in0 = field_at(nf, pos, mnp_pos, mnp_M)
             maxd2_0 = jnp.zeros(w, dtype)
 

@@ -84,6 +84,15 @@ class SimulationRunner:
                     f"tests at chunk_steps={params.chunk_steps} "
                     f"(configured near_k={params.near_k}); raise near_k or "
                     f"lower chunk_steps")
+            if expansion.uses_large_path(params.num_water,
+                                         len(self.scene.mnps)):
+                worst_c = expansion.validate_cube_candidates(
+                    self.scene.mnps[:, :3], params)
+                if worst_c > params.cube_candidates:
+                    raise ValueError(
+                        f"scene requires cube_candidates >= {worst_c} "
+                        f"(configured {params.cube_candidates}); raise it "
+                        f"or shrink cube_hash_dim cubes")
 
         self.mnp_pos = jnp.asarray(self.scene.mnps[:, :3], dtype)
         self.mnp_M = jnp.asarray(self.scene.mnps[:, 4], dtype)

@@ -56,50 +56,112 @@ class NearField(NamedTuple):
     hess: jnp.ndarray      # [W, 6] far-field Hessian (xx,yy,zz,xy,xz,yz)
 
 
-def build(anchor, mnp_pos, mnp_M, params: Params) -> NearField:
+def _pairwise_d2(a, b):
+    """Pairwise squared distances via the MXU: |a|^2 + |b|^2 - 2 a.b — one
+    [A,3]x[3,B] matmul instead of materializing [A, B, 3] differences.
+    The ~2e-4 um^2 cancellation noise only fuzzes the *selection order*
+    of near-equidistant points (exact evaluation downstream recomputes
+    true distances), which the K-slack absorbs."""
+    an2 = jnp.sum(a * a, axis=-1)
+    bn2 = jnp.sum(b * b, axis=-1)
+    cross = jnp.dot(a, b.T, preferred_element_type=a.dtype)
+    return an2[:, None] + bn2[None, :] - 2.0 * cross
+
+
+def _argmin_passes(d2, k, col=None):
+    """K nearest columns per row via K masked argmin passes.
+    (jax.lax.top_k on [W, N] takes minutes to compile for TPU and
+    milliseconds to run; argmin passes compile instantly and run faster.)
+    The passes run in bfloat16 — selection tolerates 0.4% distance fuzz
+    for the K-slack reason — halving their HBM traffic."""
+    n = d2.shape[1]
+    if col is None:
+        col = jnp.arange(n, dtype=jnp.int32)[None, :]
+    remaining = d2.astype(jnp.bfloat16) if d2.dtype == jnp.float32 else d2
+    idx_list = []
+    for _ in range(k):
+        j = jnp.argmin(remaining, axis=1).astype(jnp.int32)
+        idx_list.append(j)
+        remaining = jnp.where(col == j[:, None], jnp.inf, remaining)
+    return jnp.stack(idx_list, axis=1), remaining
+
+
+def uses_large_path(num_walkers: int, n_mnp: int) -> bool:
+    """Whether build() will take the large-scene route (cube-pruned
+    selection + blocked far sums)."""
+    return num_walkers * n_mnp > (1 << 24)
+
+
+def build_cache(mnp_pos, mnp_M, params: Params):
+    """Per-sprint selection cache for large scenes: for each spatial cube,
+    its C nearest dipoles (a superset of everything any walker in the cube
+    can reach — validated by validate_cube_candidates) stored as a single
+    [H^3, C, 5] payload of (x, y, z, M, global index).  One wide row
+    gather per walker then replaces the per-element index gathers that
+    dominate large-scene selection.
+
+    Build cost is one [H^3, N] distance matrix + C argmin passes, paid
+    once per sprint instead of per chunk."""
+    h = params.cube_hash_dim
+    c = min(params.cube_candidates, mnp_pos.shape[0])
+    cube = params.bound / h
+    ax = (np.arange(h) + 0.5) * cube
+    centers = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"),
+                       -1).reshape(-1, 3)
+    d2c = _pairwise_d2(jnp.asarray(centers, mnp_pos.dtype), mnp_pos)
+    table, _ = _argmin_passes(d2c, c)                   # [H^3, C]
+    payload = jnp.concatenate(
+        [mnp_pos[table],                                # [H^3, C, 3]
+         mnp_M[table][..., None],
+         table[..., None].astype(mnp_pos.dtype)], axis=-1)
+    return payload
+
+
+def build(anchor, mnp_pos, mnp_M, params: Params,
+          cache=None) -> NearField:
     """Select each walker's K nearest dipoles and Taylor-expand the rest.
 
     anchor: [W, 3] walker positions at chunk start.
     mnp_pos: [N, 3], mnp_M: [N] — all dipoles including periodic images
-    (Scene.mnps).  Runs on device in XLA; cost O(W*N) per chunk, amortized
-    to a few flops per walker-step.
+    (Scene.mnps).  Runs on device in XLA; cost O(W*N) per chunk (small
+    scenes) or O(W*C + blocked sums) with a per-sprint cube table
+    (``cache`` from build_cache), amortized to a few flops per
+    walker-step.
     """
     k = params.near_k
-    if k > mnp_pos.shape[0]:
-        raise ValueError(
-            f"near_k={k} exceeds the number of dipoles "
-            f"({mnp_pos.shape[0]}); selection would duplicate entries and "
-            f"double-count their field")
-    # Pairwise squared distances via the MXU: |a|^2 + |b|^2 - 2 a.b — one
-    # [W,3]x[3,N] matmul instead of materializing [W, N, 3] differences.
-    # The ~2e-4 um^2 cancellation noise only fuzzes the *selection order*
-    # of near-equidistant dipoles (the exact masked evaluation downstream
-    # recomputes true distances), which the K-slack absorbs.
-    an2 = jnp.sum(anchor * anchor, axis=-1)             # [W]
-    mn2 = jnp.sum(mnp_pos * mnp_pos, axis=-1)           # [N]
-    cross = jnp.dot(anchor, mnp_pos.T,
-                    preferred_element_type=anchor.dtype)
-    d2 = an2[:, None] + mn2[None, :] - 2.0 * cross      # [W, N]
-
-    # K nearest dipoles per walker via K argmin passes.  (jax.lax.top_k on
-    # [W, N] takes minutes to compile for TPU and milliseconds to run;
-    # eight masked argmins compile instantly and run faster.)  The passes
-    # run in bfloat16 — selection tolerates 0.4% distance fuzz for the
-    # same K-slack reason — halving their HBM traffic.
     w = anchor.shape[0]
     n = mnp_pos.shape[0]
-    col = jnp.arange(n, dtype=jnp.int32)[None, :]
-    remaining = d2.astype(jnp.bfloat16) if anchor.dtype == jnp.float32 \
-        else d2
-    idx_list = []
-    for _ in range(k):
-        j = jnp.argmin(remaining, axis=1).astype(jnp.int32)  # [W]
-        idx_list.append(j)
-        remaining = jnp.where(col == j[:, None], jnp.inf, remaining)
-    idx = jnp.stack(idx_list, axis=1)                   # [W, K]
+    if k > n:
+        raise ValueError(
+            f"near_k={k} exceeds the number of dipoles "
+            f"({n}); selection would duplicate entries and "
+            f"double-count their field")
+
+    if cache is not None and uses_large_path(w, n):
+        # cube-pruned selection: gather the walker's cube candidates
+        # (a validated superset of everything reachable this chunk) and
+        # pick K among those ~C=96 instead of all N
+        h = params.cube_hash_dim
+        cube = params.bound / h
+        ci = jnp.clip((anchor / cube).astype(jnp.int32), 0, h - 1)
+        flat = (ci[:, 0] * h + ci[:, 1]) * h + ci[:, 2]
+        payload = cache[flat]                           # [W, C, 5] row gather
+        cpos = payload[..., :3]
+        dc = anchor[:, None, :] - cpos
+        d2 = jnp.sum(dc * dc, axis=-1)                  # [W, C]
+        local_idx, _ = _argmin_passes(
+            d2, k, col=jnp.arange(d2.shape[1], dtype=jnp.int32)[None, :])
+        sel = jnp.take_along_axis(payload, local_idx[..., None], axis=1)
+        near_pos = sel[..., :3]                         # [W, K, 3]
+        near_M = sel[..., 3]
+        idx = sel[..., 4].astype(jnp.int32)             # global indices
+        b0, g, hss = _far_sums_blocked(anchor, mnp_pos, mnp_M, idx)
+        return NearField(anchor=anchor, near_pos=near_pos, near_M=near_M,
+                         b0=b0, grad=g, hess=hss)
+    d2 = _pairwise_d2(anchor, mnp_pos)                  # [W, N]
+    idx, remaining = _argmin_passes(d2, k)
     near_pos = mnp_pos[idx]                             # [W, K, 3]
     near_M = mnp_M[idx]                                 # [W, K]
-    d = anchor[:, None, :] - mnp_pos[None, :, :]        # [W, N, 3]
 
     # Far field = masked sum over all dipoles NOT in the near list.  We must
     # not compute it as (total - near): an anchor can sit arbitrarily close
@@ -107,23 +169,76 @@ def build(anchor, mnp_pos, mnp_M, params: Params) -> NearField:
     # scale and their cancellation would wipe out the ~µT far field in f32.
     # Instead each contribution is weighted by an exclusion mask built from
     # the top-k indices.
-    far = jnp.isfinite(remaining)  # exactly the non-selected dipoles
-    is_far = far.astype(anchor.dtype)
-    # guard the closed forms against r -> 0 at excluded dipoles: give them
-    # a dummy displacement (their weight is 0, but inf * 0 = nan).
-    dx = jnp.where(far, d[..., 0], 1.0)
-    dy = jnp.where(far, d[..., 1], 1.0)
-    dz = jnp.where(far, d[..., 2], 1.0)
-    M = mnp_M[None, :]
-
-    b0 = jnp.sum(dipole.dipole_bz(dx, dy, dz, M) * is_far, axis=1)
-    g = jnp.stack([jnp.sum(c * is_far, axis=1)
-                   for c in dipole.dipole_bz_grad(dx, dy, dz, M)], -1)
-    h = jnp.stack([jnp.sum(c * is_far, axis=1)
-                   for c in dipole.dipole_bz_hessian(dx, dy, dz, M)], -1)
+    if w * n <= (1 << 24):
+        # small problems: single fused pass over [W, N]
+        d = anchor[:, None, :] - mnp_pos[None, :, :]    # [W, N, 3]
+        far = jnp.isfinite(remaining)  # exactly the non-selected dipoles
+        is_far = far.astype(anchor.dtype)
+        # guard the closed forms against r -> 0 at excluded dipoles: give
+        # them a dummy displacement (their weight is 0, inf * 0 = nan).
+        dx = jnp.where(far, d[..., 0], 1.0)
+        dy = jnp.where(far, d[..., 1], 1.0)
+        dz = jnp.where(far, d[..., 2], 1.0)
+        M = mnp_M[None, :]
+        b0 = jnp.sum(dipole.dipole_bz(dx, dy, dz, M) * is_far, axis=1)
+        g = jnp.stack([jnp.sum(c * is_far, axis=1)
+                       for c in dipole.dipole_bz_grad(dx, dy, dz, M)], -1)
+        h = jnp.stack([jnp.sum(c * is_far, axis=1)
+                       for c in dipole.dipole_bz_hessian(dx, dy, dz, M)], -1)
+    else:
+        # large problems (the 100k-walker scale-up): accumulate over dipole
+        # blocks so the [W, N]-sized intermediates never hit HBM whole
+        b0, g, h = _far_sums_blocked(anchor, mnp_pos, mnp_M, idx)
 
     return NearField(anchor=anchor, near_pos=near_pos, near_M=near_M,
                      b0=b0, grad=g, hess=h)
+
+
+def _far_sums_blocked(anchor, mnp_pos, mnp_M, near_idx, block: int = 512):
+    """Far-field value/gradient/Hessian sums via a lax.scan over dipole
+    blocks: carry is [W, 10] accumulators, per-iteration intermediates are
+    [W, block]-shaped and fuse into the reductions instead of spilling
+    tens of GB of [W, N] arrays.  Exclusion of the K selected dipoles is
+    by index comparison (exact, immune to distance ties)."""
+    w = anchor.shape[0]
+    n = mnp_pos.shape[0]
+    dtype = anchor.dtype
+    pad = (-n) % block
+    if pad:
+        # far-away zero-moment padding can never contribute
+        mnp_pos = jnp.concatenate(
+            [mnp_pos, jnp.full((pad, 3), 1e6, dtype)])
+        mnp_M = jnp.concatenate([mnp_M, jnp.zeros(pad, dtype)])
+    nb = (n + pad) // block
+    bpos = mnp_pos.reshape(nb, block, 3)
+    bM = mnp_M.reshape(nb, block)
+    bcol = jnp.arange(nb * block, dtype=jnp.int32).reshape(nb, block)
+
+    ax, ay, az = anchor[:, 0:1], anchor[:, 1:2], anchor[:, 2:3]
+
+    def body(acc, blk):
+        pos_b, m_b, col_b = blk
+        dx = ax - pos_b[None, :, 0]          # [W, B]
+        dy = ay - pos_b[None, :, 1]
+        dz = az - pos_b[None, :, 2]
+        sel = jnp.zeros((w, block), bool)
+        for j in range(near_idx.shape[1]):
+            sel = sel | (col_b[None, :] == near_idx[:, j:j + 1])
+        far = ~sel
+        dx = jnp.where(far, dx, 1.0)
+        dy = jnp.where(far, dy, 1.0)
+        dz = jnp.where(far, dz, 1.0)
+        is_far = far.astype(dtype)
+        m = m_b[None, :]
+        parts = [dipole.dipole_bz(dx, dy, dz, m)]
+        parts += list(dipole.dipole_bz_grad(dx, dy, dz, m))
+        parts += list(dipole.dipole_bz_hessian(dx, dy, dz, m))
+        contrib = jnp.stack(
+            [jnp.sum(c * is_far, axis=1) for c in parts], -1)  # [W, 10]
+        return acc + contrib, None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((w, 10), dtype), (bpos, bM, bcol))
+    return acc[:, 0], acc[:, 1:4], acc[:, 4:10]
 
 
 def evaluate(nf: NearField, pos, cell_r):
@@ -158,6 +273,27 @@ def evaluate(nf: NearField, pos, cell_r):
              + h[..., 3] * ex * ey + h[..., 4] * ex * ez
              + h[..., 5] * ey * ez)
     return b_near + b_far, in_cell, d2_min
+
+
+def validate_cube_candidates(dipole_pos: np.ndarray, params: Params,
+                             travel_bound: float | None = None) -> int:
+    """Worst-case number of dipoles a cube's candidate table must hold:
+    max over cube centers of dipoles within reach + cube half-diagonal.
+    Callers raise if it exceeds params.cube_candidates (only relevant on
+    the large-scene path)."""
+    if travel_bound is None:
+        travel_bound = default_travel_bound(params)
+    h = params.cube_hash_dim
+    cube = params.bound / h
+    crit = params.cell_r + travel_bound + np.sqrt(3.0) * cube / 2.0
+    ax = (np.arange(h) + 0.5) * cube
+    centers = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"),
+                       -1).reshape(-1, 3)
+    counts = np.zeros(len(centers), np.int64)
+    for c in dipole_pos:
+        d2 = np.sum((centers - c) ** 2, axis=1)
+        counts += d2 < crit * crit
+    return int(counts.max())
 
 
 def validate_near_k(dipole_pos: np.ndarray, params: Params,

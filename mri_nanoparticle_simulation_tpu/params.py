@@ -133,6 +133,13 @@ class Params:
     #: expansion; FIELD_EXACT turns the scan engine into an on-device
     #: brute-force oracle)
     field_mode: str = FIELD_EXPANSION
+    #: large-scene near-selection pruning (used when num_water x n_mnp is
+    #: big): dipole candidates are pre-binned per spatial cube once per
+    #: sprint; each cube keeps its cube_candidates nearest dipoles and
+    #: walkers select near_k among those.  The runner validates that
+    #: cube_candidates covers the worst-case cube (like near_k).
+    cube_hash_dim: int = 16
+    cube_candidates: int = 96
 
     # ----------------------------------------------------------------------
     # Derived quantities (reference ctor parameters.h:106-122 and

@@ -156,3 +156,38 @@ class TestLocalExpansion:
         p, sc = ref_scene
         worst = expansion.validate_near_k(sc.cells, p, n_probe=50_000)
         assert worst <= p.near_k
+
+
+class TestBlockedFarSums:
+    def test_matches_unblocked(self, ref_scene, f64):
+        """The large-W blocked accumulation path must equal the single-pass
+        path up to summation-order rounding."""
+        from mri_nanoparticle_simulation_tpu.fields.expansion import \
+            _far_sums_blocked
+        p, sc = ref_scene
+        rng = np.random.default_rng(5)
+        anchors = jnp.asarray(rng.random((64, 3)) * p.bound)
+        mp = jnp.asarray(sc.mnps[:, :3])
+        mM = jnp.asarray(sc.mnps[:, 4])
+        nf = expansion.build(anchors, mp, mM, p)   # small path
+        # recover the selected indices by matching positions
+        d2 = np.sum((np.asarray(anchors)[:, None] - sc.mnps[None, :, :3])**2,
+                    axis=2)
+        idx = jnp.asarray(np.argsort(d2, axis=1)[:, :p.near_k].copy()
+                          .astype(np.int32))
+        b0, g, h = _far_sums_blocked(anchors, mp, mM, idx, block=128)
+        # index sets may order differently; compare against a direct masked
+        # sum built from the same idx
+        col = np.arange(len(sc.mnps))
+        far = np.ones((64, len(sc.mnps)), bool)
+        far[np.arange(64)[:, None], np.asarray(idx)] = False
+        d = np.asarray(anchors)[:, None, :] - sc.mnps[None, :, :3]
+        dx = np.where(far, d[..., 0], 1.0)
+        dy = np.where(far, d[..., 1], 1.0)
+        dz = np.where(far, d[..., 2], 1.0)
+        r2 = dx*dx + dy*dy + dz*dz
+        bz = sc.mnps[None, :, 4] * 1e11 * (2*dz*dz - dx*dx - dy*dy) / \
+            (r2 * r2 * np.sqrt(r2))
+        want = np.sum(np.where(far, bz, 0.0), axis=1)
+        np.testing.assert_allclose(np.asarray(b0), want, rtol=1e-9,
+                                   atol=1e-20)
