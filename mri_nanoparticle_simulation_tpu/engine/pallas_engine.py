@@ -171,7 +171,6 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
     in_stdev = float(params.in_stdev)
     out_stdev = float(params.out_stdev)
     phase_per_tesla = float(params.phase_per_tesla)
-    field_scale = float(dipole.FIELD_SCALE)
     two_pi = float(2.0 * np.pi)
 
     r_blk = min(r_planes, BLOCK_ROWS)
@@ -338,7 +337,17 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                 c = one_step(c, uni(w[3]), uni(w[4]), uni(w[5]), n2,
                              coin2, kick2)
                 return c
-            return jax.lax.fori_loop(0, params.pfreq // 2, body2, carry)
+            carry = jax.lax.fori_loop(0, params.pfreq // 2, body2, carry)
+            if params.pfreq % 2:
+                w = hw_bits(5 + extra)
+                n1, _ = rng.fast_normal_pair(w[3], w[4])
+                nw = 5
+                coin1 = uni(w[nw]) if use_reflection else None
+                nw += 1 if use_reflection else 0
+                kick1 = uni(w[nw]) if use_kick_u else None
+                carry = one_step(carry, uni(w[0]), uni(w[1]), uni(w[2]),
+                                 n1, coin1, kick1)
+            return carry
 
         # chunk-start state (anchor == input position)
         x, y, z = state[0], state[1], state[2]
@@ -433,10 +442,13 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
 
     valid = (jnp.arange(wp) < num_water).astype(dtype).reshape(r, LANES)
 
-    def sprint(mnp_pos, mnp_M, key_arr, ps: PlaneState, lane_offset):
-        cache = (expansion.build_cache(mnp_pos, mnp_M, params)
-                 if expansion.uses_large_path(wp, mnp_pos.shape[0])
-                 else None)
+    def sprint(mnp_pos, mnp_M, key_arr, ps: PlaneState, lane_offset,
+               cache=None):
+        if cache is None and expansion.uses_large_path(
+                wp, mnp_pos.shape[0]):
+            # callers that run many sprints should precompute the cache
+            # once (it only depends on the scene) and pass it in
+            cache = expansion.build_cache(mnp_pos, mnp_M, params)
 
         def chunk_body(ps: PlaneState, chunk_idx):
             del chunk_idx  # ps.step already advances chunk by chunk

@@ -84,8 +84,10 @@ class SimulationRunner:
                     f"tests at chunk_steps={params.chunk_steps} "
                     f"(configured near_k={params.near_k}); raise near_k or "
                     f"lower chunk_steps")
-            if expansion.uses_large_path(params.num_water,
-                                         len(self.scene.mnps)):
+            # the pallas engine decides on the PADDED walker count
+            if expansion.uses_large_path(
+                    pallas_engine.pad_count(params.num_water),
+                    len(self.scene.mnps)):
                 worst_c = expansion.validate_cube_candidates(
                     self.scene.mnps[:, :3], params)
                 if worst_c > params.cube_candidates:
@@ -110,6 +112,14 @@ class SimulationRunner:
 
         self.state = reference_engine.init_state(
             self.scene.waters, params, dtype)
+        # scene-constant selection cache (large scenes): built once here
+        # instead of once per sprint
+        self._cache = None
+        if engine == "pallas" and expansion.uses_large_path(
+                pallas_engine.pad_count(params.num_water),
+                len(self.scene.mnps)):
+            self._cache = expansion.build_cache(
+                self.mnp_pos, self.mnp_M, params)
 
     # -- state plumbing ------------------------------------------------------
 
@@ -119,7 +129,7 @@ class SimulationRunner:
             if ps is None:
                 ps = pallas_engine.to_planes(self.state, self.params)
             ps, wins = self._sprint(self.mnp_pos, self.mnp_M, self.key_arr,
-                                    ps, 0)
+                                    ps, 0, cache=self._cache)
             self._planes = ps
             return wins
         st, wins = self._sprint(self.mnp_pos, self.mnp_M, self.key_arr,
@@ -259,6 +269,13 @@ def main(argv=None):
                     help="field-model rebuild interval (auto-shrunk for "
                          "short runs)")
     ap.add_argument("--near-k", type=int, default=10)
+    ap.add_argument("--max-neighbors", type=int, default=13,
+                    help="nearest-cell lookup capacity; raise for dense "
+                         "scenes (thousands of cells)")
+    ap.add_argument("--hash-dim", type=int, default=20)
+    ap.add_argument("--tau", type=float, default=1e-6,
+                    help="timestep in ms (reference: 1e-6 = 1 ns)")
+    ap.add_argument("--cube-candidates", type=int, default=96)
     ap.add_argument("--sprint-steps", type=int, default=100000,
                     help="steps per host dispatch batch (auto-shrunk to "
                          "divide the total step count)")
@@ -279,7 +296,9 @@ def main(argv=None):
         totaltime=args.totaltime, taucp=args.taucp, mmoment=args.mmoment,
         cell_r=args.cell_r, kick_mode=args.kick_mode,
         chunk_steps=args.chunk_steps, near_k=args.near_k,
-        sprint_steps=args.sprint_steps,
+        sprint_steps=args.sprint_steps, max_neighbors=args.max_neighbors,
+        hash_dim=args.hash_dim, tau=args.tau,
+        cube_candidates=args.cube_candidates,
     )
     params = params.replace(
         chunk_steps=fit_chunk_steps(params, args.chunk_steps))

@@ -141,6 +141,11 @@ def build(anchor, mnp_pos, mnp_M, params: Params,
         # cube-pruned selection: gather the walker's cube candidates
         # (a validated superset of everything reachable this chunk) and
         # pick K among those ~C=96 instead of all N
+        if k > cache.shape[-2]:
+            raise ValueError(
+                f"near_k={k} exceeds cube_candidates={cache.shape[-2]}; "
+                f"selection would duplicate entries and double-count "
+                f"their field")
         h = params.cube_hash_dim
         cube = params.bound / h
         ci = jnp.clip((anchor / cube).astype(jnp.int32), 0, h - 1)

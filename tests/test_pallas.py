@@ -128,3 +128,30 @@ class TestMultiBlock:
         np.testing.assert_allclose(np.asarray(st1.pos),
                                    np.asarray(st2.pos), atol=5e-6)
         np.testing.assert_allclose(c1, c2, atol=1e-2)
+
+
+class TestOddPfreq:
+    def test_odd_pfreq_step_count_threefry(self):
+        """pfreq=125 (odd): the paired-step hardware loop runs a trailing
+        single step; constant-kick phase counts steps exactly.  Run in
+        threefry interpret mode on CPU (the hardware path shares the
+        window/loop structure; its TPU variant is covered by the analytic
+        check in the round log and the same code path)."""
+        p = P.Params(num_water=32, num_cells=1, mmoment=0.0,
+                     kick_mode=P.KICK_CONSTANT, phase_k=400.0, bound=8.0,
+                     cell_r=3.5, water_start_bound=1.0,
+                     avoid_intracellular_throw=False, tau=8e-6,
+                     totaltime=0.002, taucp=0.001, print_interval=1e-3,
+                     sprint_steps=250, chunk_steps=125, near_k=1,
+                     hash_dim=4, max_neighbors=4).validate()
+        assert p.pfreq % 2 == 1
+        sc = BacteriaBox(p, seed=2).populate()
+        _, c, _, _ = pe.run_simulation(sc, p, seed=8, interpret=True)
+        K = p.phase_k * p.tau
+        phase, expect = 0.0, []
+        for step in range(p.pfreq, p.t + 1, p.pfreq):
+            phase += p.pfreq * K
+            expect.append(p.num_water * np.cos(phase))
+            if step % p.tcp == 0:
+                phase = -phase
+        np.testing.assert_allclose(c, expect, rtol=1e-5)
