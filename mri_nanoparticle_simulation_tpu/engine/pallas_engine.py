@@ -34,7 +34,6 @@ The XLA side (recandidate + window bookkeeping) wraps the kernel in
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..params import Params
-from . import dipole, grid as grid_mod
+from . import dipole
 
 
 def dump_field_csv(mnps: np.ndarray, params: Params, path: str,

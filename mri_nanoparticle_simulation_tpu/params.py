@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Tuple
+
 
 # Intentional-physics modes for the intracellular phase kick.
 #

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..params import BOUNDARY_BORDER, BOUNDARY_FULL, BOUNDARY_NONE, Params
+from ..params import BOUNDARY_FULL, BOUNDARY_NONE, Params
 
 
 def apply_bcs_on_mnps(mnps: np.ndarray, params: Params) -> np.ndarray:
