@@ -466,10 +466,15 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                 return a.reshape(r, LANES)
 
             step0 = ps.step
+            lane_off = jnp.asarray(lane_offset, jnp.uint32)
+            # chunk_seed folds in lane_offset so walker shards on other
+            # chips seed distinct hardware-PRNG streams (threefry mode is
+            # shard-invariant by construction via the lane counter)
             scalars = jnp.stack(
                 [step0, key_arr[0], key_arr[1],
-                 step0 ^ (key_arr[1] * jnp.uint32(2654435761)),
-                 jnp.uint32(lane_offset), jnp.uint32(num_water),
+                 (step0 ^ (key_arr[1] * jnp.uint32(2654435761)))
+                 + lane_off * jnp.uint32(2246822519),
+                 lane_off, jnp.uint32(num_water),
                  jnp.uint32(0), jnp.uint32(0)])
             state_in = jnp.stack(
                 [px, py, pz, ps.in_cell, ps.phase, ps.phase_comp])

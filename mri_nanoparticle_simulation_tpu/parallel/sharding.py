@@ -14,9 +14,12 @@ keeps the globally-unique Threefry stream it would have had on one chip —
 an N-chip run produces bit-identical physics to the single-chip run,
 modulo the f32 summation order of the final reduction.
 
-Works with both engines; the scan engine is the default here because a
-sharded state pytree round-trips through shard_map without the Pallas
-plane packing.
+Both engines run sharded: the scan engine shards its [W] state vectors
+directly; the production Pallas engine shards its [R, 128] VPU planes
+over the row axis, each shard padding its local walkers to whole planes
+(``to_planes_sharded``).  Either way the per-walker physics is bitwise
+identical to the single-chip run because the Threefry lane is the
+*global* walker index.
 """
 
 from __future__ import annotations
@@ -26,10 +29,10 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import rng
-from ..engine import reference_engine
+from ..engine import pallas_engine, reference_engine
 from ..params import Params
 
 WALKER_AXIS = "walkers"
@@ -76,6 +79,20 @@ def make_sharded_sprint_fn(params: Params, mesh: Mesh, dtype=jnp.float32):
     return jax.jit(sharded)
 
 
+def _scene_inputs(scene, mesh: Mesh, seed: int, dtype):
+    """Replicated scene inputs placed explicitly on the mesh — nothing
+    may touch the process-default device (which can be a different,
+    possibly unusable, backend when the dryrun runs on a CPU mesh)."""
+    rep = NamedSharding(mesh, P())
+    np_dtype = np.dtype(dtype)
+    mnp_pos = jax.device_put(np.asarray(scene.mnps[:, :3], np_dtype), rep)
+    mnp_M = jax.device_put(np.asarray(scene.mnps[:, 4], np_dtype), rep)
+    k = rng.key_from_seed(seed)
+    key_arr = jax.device_put(
+        np.asarray([np.uint32(k[0]), np.uint32(k[1])]), rep)
+    return mnp_pos, mnp_M, key_arr
+
+
 def run_simulation_sharded(scene, params: Params, mesh: Optional[Mesh] = None,
                            seed: int = 0, dtype=jnp.float32,
                            max_steps: Optional[int] = None):
@@ -83,11 +100,15 @@ def run_simulation_sharded(scene, params: Params, mesh: Optional[Mesh] = None,
     reference_engine.run_simulation."""
     mesh = mesh or make_walker_mesh()
     sprint_fn = make_sharded_sprint_fn(params, mesh, dtype)
-    mnp_pos = jnp.asarray(scene.mnps[:, :3], dtype)
-    mnp_M = jnp.asarray(scene.mnps[:, 4], dtype)
-    k = rng.key_from_seed(seed)
-    key_arr = jnp.asarray([np.uint32(k[0]), np.uint32(k[1])])
-    state = reference_engine.init_state(scene.waters, params, dtype)
+    mnp_pos, mnp_M, key_arr = _scene_inputs(scene, mesh, seed, dtype)
+    with jax.default_device(mesh.devices.flat[0]):
+        state = reference_engine.init_state(scene.waters, params, dtype)
+    state_spec = reference_engine.WalkerState(
+        pos=P(WALKER_AXIS), in_cell=P(WALKER_AXIS), phase=P(WALKER_AXIS),
+        phase_comp=P(WALKER_AXIS), step=P(), escapes=P())
+    state = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        state, state_spec)
 
     total = params.t if max_steps is None else min(params.t, max_steps)
     outs = []
@@ -97,4 +118,138 @@ def run_simulation_sharded(scene, params: Params, mesh: Optional[Mesh] = None,
     wins = jnp.concatenate(outs, 0) if outs else jnp.zeros((0, 2), dtype)
     n = wins.shape[0]
     times = (np.arange(1, n + 1) * params.pfreq) * params.tau
+    return times, np.asarray(wins[:, 0]), np.asarray(wins[:, 1]), state
+
+
+# ---------------------------------------------------------------------------
+# Production (Pallas) engine, sharded
+# ---------------------------------------------------------------------------
+
+def _slice_state(state: reference_engine.WalkerState, lo: int, hi: int):
+    return state._replace(pos=state.pos[lo:hi], in_cell=state.in_cell[lo:hi],
+                          phase=state.phase[lo:hi],
+                          phase_comp=state.phase_comp[lo:hi])
+
+
+def to_planes_sharded(state: reference_engine.WalkerState, params: Params,
+                      n_shards: int) -> pallas_engine.PlaneState:
+    """[W]-vector state -> concatenated per-shard padded [R, 128] planes.
+
+    Each shard owns a contiguous walker range padded independently to
+    whole VPU planes, so shard s's rows are rows [s*r_local, (s+1)*r_local)
+    of the global plane arrays and ``P(WALKER_AXIS)`` on the row axis
+    splits them exactly."""
+    w = state.pos.shape[0]
+    if w % n_shards != 0:
+        raise ValueError(f"num_water ({w}) must divide evenly over "
+                         f"{n_shards} shards")
+    local_w = w // n_shards
+    pieces = [pallas_engine.to_planes(
+        _slice_state(state, s * local_w, (s + 1) * local_w), params)
+        for s in range(n_shards)]
+    cat = lambda f: jnp.concatenate([getattr(p, f) for p in pieces], axis=0)
+    return pallas_engine.PlaneState(
+        px=cat("px"), py=cat("py"), pz=cat("pz"), in_cell=cat("in_cell"),
+        phase=cat("phase"), phase_comp=cat("phase_comp"),
+        step=state.step, escapes=state.escapes)
+
+
+def from_planes_sharded(ps: pallas_engine.PlaneState, num_water: int,
+                        n_shards: int) -> reference_engine.WalkerState:
+    local_w = num_water // n_shards
+    r_local = ps.px.shape[0] // n_shards
+    parts = []
+    for s in range(n_shards):
+        local = pallas_engine.PlaneState(
+            px=ps.px[s * r_local:(s + 1) * r_local],
+            py=ps.py[s * r_local:(s + 1) * r_local],
+            pz=ps.pz[s * r_local:(s + 1) * r_local],
+            in_cell=ps.in_cell[s * r_local:(s + 1) * r_local],
+            phase=ps.phase[s * r_local:(s + 1) * r_local],
+            phase_comp=ps.phase_comp[s * r_local:(s + 1) * r_local],
+            step=ps.step, escapes=ps.escapes)
+        parts.append(pallas_engine.from_planes(local, local_w))
+    cat = lambda f: jnp.concatenate([getattr(p, f) for p in parts], axis=0)
+    return reference_engine.WalkerState(
+        pos=cat("pos"), in_cell=cat("in_cell"), phase=cat("phase"),
+        phase_comp=cat("phase_comp"), step=ps.step, escapes=ps.escapes)
+
+
+def make_sharded_pallas_sprint_fn(params: Params, num_water: int, mesh: Mesh,
+                                  dtype=jnp.float32,
+                                  rng_impl: str = pallas_engine.RNG_THREEFRY,
+                                  interpret: bool = False):
+    """Sharded sprint over the production Pallas engine: per-shard plane
+    blocks run the fused chunk kernel locally (each shard's Mosaic grid
+    covers only its rows), window sums psum over ICI.
+
+    sprint(mnp_pos, mnp_M, key_arr, plane_state) -> (plane_state', wins)
+    with ``plane_state`` laid out by :func:`to_planes_sharded`.
+    """
+    n_shards = mesh.shape[WALKER_AXIS]
+    if num_water % n_shards != 0:
+        raise ValueError(
+            f"num_water ({num_water}) must divide evenly over "
+            f"{n_shards} devices")
+    local_w = num_water // n_shards
+    local_sprint = pallas_engine.make_sprint_fn(
+        params, local_w, dtype, rng_impl, interpret)
+
+    def shard_fn(mnp_pos, mnp_M, key_arr, ps: pallas_engine.PlaneState):
+        idx = jax.lax.axis_index(WALKER_AXIS)
+        # global Threefry lane = global walker index: shard s, local j
+        # -> s*local_w + j, exactly the single-chip lane assignment
+        lane_offset = (idx * local_w).astype(jnp.uint32)
+        esc0 = ps.escapes
+        new_ps, wins = local_sprint(mnp_pos, mnp_M, key_arr, ps,
+                                    lane_offset)
+        wins = jax.lax.psum(wins, WALKER_AXIS)
+        esc = jax.lax.psum(new_ps.escapes - esc0, WALKER_AXIS) + esc0
+        return new_ps._replace(escapes=esc), wins
+
+    row = P(WALKER_AXIS)
+    ps_spec = pallas_engine.PlaneState(
+        px=row, py=row, pz=row, in_cell=row, phase=row, phase_comp=row,
+        step=P(), escapes=P())
+    sharded = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), ps_spec),
+        out_specs=(ps_spec, P()), check_vma=False)
+    return jax.jit(sharded)
+
+
+def run_simulation_sharded_pallas(scene, params: Params,
+                                  mesh: Optional[Mesh] = None,
+                                  seed: int = 0, dtype=jnp.float32,
+                                  rng_impl: str = pallas_engine.RNG_THREEFRY,
+                                  interpret: bool = False,
+                                  max_steps: Optional[int] = None):
+    """Full sharded run on the production Pallas engine; mirrors
+    pallas_engine.run_simulation."""
+    mesh = mesh or make_walker_mesh()
+    n_shards = mesh.shape[WALKER_AXIS]
+    num_water = scene.waters.shape[0]
+    sprint_fn = make_sharded_pallas_sprint_fn(
+        params, num_water, mesh, dtype, rng_impl, interpret)
+    mnp_pos, mnp_M, key_arr = _scene_inputs(scene, mesh, seed, dtype)
+    with jax.default_device(mesh.devices.flat[0]):
+        ps = to_planes_sharded(
+            reference_engine.init_state(scene.waters, params, dtype),
+            params, n_shards)
+    row = P(WALKER_AXIS)
+    ps_spec = pallas_engine.PlaneState(
+        px=row, py=row, pz=row, in_cell=row, phase=row, phase_comp=row,
+        step=P(), escapes=P())
+    ps = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), ps, ps_spec)
+
+    total = params.t if max_steps is None else min(params.t, max_steps)
+    outs = []
+    for _ in range(total // params.sprint_steps):
+        ps, wins = sprint_fn(mnp_pos, mnp_M, key_arr, ps)
+        outs.append(wins)
+    wins = jnp.concatenate(outs, 0) if outs else jnp.zeros((0, 2), dtype)
+    n = wins.shape[0]
+    times = (np.arange(1, n + 1) * params.pfreq) * params.tau
+    state = from_planes_sharded(ps, num_water, n_shards)
     return times, np.asarray(wins[:, 0]), np.asarray(wins[:, 1]), state
