@@ -1,95 +1,12 @@
-"""Benchmark: walker-steps/sec/chip on the reference headline config.
+"""Driver-contract shim: prints one JSON benchmark line.
 
-Runs the production Pallas engine on the reference workload (4032 waters,
-270 cells, full dipole phase accumulation, Carr-Purcell flips) for enough
-sprints to amortize dispatch latency, and prints ONE JSON line:
-
-    {"metric": "walker_steps_per_sec_per_chip", "value": ..., "unit":
-     "walker-steps/s", "vs_baseline": ...}
-
-vs_baseline is the speedup over the reference's Tesla K40 throughput of
-~1.9e8 walker-steps/s (README.md:16: 4032 waters x 4e7 steps in ~14 min;
-BASELINE.md).
+The implementation lives in mri_nanoparticle_simulation_tpu/benchmark.py
+(also installed as the ``mri-t2-bench`` console script).
 """
 
-import json
 import sys
-import time
 
-import numpy as np
-
-K40_BASELINE = 1.9e8  # walker-steps/s (BASELINE.md, derived README.md:16)
-
-
-def main():
-    import jax
-    from mri_nanoparticle_simulation_tpu.utils.cache import \
-        enable_compile_cache
-    enable_compile_cache()
-    import jax.numpy as jnp
-    from mri_nanoparticle_simulation_tpu import rng
-    from mri_nanoparticle_simulation_tpu.engine import (pallas_engine,
-                                                        reference_engine)
-    from mri_nanoparticle_simulation_tpu.params import Params
-    from mri_nanoparticle_simulation_tpu.scene import BacteriaBox
-
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
-    # sprint_steps=20000 compiles in seconds (larger host batches hit a
-    # pathological multi-minute XLA compile; see PLAN.md).  chunk=4000/K=10
-    # is the fastest validated-coverage configuration for this scene.
-    p = Params(chunk_steps=4000, near_k=10, sprint_steps=20000).validate()
-    sc = BacteriaBox(p, seed=42).populate()
-    mnp_pos = jnp.asarray(sc.mnps[:, :3], jnp.float32)
-    mnp_M = jnp.asarray(sc.mnps[:, 4], jnp.float32)
-    k = rng.key_from_seed(7)
-    key_arr = jnp.asarray([np.uint32(k[0]), np.uint32(k[1])])
-    state = reference_engine.init_state(sc.waters, p, jnp.float32)
-
-    if on_tpu:
-        sprint = pallas_engine.make_sprint_fn(
-            p, p.num_water, jnp.float32,
-            rng_impl=pallas_engine.RNG_HARDWARE)
-        ps = pallas_engine.to_planes(state, p)
-        n_sprints = 100
-    else:  # CPU fallback so the bench still runs anywhere
-        sprint = reference_engine.make_sprint_fn(
-            p.replace(chunk_steps=1000, near_k=8), jnp.float32)
-        n_sprints = 1
-        ps = state
-
-    def run_one(ps):
-        return sprint(mnp_pos, mnp_M, key_arr, ps, 0)
-
-    # warmup / compile
-    ps, wins = run_one(ps)
-    np.asarray(wins)
-
-    t0 = time.perf_counter()
-    for _ in range(n_sprints):
-        ps, wins = run_one(ps)
-    last = np.asarray(wins)          # full sync (axon block_until_ready
-    _ = np.asarray(ps[0])            # does not round-trip the tunnel)
-    wall = time.perf_counter() - t0
-
-    rate = n_sprints * p.sprint_steps * p.num_water / wall
-    full_run_s = p.t * p.num_water / rate
-    print(json.dumps({
-        "metric": "walker_steps_per_sec_per_chip",
-        "value": rate,
-        "unit": "walker-steps/s",
-        "vs_baseline": rate / K40_BASELINE,
-        "detail": {
-            "config": "4032 waters x 270 cells, dipole phase accumulation,"
-                      " CP flips (reference headline workload)",
-            "device": str(jax.devices()[0]),
-            "engine": "pallas" if on_tpu else "scan(cpu)",
-            "sprints_timed": n_sprints,
-            "projected_full_run_s": full_run_s,
-            "k40_full_run_s": 840.0,
-            "sum_cos_per_walker": float(last[-1, 0]) / p.num_water,
-        },
-    }))
-
+from mri_nanoparticle_simulation_tpu.benchmark import main
 
 if __name__ == "__main__":
     sys.exit(main())

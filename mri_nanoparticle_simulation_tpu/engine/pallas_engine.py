@@ -58,6 +58,11 @@ BLOCK_ROWS = 32
 RNG_THREEFRY = "threefry"
 RNG_HARDWARE = "hardware"
 
+#: dipole-table limit for the in-kernel rebuild path ([4, N] f32 in SMEM:
+#: 2048 entries = 32 KB).  Bigger scenes fall back to the XLA recandidate
+#: with the cube-candidate cache (fields/expansion.py).
+REBUILD_MAX_MNPS = 2048
+
 
 class PlaneState(NamedTuple):
     """Walker state as [R, 128] VPU planes (pallas-engine native form)."""
@@ -134,7 +139,8 @@ def _threefry_words(key01, c0_scalar, lane, n_words, rounds):
 
 def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                       rng_impl: str = RNG_THREEFRY,
-                      interpret: bool = False):
+                      interpret: bool = False,
+                      n_mnp_pad: int | None = None):
     """Build the pallas_call executing one chunk (chunk_steps timesteps,
     spanning chunk_steps/pfreq output windows) for all walkers.
 
@@ -153,6 +159,19 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
     before the recandidate build), and walker lanes / validity masks are
     derived in-kernel from (program_id, lane_offset, num_water) — no
     per-launch index planes.
+
+    **In-kernel rebuild mode** (``n_mnp_pad`` set): the near/taylor inputs
+    are replaced by the raw dipole table in SMEM, and the kernel performs
+    the whole recandidate itself at chunk start — periodic wrap, exact
+    K-nearest selection (branchless sorted insertion over the table), and
+    the far-field Taylor sums with the selected dipoles excluded by
+    index.  This deletes the XLA-side recandidate entirely (~0.4 ms/chunk
+    of reductions + glue at the reference scale) for ~0.12 ms of in-kernel
+    work:
+
+        f(scalars_u32[8], state [6, R, 128],
+          mnp [4, n_mnp_pad] SMEM (x, y, z, M*FIELD_SCALE))
+        -> same outputs.
     """
     params.validate()
     if params.chunk_steps % params.pfreq != 0:
@@ -160,6 +179,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
             "pallas engine requires chunk_steps to be a multiple of pfreq")
     n_win = params.chunk_steps // params.pfreq
     k = params.near_k
+    rebuild = n_mnp_pad is not None
     use_reflection = params.reflect_io > 0 or params.reflect_oi > 0
     use_kick_u = params.kick_mode == KICK_INTENDED
     n_words = 7 if (use_reflection or use_kick_u) else 5
@@ -171,6 +191,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
     out_stdev = float(params.out_stdev)
     phase_per_tesla = float(params.phase_per_tesla)
     two_pi = float(2.0 * np.pi)
+    bound_f = float(params.bound)
 
     r_blk = min(r_planes, BLOCK_ROWS)
     if r_planes % r_blk != 0:
@@ -179,7 +200,121 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
     n_blocks = r_planes // r_blk
     blk_walkers = r_blk * LANES
 
-    def kernel(scalars, state, near, taylor, o_state, o_maxd2, o_wins):
+    def rebuild_model(mnp, ax_full, ay_full, az_full):
+        """In-kernel recandidate: exact K-nearest selection + far Taylor.
+
+        Selection is a branchless sorted insertion over the SMEM dipole
+        table — exact f32 distances (stronger than the XLA path's
+        bf16-fuzzed argmin passes).  The far pass excludes the selected
+        dipoles by table index, the same exactness contract as
+        expansion._far_sums_*.
+
+        Runs over row sub-groups of 8 so the ~40 live planes of loop
+        carry stay a register-file-sized working set (at the full 32-row
+        block they spill, tripling the rebuild cost — measured)."""
+        sub = min(8, r_blk)
+        groups = [
+            _rebuild_group(mnp, ax_full[g:g + sub], ay_full[g:g + sub],
+                           az_full[g:g + sub], min(sub, r_blk - g))
+            for g in range(0, r_blk, sub)]
+        cat = lambda i: ([jnp.concatenate([grp[i][j] for grp in groups], 0)
+                          for j in range(len(groups[0][i]))])
+        return cat(0), cat(1), cat(2), cat(3), cat(4)
+
+    def _rebuild_group(mnp, ax, ay, az, rows):
+        inf = jnp.full((rows, LANES), 1e30, dtype)
+        zero = jnp.zeros((rows, LANES), dtype)
+        neg1 = jnp.full((rows, LANES), -1, jnp.int32)
+        # slots: (d2, x, y, z, m, idx) ascending by d2
+        init = ((inf,) * k, (zero,) * k, (zero,) * k, (zero,) * k,
+                (zero,) * k, (neg1,) * k)
+
+        def sel_body(j, slots):
+            d2s, xs, ys, zs, ms, ids = slots
+            x0 = mnp[0, j]
+            y0 = mnp[1, j]
+            z0 = mnp[2, j]
+            m0 = mnp[3, j]
+            dx = ax - x0
+            dy = ay - y0
+            dz = az - z0
+            d2 = dx * dx + dy * dy + dz * dz
+            nd2, nxs, nys, nzs, nms, nids = [], [], [], [], [], []
+            for s in range(k):
+                lt_s = d2 < d2s[s]
+                if s == 0:
+                    take_new = lt_s
+                    take_prev = None
+                else:
+                    take_prev = d2 < d2s[s - 1]
+                    take_new = lt_s & ~take_prev
+
+                def put(new_val, old, prev):
+                    v = jnp.where(take_new, new_val, old)
+                    if take_prev is not None:
+                        v = jnp.where(take_prev, prev, v)
+                    return v
+
+                prev_i = s - 1
+                nd2.append(put(d2, d2s[s],
+                               d2s[prev_i] if s else None))
+                nxs.append(put(x0, xs[s], xs[prev_i] if s else None))
+                nys.append(put(y0, ys[s], ys[prev_i] if s else None))
+                nzs.append(put(z0, zs[s], zs[prev_i] if s else None))
+                nms.append(put(m0, ms[s], ms[prev_i] if s else None))
+                nids.append(put(j, ids[s], ids[prev_i] if s else None))
+            return (tuple(nd2), tuple(nxs), tuple(nys), tuple(nzs),
+                    tuple(nms), tuple(nids))
+
+        _, xs, ys, zs, ms, ids = jax.lax.fori_loop(
+            0, n_mnp_pad, sel_body, init)
+
+        def far_body(j, accs):
+            x0 = mnp[0, j]
+            y0 = mnp[1, j]
+            z0 = mnp[2, j]
+            m0 = mnp[3, j]
+            dx = ax - x0
+            dy = ay - y0
+            dz = az - z0
+            far = ids[0] != j
+            for s in range(1, k):
+                far = far & (ids[s] != j)
+            r2 = dx * dx + dy * dy + dz * dz
+            # clamp, not select: an excluded dipole can sit at r ~ 0
+            # (walker inside its cell); the mask zeroes the garbage
+            r2 = jnp.maximum(r2, 1e-8)
+            inv_r = jax.lax.rsqrt(r2)
+            inv_r2 = inv_r * inv_r
+            inv_r5 = inv_r2 * inv_r2 * inv_r
+            inv_r7 = inv_r5 * inv_r2
+            dz2 = dz * dz
+            b0 = m0 * (3.0 * dz2 - r2) * inv_r5
+            u = r2 - 5.0 * dz2
+            v = 3.0 * r2 - 5.0 * dz2
+            m3r7 = 3.0 * m0 * inv_r7
+            u_r2 = 7.0 * u * inv_r2
+            parts = (b0,
+                     m3r7 * dx * u, m3r7 * dy * u, m3r7 * dz * v,
+                     m3r7 * (u + dx * dx * (2.0 - u_r2)),
+                     m3r7 * (u + dy * dy * (2.0 - u_r2)),
+                     m3r7 * (v - dz2 * (4.0 + 7.0 * v * inv_r2)),
+                     m3r7 * dx * dy * (2.0 - u_r2),
+                     m3r7 * dx * dz * (-8.0 - u_r2),
+                     m3r7 * dy * dz * (-8.0 - u_r2))
+            w = far.astype(dtype)
+            return tuple(a + c * w for a, c in zip(accs, parts))
+
+        accs = jax.lax.fori_loop(
+            0, n_mnp_pad, far_body,
+            (jnp.zeros((rows, LANES), dtype),) * 10)
+        return list(xs), list(ys), list(zs), list(ms), list(accs)
+
+    def kernel(scalars, state, *rest):
+        if rebuild:
+            (mnp,), (o_state, o_maxd2, o_wins) = rest[:1], rest[1:]
+        else:
+            (near, taylor), (o_state, o_maxd2, o_wins) = rest[:2], rest[2:]
         step0 = scalars[0]
         key01 = (scalars[1], scalars[2])
         if rng_impl == RNG_HARDWARE:
@@ -200,11 +335,22 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         valid_v = (idx_u < scalars[5]).astype(dtype)
         lane_v = idx_u + scalars[4]
 
-        anchor_x, anchor_y, anchor_z = state[0], state[1], state[2]
-        tb0, tgx, tgy, tgz = taylor[0], taylor[1], taylor[2], taylor[3]
-        thxx, thyy, thzz = taylor[4], taylor[5], taylor[6]
-        thxy, thxz, thyz = taylor[7], taylor[8], taylor[9]
-        nx, ny, nz, nM = near[0], near[1], near[2], near[3]
+        if rebuild:
+            # periodic wrap at chunk boundary, in-kernel (same semantics
+            # as the XLA-side jnp.mod in the non-rebuild sprint)
+            anchor_x = jnp.mod(state[0] + bound_f, bound_f)
+            anchor_y = jnp.mod(state[1] + bound_f, bound_f)
+            anchor_z = jnp.mod(state[2] + bound_f, bound_f)
+            nx, ny, nz, nM, taylor_acc = rebuild_model(
+                mnp, anchor_x, anchor_y, anchor_z)
+            (tb0, tgx, tgy, tgz, thxx, thyy, thzz, thxy, thxz,
+             thyz) = taylor_acc
+        else:
+            anchor_x, anchor_y, anchor_z = state[0], state[1], state[2]
+            tb0, tgx, tgy, tgz = taylor[0], taylor[1], taylor[2], taylor[3]
+            thxx, thyy, thzz = taylor[4], taylor[5], taylor[6]
+            thxy, thxz, thyz = taylor[7], taylor[8], taylor[9]
+            nx, ny, nz, nM = near[0], near[1], near[2], near[3]
 
         def hw_bits(n):
             # prng_random_bits yields int32; bitcast before the logical
@@ -348,8 +494,8 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                                  n1, coin1, kick1)
             return carry
 
-        # chunk-start state (anchor == input position)
-        x, y, z = state[0], state[1], state[2]
+        # chunk-start state (anchor == wrapped input position)
+        x, y, z = anchor_x, anchor_y, anchor_z
         b_start, in_start = eval_field(x, y, z)
         phase = state[4]
         comp = state[5]
@@ -390,14 +536,21 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
     sspec = pl.BlockSpec((8,), lambda b: (0,), memory_space=pltpu.SMEM)
     state_spec = pl.BlockSpec((6, r_blk, LANES), lambda b: (0, b, 0),
                               memory_space=pltpu.VMEM)
-    near_spec = pl.BlockSpec((4, k, r_blk, LANES), lambda b: (0, 0, b, 0),
-                             memory_space=pltpu.VMEM)
-    taylor_spec = pl.BlockSpec((10, r_blk, LANES), lambda b: (0, b, 0),
-                               memory_space=pltpu.VMEM)
     maxd2_spec = pl.BlockSpec((r_blk, LANES), lambda b: (b, 0),
                               memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((1, n_win, 2), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM)
+    if rebuild:
+        mnp_spec = pl.BlockSpec((4, n_mnp_pad), lambda b: (0, 0),
+                                memory_space=pltpu.SMEM)
+        in_specs = [sspec, state_spec, mnp_spec]
+    else:
+        near_spec = pl.BlockSpec((4, k, r_blk, LANES),
+                                 lambda b: (0, 0, b, 0),
+                                 memory_space=pltpu.VMEM)
+        taylor_spec = pl.BlockSpec((10, r_blk, LANES), lambda b: (0, b, 0),
+                                   memory_space=pltpu.VMEM)
+        in_specs = [sspec, state_spec, near_spec, taylor_spec]
 
     call = pl.pallas_call(
         kernel,
@@ -407,7 +560,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
             jax.ShapeDtypeStruct((r_planes, LANES), dtype),
             jax.ShapeDtypeStruct((n_blocks, n_win, 2), dtype),
         ),
-        in_specs=[sspec, state_spec, near_spec, taylor_spec],
+        in_specs=in_specs,
         out_specs=(state_spec, maxd2_spec, wspec),
         interpret=interpret,
     )
@@ -422,6 +575,11 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
 
     sprint(mnp_pos, mnp_M, key_arr, plane_state, lane_offset)
         -> (plane_state', wins [n_windows, 2])
+
+    When the scene's dipole table fits SMEM (<= REBUILD_MAX_MNPS entries),
+    the whole recandidate runs inside the chunk kernel and the XLA side
+    degenerates to a scan over kernel launches; the dipole-table length
+    (static under jit) selects the path at trace time.
     """
     params.validate()
     wp = pad_count(num_water)
@@ -436,18 +594,77 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
         raise ValueError("sprint_steps must be a multiple of chunk_steps")
     n_win_chunk = chunk_steps // params.pfreq
     travel2 = dtype(expansion.default_travel_bound(params) ** 2)
-    kern = make_chunk_kernel(params, r, dtype, rng_impl, interpret)
     bound = dtype(params.bound)
+    kerns = {}
+
+    def get_kern(n_mnp_pad):
+        if n_mnp_pad not in kerns:
+            kerns[n_mnp_pad] = make_chunk_kernel(
+                params, r, dtype, rng_impl, interpret,
+                n_mnp_pad=n_mnp_pad)
+        return kerns[n_mnp_pad]
 
     valid = (jnp.arange(wp) < num_water).astype(dtype).reshape(r, LANES)
 
+    def make_scalars(ps, lane_offset, key_arr):
+        step0 = ps.step
+        lane_off = jnp.asarray(lane_offset, jnp.uint32)
+        # chunk_seed folds in lane_offset so walker shards on other
+        # chips seed distinct hardware-PRNG streams (threefry mode is
+        # shard-invariant by construction via the lane counter)
+        return jnp.stack(
+            [step0, key_arr[0], key_arr[1],
+             (step0 ^ (key_arr[1] * jnp.uint32(2654435761)))
+             + lane_off * jnp.uint32(2246822519),
+             lane_off, jnp.uint32(num_water),
+             jnp.uint32(0), jnp.uint32(0)])
+
+    def advance(ps, state_out, omaxd2):
+        escapes = ps.escapes + jnp.sum(
+            (omaxd2 * valid) > travel2, dtype=jnp.int32)
+        return PlaneState(px=state_out[0], py=state_out[1],
+                          pz=state_out[2], in_cell=state_out[3],
+                          phase=state_out[4], phase_comp=state_out[5],
+                          step=ps.step + jnp.uint32(chunk_steps),
+                          escapes=escapes)
+
     def sprint(mnp_pos, mnp_M, key_arr, ps: PlaneState, lane_offset,
                cache=None):
-        if cache is None and expansion.uses_large_path(
-                wp, mnp_pos.shape[0]):
+        n_mnp = mnp_pos.shape[0]
+        if n_mnp <= REBUILD_MAX_MNPS:
+            # in-kernel rebuild: pack the SMEM table once per sprint
+            n_pad = -(-n_mnp // 8) * 8
+            pos_p = jnp.concatenate(
+                [mnp_pos, jnp.full((n_pad - n_mnp, 3), 1e6, dtype)]) \
+                if n_pad != n_mnp else mnp_pos
+            m_p = jnp.concatenate(
+                [mnp_M, jnp.zeros(n_pad - n_mnp, dtype)]) \
+                if n_pad != n_mnp else mnp_M
+            mnp_tbl = jnp.concatenate(
+                [pos_p.T, (m_p * dtype(dipole.FIELD_SCALE))[None, :]], 0)
+            kern = get_kern(n_pad)
+
+            def chunk_body(ps: PlaneState, chunk_idx):
+                del chunk_idx
+                state_in = jnp.stack([ps.px, ps.py, ps.pz, ps.in_cell,
+                                      ps.phase, ps.phase_comp])
+                state_out, omaxd2, block_wins = kern(
+                    make_scalars(ps, lane_offset, key_arr), state_in,
+                    mnp_tbl)
+                return advance(ps, state_out, omaxd2), \
+                    jnp.sum(block_wins, axis=0)
+
+            ps, wins = jax.lax.scan(chunk_body, ps,
+                                    jnp.arange(n_chunks, dtype=jnp.uint32))
+            return ps, wins.reshape(n_chunks * n_win_chunk, 2)
+
+        # big-scene path: XLA recandidate (cube-candidate cache) feeding
+        # the near/taylor kernel inputs
+        if cache is None and expansion.uses_large_path(wp, n_mnp):
             # callers that run many sprints should precompute the cache
             # once (it only depends on the scene) and pass it in
             cache = expansion.build_cache(mnp_pos, mnp_M, params)
+        kern = get_kern(None)
 
         def chunk_body(ps: PlaneState, chunk_idx):
             del chunk_idx  # ps.step already advances chunk by chunk
@@ -457,7 +674,8 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
             pz = jnp.mod(ps.pz + bound, bound)
             pos = jnp.stack([px.reshape(-1), py.reshape(-1),
                              pz.reshape(-1)], axis=-1)
-            nf = expansion.build(pos, mnp_pos, mnp_M, params, cache=cache)
+            nf = expansion.build(pos, mnp_pos, mnp_M, params, cache=cache,
+                                 far_impl="pallas", interpret=interpret)
 
             def slab(a):  # [W, K] -> [K, R, 128]
                 return a.T.reshape(params.near_k, r, LANES)
@@ -465,17 +683,6 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
             def pl_(a):   # [W] -> [R, 128]
                 return a.reshape(r, LANES)
 
-            step0 = ps.step
-            lane_off = jnp.asarray(lane_offset, jnp.uint32)
-            # chunk_seed folds in lane_offset so walker shards on other
-            # chips seed distinct hardware-PRNG streams (threefry mode is
-            # shard-invariant by construction via the lane counter)
-            scalars = jnp.stack(
-                [step0, key_arr[0], key_arr[1],
-                 (step0 ^ (key_arr[1] * jnp.uint32(2654435761)))
-                 + lane_off * jnp.uint32(2246822519),
-                 lane_off, jnp.uint32(num_water),
-                 jnp.uint32(0), jnp.uint32(0)])
             state_in = jnp.stack(
                 [px, py, pz, ps.in_cell, ps.phase, ps.phase_comp])
             near = jnp.stack([slab(nf.near_pos[..., 0]),
@@ -492,17 +699,11 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                  pl_(nf.hess[..., 2]), pl_(nf.hess[..., 3]),
                  pl_(nf.hess[..., 4]), pl_(nf.hess[..., 5])])
 
-            state_out, omaxd2, block_wins = kern(scalars, state_in, near,
-                                                 taylor)
-            wins = jnp.sum(block_wins, axis=0)
-            escapes = ps.escapes + jnp.sum(
-                (omaxd2 * valid) > travel2, dtype=jnp.int32)
-            new_ps = PlaneState(px=state_out[0], py=state_out[1],
-                                pz=state_out[2], in_cell=state_out[3],
-                                phase=state_out[4], phase_comp=state_out[5],
-                                step=step0 + jnp.uint32(chunk_steps),
-                                escapes=escapes)
-            return new_ps, wins
+            state_out, omaxd2, block_wins = kern(
+                make_scalars(ps, lane_offset, key_arr), state_in, near,
+                taylor)
+            return advance(ps, state_out, omaxd2), \
+                jnp.sum(block_wins, axis=0)
 
         ps, wins = jax.lax.scan(chunk_body, ps,
                                 jnp.arange(n_chunks, dtype=jnp.uint32))

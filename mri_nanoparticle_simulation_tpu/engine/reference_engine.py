@@ -27,10 +27,15 @@ Semantics notes (each a deliberate, documented decision):
 
 * Periodic wrapping happens at chunk boundaries, not every step
   (the reference wraps per step, cuda_sim.cu:597-601).  Within a chunk a
-  walker strays at most ~1 µm past a face, where the field from the
-  MNP periodic images (border = 6 µm) equals the wrapped field by
-  construction, and cells never cross faces — so the dynamics are
-  identical; the stray is wrapped before it matters.
+  walker strays at most ~1 µm past a face, where the MNP periodic images
+  (border = 6 µm) reproduce the wrapped-position field exactly for every
+  dipole within `border` of the crossing, and cells never cross faces —
+  trajectories are identical modulo the box.  The residual is the phase
+  picked up from *unimaged* dipole tails (>= border away, B ~ M/border³)
+  during the excursion: the same truncation order as the reference's own
+  image construction, i.e. neither wrap rule is more correct.  Tested
+  adversarially with a per-step-wrapping oracle on a face-hugging scene
+  (tests/test_engine.py TestWrapSemantics).
 * Phase is accumulated per window in full precision and folded into the
   per-walker phase with Kahan compensation — 4e7 f32 additions of
   ~1e-4-rad kicks would otherwise round away the curve.
@@ -53,8 +58,10 @@ import numpy as np
 from .. import rng
 from ..fields import expansion
 from ..fields import dipole
-from ..params import (DIRECTION_CUBE, FIELD_EXACT, KICK_AS_WRITTEN,
-                      KICK_CONSTANT, KICK_INTENDED, KICK_NONE, Params)
+from ..fields import grid as grid_mod
+from ..params import (DIRECTION_CUBE, FIELD_EXACT, FIELD_GRID,
+                      KICK_AS_WRITTEN, KICK_CONSTANT, KICK_INTENDED,
+                      KICK_NONE, Params)
 
 
 class WalkerState(NamedTuple):
@@ -68,13 +75,18 @@ class WalkerState(NamedTuple):
 
 
 def init_state(waters: np.ndarray, params: Params,
-               dtype=jnp.float32) -> WalkerState:
+               dtype=jnp.float32, phase_dtype=None) -> WalkerState:
+    """``phase_dtype`` (default = dtype) sets the phase-accumulation
+    precision independently of the trajectory precision — positions never
+    depend on phase, so f32 trajectories with f64 phase isolate the
+    accumulation drift exactly (the accuracy dossier's precision arm)."""
     w = waters.shape[0]
+    pdt = phase_dtype or dtype
     return WalkerState(
         pos=jnp.asarray(waters, dtype),
         in_cell=jnp.zeros(w, jnp.bool_),   # refreshed at first chunk start
-        phase=jnp.zeros(w, dtype),
-        phase_comp=jnp.zeros(w, dtype),
+        phase=jnp.zeros(w, pdt),
+        phase_comp=jnp.zeros(w, pdt),
         step=jnp.uint32(0),
         escapes=jnp.int32(0),
     )
@@ -109,7 +121,14 @@ def intracellular_kick(params: Params, u_kick, in_cell, dtype):
     return jnp.where(in_cell, per_step, 0.0)
 
 
-def make_sprint_fn(params: Params, dtype=jnp.float32):
+class _AnchorOnly(NamedTuple):
+    """Stand-in field model for backends that need no chunk rebuild
+    (FIELD_GRID / FIELD_EXACT query arbitrary positions directly)."""
+    anchor: jnp.ndarray
+
+
+def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
+                   phase_dtype=None):
     """Build the jitted sprint function.
 
     Returns ``sprint(mnp_pos, mnp_M, key, state, lane_offset) ->
@@ -117,8 +136,17 @@ def make_sprint_fn(params: Params, dtype=jnp.float32):
     is [n_windows, 2] local (sum cos, sum sin) per output window.
     ``lane_offset`` makes walker RNG lanes globally unique when walkers are
     sharded across devices.
+
+    ``field_grid`` (a :class:`fields.grid.FieldGrid`) is required when
+    ``params.field_mode == FIELD_GRID``; the grid is scene-static, so build
+    it once with :func:`fields.grid.build_grid` and reuse across sprints.
+
+    ``phase_dtype`` (default = dtype) accumulates phase in a different
+    precision; trajectories are unaffected (phase never feeds back), so
+    f32 positions + f64 phase isolates accumulation drift exactly.
     """
     params.validate()
+    pdt = phase_dtype or dtype
     window_major = params.pfreq % params.chunk_steps == 0
     if window_major:
         # rebuild >= once per window: scan windows -> chunks -> steps
@@ -141,10 +169,22 @@ def make_sprint_fn(params: Params, dtype=jnp.float32):
     bound = dtype(params.bound)
 
     exact_mode = params.field_mode == FIELD_EXACT
+    grid_mode = params.field_mode == FIELD_GRID
+    if grid_mode:
+        if field_grid is None:
+            raise ValueError("field_mode='grid' requires a prebuilt "
+                             "field_grid (fields.grid.build_grid)")
+        # the grid clamps out-of-box queries, so grid mode wraps positions
+        # every step — which is exactly the reference's per-step
+        # boundary_conditions semantics (cuda_sim.cu:597-601)
+        travel2 = dtype(np.inf)
 
     def field_at(nf, pos, mnp_pos, mnp_M):
-        """Field + residency: expansion (production) or brute-force exact
-        (the reference's EXPLICIT mode, octree.cpp:395-396)."""
+        """Field + residency: expansion (production), uniform grid
+        (the reference octree's direct analogue, octree.cpp:151-158), or
+        brute-force exact (EXPLICIT mode, octree.cpp:395-396)."""
+        if grid_mode:
+            return grid_mod.query(field_grid, pos, cell_r)
         if not exact_mode:
             b, in_c, _ = expansion.evaluate(nf, pos, cell_r)
             return b, in_c
@@ -152,6 +192,11 @@ def make_sprint_fn(params: Params, dtype=jnp.float32):
         d2 = jnp.sum(d * d, axis=-1)
         b = dipole.total_field_masked(pos, mnp_pos, mnp_M, cell_r)
         return b, jnp.any(d2 < cell_r * cell_r, axis=-1)
+
+    def build_field_model(pos, mnp_pos, mnp_M, cache):
+        if grid_mode:
+            return _AnchorOnly(anchor=pos)
+        return expansion.build(pos, mnp_pos, mnp_M, params, cache=cache)
 
     mnp_pos_ref = [None, None]  # set by each sprint call before tracing
 
@@ -190,6 +235,10 @@ def make_sprint_fn(params: Params, dtype=jnp.float32):
             inv_norm = dtype(1.0)
         mag = nrm * jnp.where(in_cell, in_stdev, out_stdev) * inv_norm
         new_pos = pos + jnp.stack([dx * mag, dy * mag, dz * mag], axis=-1)
+        if grid_mode:
+            # per-step periodic wrap (boundary_conditions,
+            # cuda_sim.cu:597-601): the grid query clamps to the box
+            new_pos = jnp.mod(new_pos + bound, bound)
 
         b, in_new = field_at(nf, new_pos, mnp_pos_ref[0], mnp_pos_ref[1])
 
@@ -209,7 +258,7 @@ def make_sprint_fn(params: Params, dtype=jnp.float32):
         intra = intracellular_kick(params, u_kick, in_new, dtype)
         if intra is not None:
             kick = kick + intra
-        acc = acc + kick
+        acc = acc + kick.astype(acc.dtype)
 
         delta = new_pos - nf.anchor
         max_d2 = jnp.maximum(max_d2, jnp.sum(delta * delta, axis=-1))
@@ -221,7 +270,8 @@ def make_sprint_fn(params: Params, dtype=jnp.float32):
         w = state.pos.shape[0]
         lane = jnp.arange(w, dtype=jnp.uint32) + jnp.uint32(lane_offset)
         cache = (expansion.build_cache(mnp_pos, mnp_M, params)
-                 if expansion.uses_large_path(w, mnp_pos.shape[0])
+                 if not grid_mode
+                 and expansion.uses_large_path(w, mnp_pos.shape[0])
                  else None)
 
         def chunk_body(chunk_carry, chunk_idx):
@@ -229,7 +279,7 @@ def make_sprint_fn(params: Params, dtype=jnp.float32):
             # wrap into the box (boundary_conditions, cuda_sim.cu:597-601,
             # applied at chunk granularity — see module docstring)
             pos = jnp.mod(pos + bound, bound)
-            nf = expansion.build(pos, mnp_pos, mnp_M, params, cache=cache)
+            nf = build_field_model(pos, mnp_pos, mnp_M, cache)
             b0, in0 = field_at(nf, pos, mnp_pos, mnp_M)
 
             base = step0 + chunk_idx * jnp.uint32(params.chunk_steps)
@@ -237,7 +287,7 @@ def make_sprint_fn(params: Params, dtype=jnp.float32):
             def inner(c, i):
                 return step_fn(key, nf, lane, c, base + i), None
 
-            init = (pos, in0, b0, acc, jnp.zeros(w, dtype))
+            init = (pos, in0, b0, acc, jnp.zeros(w, dtype))  # max_d2 stays dtype
             (pos, in_cell, _, acc, max_d2), _ = jax.lax.scan(
                 inner, init,
                 jnp.arange(params.chunk_steps, dtype=jnp.uint32))
@@ -250,7 +300,7 @@ def make_sprint_fn(params: Params, dtype=jnp.float32):
             step0 = st.step
             (pos, in_cell, acc, _, escapes), _ = jax.lax.scan(
                 chunk_body,
-                (st.pos, st.in_cell, jnp.zeros(w, dtype), step0, st.escapes),
+                (st.pos, st.in_cell, jnp.zeros(w, pdt), step0, st.escapes),
                 jnp.arange(chunks_per_window, dtype=jnp.uint32))
 
             # performUpdate (cuda_sim.cu:814-828): fold the window's kick
@@ -286,12 +336,13 @@ def make_sprint_fn(params: Params, dtype=jnp.float32):
         lane = jnp.arange(w, dtype=jnp.uint32) + jnp.uint32(lane_offset)
         n_chunks = params.sprint_steps // params.chunk_steps
         cache = (expansion.build_cache(mnp_pos, mnp_M, params)
-                 if expansion.uses_large_path(w, mnp_pos.shape[0])
+                 if not grid_mode
+                 and expansion.uses_large_path(w, mnp_pos.shape[0])
                  else None)
 
         def chunk_body(st: WalkerState, _):
             pos = jnp.mod(st.pos + bound, bound)
-            nf = expansion.build(pos, mnp_pos, mnp_M, params, cache=cache)
+            nf = build_field_model(pos, mnp_pos, mnp_M, cache)
             b0, in0 = field_at(nf, pos, mnp_pos, mnp_M)
             maxd2_0 = jnp.zeros(w, dtype)
 
@@ -303,7 +354,7 @@ def make_sprint_fn(params: Params, dtype=jnp.float32):
                     return step_fn(key, nf, lane, c, base + i), None
 
                 (pos, in_cell, b_prev, acc, maxd2), _ = jax.lax.scan(
-                    inner, (pos, in_cell, b_prev, jnp.zeros(w, dtype),
+                    inner, (pos, in_cell, b_prev, jnp.zeros(w, pdt),
                             maxd2),
                     jnp.arange(params.pfreq, dtype=jnp.uint32))
                 y = acc - comp
@@ -337,19 +388,25 @@ def make_sprint_fn(params: Params, dtype=jnp.float32):
 
 
 def run_simulation(scene, params: Params, seed: int = 0, dtype=jnp.float32,
-                   max_steps: int | None = None):
+                   max_steps: int | None = None, phase_dtype=None):
     """Convenience driver: run the full (or truncated) simulation on one
     device and return (times_ms [n], sum_cos [n], sum_sin [n], state).
 
     The production path with CSV streaming and checkpointing lives in
     engine/sim.py; this is the compact form used by tests and notebooks.
     """
-    sprint_fn = make_sprint_fn(params, dtype)
     mnp_pos = jnp.asarray(scene.mnps[:, :3], dtype)
     mnp_M = jnp.asarray(scene.mnps[:, 4], dtype)
+    field_grid = None
+    if params.field_mode == FIELD_GRID:
+        field_grid = grid_mod.build_grid(
+            mnp_pos, mnp_M, params, grid_n=params.grid_n,
+            max_residents=params.grid_max_residents, dtype=dtype)
+    sprint_fn = make_sprint_fn(params, dtype, field_grid=field_grid,
+                               phase_dtype=phase_dtype)
     k = rng.key_from_seed(seed)
     key_arr = jnp.asarray([np.uint32(k[0]), np.uint32(k[1])])
-    state = init_state(scene.waters, params, dtype)
+    state = init_state(scene.waters, params, dtype, phase_dtype=phase_dtype)
 
     total = params.t if max_steps is None else min(params.t, max_steps)
     n_sprints = total // params.sprint_steps

@@ -27,9 +27,10 @@ import numpy as np
 
 from .. import rng
 from ..fields import expansion
+from ..fields import grid as grid_mod
 from ..io import checkpoint as ckpt_mod
 from ..io import writer as writer_mod
-from ..params import Params
+from ..params import FIELD_GRID, Params
 from ..scene import BacteriaBox
 from . import pallas_engine, reference_engine
 
@@ -67,15 +68,27 @@ class SimulationRunner:
     def __init__(self, params: Params, scene_seed: int = 0, seed: int = 0,
                  engine: str = "pallas", dtype=jnp.float32,
                  rng_impl: str = pallas_engine.RNG_HARDWARE,
-                 interpret: bool = False, check_coverage: bool = True):
+                 interpret: bool = False, check_coverage: bool = True,
+                 mesh=None):
+        """``mesh``: an optional jax.sharding.Mesh with a 'walkers' axis;
+        when given, walker state is sharded over it and window sums psum
+        over ICI (parallel/sharding.py) — for both engines."""
         self.params = params.validate()
         self.seed = seed
         self.scene_seed = scene_seed
         self.engine = engine
         self.dtype = dtype
+        self.mesh = mesh
+        grid_mode = params.field_mode == FIELD_GRID
+        if grid_mode and engine == "pallas":
+            raise ValueError(
+                "field_mode='grid' is a scan-engine backend (the pallas "
+                "engine's fused kernel always uses the local expansion, "
+                "which is both faster and more accurate); use "
+                "engine='scan'")
 
         self.scene = BacteriaBox(params, seed=scene_seed).populate()
-        if check_coverage:
+        if check_coverage and not grid_mode:
             worst = expansion.validate_near_k(
                 self.scene.mnps[:, :3], params, n_probe=50_000)
             if worst > params.near_k:
@@ -101,14 +114,34 @@ class SimulationRunner:
         k = rng.key_from_seed(seed)
         self.key_arr = jnp.asarray([np.uint32(k[0]), np.uint32(k[1])])
 
-        if engine == "pallas":
-            self._sprint = pallas_engine.make_sprint_fn(
-                params, params.num_water, dtype, rng_impl, interpret)
-        elif engine == "scan":
-            self._sprint = reference_engine.make_sprint_fn(params, dtype)
-        else:
+        self._field_grid = None
+        if grid_mode:
+            self._field_grid = grid_mod.build_grid(
+                self.mnp_pos, self.mnp_M, params, grid_n=params.grid_n,
+                max_residents=params.grid_max_residents, dtype=dtype)
+
+        if engine not in ENGINES:
             raise ValueError(f"unknown engine {engine!r}; use one of "
                              f"{ENGINES}")
+        if mesh is not None:
+            from ..parallel import sharding
+            if engine == "pallas":
+                self._sprint = sharding.make_sharded_pallas_sprint_fn(
+                    params, params.num_water, mesh, dtype, rng_impl,
+                    interpret)
+            else:
+                if grid_mode:
+                    raise ValueError("sharded grid-mode runs are not "
+                                     "wired up; use field_mode="
+                                     "'expansion'")
+                self._sprint = sharding.make_sharded_sprint_fn(
+                    params, mesh, dtype)
+        elif engine == "pallas":
+            self._sprint = pallas_engine.make_sprint_fn(
+                params, params.num_water, dtype, rng_impl, interpret)
+        else:
+            self._sprint = reference_engine.make_sprint_fn(
+                params, dtype, field_grid=self._field_grid)
 
         self.state = reference_engine.init_state(
             self.scene.waters, params, dtype)
@@ -126,21 +159,41 @@ class SimulationRunner:
     def _run_sprint(self):
         if self.engine == "pallas":
             ps = getattr(self, "_planes", None)
-            if ps is None:
-                ps = pallas_engine.to_planes(self.state, self.params)
-            ps, wins = self._sprint(self.mnp_pos, self.mnp_M, self.key_arr,
-                                    ps, 0, cache=self._cache)
+            if self.mesh is not None:
+                from ..parallel import sharding
+                if ps is None:
+                    ps = sharding.to_planes_sharded(
+                        self.state, self.params,
+                        self.mesh.shape[sharding.WALKER_AXIS])
+                ps, wins = self._sprint(self.mnp_pos, self.mnp_M,
+                                        self.key_arr, ps)
+            else:
+                if ps is None:
+                    ps = pallas_engine.to_planes(self.state, self.params)
+                ps, wins = self._sprint(self.mnp_pos, self.mnp_M,
+                                        self.key_arr, ps, 0,
+                                        cache=self._cache)
             self._planes = ps
             return wins
-        st, wins = self._sprint(self.mnp_pos, self.mnp_M, self.key_arr,
-                                self.state, 0)
+        if self.mesh is not None:
+            st, wins = self._sprint(self.mnp_pos, self.mnp_M, self.key_arr,
+                                    self.state)
+        else:
+            st, wins = self._sprint(self.mnp_pos, self.mnp_M, self.key_arr,
+                                    self.state, 0)
         self.state = st
         return wins
 
     def _sync_state(self):
         if self.engine == "pallas" and getattr(self, "_planes", None) is not None:
-            self.state = pallas_engine.from_planes(
-                self._planes, self.params.num_water)
+            if self.mesh is not None:
+                from ..parallel import sharding
+                self.state = sharding.from_planes_sharded(
+                    self._planes, self.params.num_water,
+                    self.mesh.shape[sharding.WALKER_AXIS])
+            else:
+                self.state = pallas_engine.from_planes(
+                    self._planes, self.params.num_water)
 
     def resume(self, path: str):
         state, seed, scene_seed = ckpt_mod.load_checkpoint(
@@ -153,7 +206,13 @@ class SimulationRunner:
         self.state = state
         self._planes = None
         if self.engine == "pallas":
-            self._planes = pallas_engine.to_planes(state, self.params)
+            if self.mesh is not None:
+                from ..parallel import sharding
+                self._planes = sharding.to_planes_sharded(
+                    state, self.params,
+                    self.mesh.shape[sharding.WALKER_AXIS])
+            else:
+                self._planes = pallas_engine.to_planes(state, self.params)
 
     # -- main loop -----------------------------------------------------------
 
@@ -265,6 +324,12 @@ def main(argv=None):
     ap.add_argument("--impermeable", action="store_true",
                     help="reflectIO = reflectOI = 1")
     ap.add_argument("--engine", default="pallas", choices=ENGINES)
+    ap.add_argument("--field-mode", default="expansion",
+                    choices=["expansion", "exact", "grid"],
+                    help="scan-engine field backend (the pallas engine "
+                         "always uses the expansion)")
+    ap.add_argument("--grid-n", type=int, default=64,
+                    help="field-grid resolution (field-mode=grid)")
     ap.add_argument("--chunk-steps", type=int, default=4000,
                     help="field-model rebuild interval (auto-shrunk for "
                          "short runs)")
@@ -299,6 +364,7 @@ def main(argv=None):
         sprint_steps=args.sprint_steps, max_neighbors=args.max_neighbors,
         hash_dim=args.hash_dim, tau=args.tau,
         cube_candidates=args.cube_candidates,
+        field_mode=args.field_mode, grid_n=args.grid_n,
     )
     params = params.replace(
         chunk_steps=fit_chunk_steps(params, args.chunk_steps))

@@ -36,11 +36,14 @@ Pallas kernel.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..params import Params
 from . import dipole
@@ -87,9 +90,13 @@ def _argmin_passes(d2, k, col=None):
 
 
 def uses_large_path(num_walkers: int, n_mnp: int) -> bool:
-    """Whether build() will take the large-scene route (cube-pruned
-    selection + blocked far sums)."""
-    return num_walkers * n_mnp > (1 << 24)
+    """Policy: whether callers should precompute a cube-candidate cache
+    (build() then takes the cube-pruned selection + blocked far sums
+    route).  Above ~2M walker-dipole pairs the full [W, N] argmin-pass
+    selection dominates the recandidate (measured: 0.78 ms at 4096x716 vs
+    ~0.1 ms cube-pruned), so the cache wins well below the old 16M
+    threshold."""
+    return num_walkers * n_mnp > (1 << 21)
 
 
 def build_cache(mnp_pos, mnp_M, params: Params):
@@ -118,7 +125,8 @@ def build_cache(mnp_pos, mnp_M, params: Params):
 
 
 def build(anchor, mnp_pos, mnp_M, params: Params,
-          cache=None) -> NearField:
+          cache=None, far_impl: str = "xla",
+          interpret: bool = False) -> NearField:
     """Select each walker's K nearest dipoles and Taylor-expand the rest.
 
     anchor: [W, 3] walker positions at chunk start.
@@ -127,6 +135,11 @@ def build(anchor, mnp_pos, mnp_M, params: Params,
     scenes) or O(W*C + blocked sums) with a per-sprint cube table
     (``cache`` from build_cache), amortized to a few flops per
     walker-step.
+
+    ``far_impl='pallas'`` computes the far sums in the fused Pallas
+    kernel (_make_far_sums_kernel) — ~6x faster than the XLA reductions;
+    requires W % 128 == 0 (the Pallas engine's padded plane layout).
+    Summation order differs from the XLA path by last-ulp rounding only.
     """
     k = params.near_k
     w = anchor.shape[0]
@@ -137,10 +150,12 @@ def build(anchor, mnp_pos, mnp_M, params: Params,
             f"({n}); selection would duplicate entries and "
             f"double-count their field")
 
-    if cache is not None and uses_large_path(w, n):
+    # --- near selection -----------------------------------------------------
+    far_mask = None
+    if cache is not None:
         # cube-pruned selection: gather the walker's cube candidates
         # (a validated superset of everything reachable this chunk) and
-        # pick K among those ~C=96 instead of all N
+        # pick K among those ~C instead of all N
         if k > cache.shape[-2]:
             raise ValueError(
                 f"near_k={k} exceeds cube_candidates={cache.shape[-2]}; "
@@ -160,30 +175,36 @@ def build(anchor, mnp_pos, mnp_M, params: Params,
         near_pos = sel[..., :3]                         # [W, K, 3]
         near_M = sel[..., 3]
         idx = sel[..., 4].astype(jnp.int32)             # global indices
-        b0, g, hss = _far_sums_blocked(anchor, mnp_pos, mnp_M, idx)
-        return NearField(anchor=anchor, near_pos=near_pos, near_M=near_M,
-                         b0=b0, grad=g, hess=hss)
-    d2 = _pairwise_d2(anchor, mnp_pos)                  # [W, N]
-    idx, remaining = _argmin_passes(d2, k)
-    near_pos = mnp_pos[idx]                             # [W, K, 3]
-    near_M = mnp_M[idx]                                 # [W, K]
+    else:
+        d2 = _pairwise_d2(anchor, mnp_pos)              # [W, N]
+        idx, remaining = _argmin_passes(d2, k)
+        near_pos = mnp_pos[idx]                         # [W, K, 3]
+        near_M = mnp_M[idx]                             # [W, K]
+        far_mask = jnp.isfinite(remaining)  # exactly the non-selected
 
-    # Far field = masked sum over all dipoles NOT in the near list.  We must
-    # not compute it as (total - near): an anchor can sit arbitrarily close
+    # --- far field -----------------------------------------------------------
+    # Masked sum over all dipoles NOT in the near list.  We must not
+    # compute it as (total - near): an anchor can sit arbitrarily close
     # to a near dipole, where the unmasked 1/r^3..1/r^7 terms reach Tesla
     # scale and their cancellation would wipe out the ~µT far field in f32.
     # Instead each contribution is weighted by an exclusion mask built from
-    # the top-k indices.
-    if w * n <= (1 << 24):
+    # the selected indices.
+    if far_impl == "pallas" and w % 128 == 0:
+        b0, g, h = _far_sums_pallas(anchor, mnp_pos, mnp_M, idx, interpret)
+    elif w * n <= (1 << 24):
         # small problems: single fused pass over [W, N]
+        if far_mask is None:
+            col = jnp.arange(n, dtype=jnp.int32)[None, :]
+            far_mask = jnp.ones((w, n), bool)
+            for j in range(k):
+                far_mask = far_mask & (col != idx[:, j:j + 1])
         d = anchor[:, None, :] - mnp_pos[None, :, :]    # [W, N, 3]
-        far = jnp.isfinite(remaining)  # exactly the non-selected dipoles
-        is_far = far.astype(anchor.dtype)
+        is_far = far_mask.astype(anchor.dtype)
         # guard the closed forms against r -> 0 at excluded dipoles: give
         # them a dummy displacement (their weight is 0, inf * 0 = nan).
-        dx = jnp.where(far, d[..., 0], 1.0)
-        dy = jnp.where(far, d[..., 1], 1.0)
-        dz = jnp.where(far, d[..., 2], 1.0)
+        dx = jnp.where(far_mask, d[..., 0], 1.0)
+        dy = jnp.where(far_mask, d[..., 1], 1.0)
+        dz = jnp.where(far_mask, d[..., 2], 1.0)
         M = mnp_M[None, :]
         b0 = jnp.sum(dipole.dipole_bz(dx, dy, dz, M) * is_far, axis=1)
         g = jnp.stack([jnp.sum(c * is_far, axis=1)
@@ -197,6 +218,120 @@ def build(anchor, mnp_pos, mnp_M, params: Params,
 
     return NearField(anchor=anchor, near_pos=near_pos, near_M=near_M,
                      b0=b0, grad=g, hess=h)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_far_sums_kernel(n_pad: int, r_planes: int, k: int, dtype_name: str,
+                          interpret: bool):
+    """Fused Pallas far-sum kernel: value/gradient/Hessian of the far
+    field at every walker anchor in ONE register-resident pass over the
+    dipole table.
+
+    XLA computes the same sums as ~10 separate reduction fusions over
+    [W, N] arrays (each recomputing dx/dy/dz/powers, ~0.6 ms at
+    4096x716); here the dipole table sits in SMEM, the 10 accumulators
+    stay in vector registers, and every shared subexpression is computed
+    once (~0.05 ms).  Exclusion of the K near dipoles is by global-index
+    comparison against the walkers' near-index planes — exact, matching
+    the XLA paths.
+
+        f(mnp [4, n_pad] SMEM (x, y, z, M*FIELD_SCALE),
+          anchor [3, R, 128], idx [K, R, 128] int32)
+          -> taylor [10, R, 128]  (b0, gx, gy, gz, hxx..hyz)
+    """
+    dtype = jnp.dtype(dtype_name)
+    r_blk = min(r_planes, 8)
+    if r_planes % r_blk != 0:
+        r_blk = r_planes
+    n_blocks = r_planes // r_blk
+
+    def kernel(mnp, anchor, idx, out):
+        ax, ay, az = anchor[0], anchor[1], anchor[2]
+        idx_pl = [idx[j] for j in range(k)]
+
+        def body(j, accs):
+            x = mnp[0, j]
+            y = mnp[1, j]
+            z = mnp[2, j]
+            m = mnp[3, j]          # pre-scaled by FIELD_SCALE
+            dx = ax - x
+            dy = ay - y
+            dz = az - z
+            far = idx_pl[0] != j
+            for q in range(1, k):
+                far = far & (idx_pl[q] != j)
+            r2 = dx * dx + dy * dy + dz * dz
+            # clamp instead of select: excluded dipoles can sit at r ~ 0
+            # (walker inside its cell); 1e-8 keeps 1/r^7 finite in f32 and
+            # the mask zeroes the garbage
+            r2 = jnp.maximum(r2, 1e-8)
+            inv_r = jax.lax.rsqrt(r2)
+            inv_r2 = inv_r * inv_r
+            inv_r5 = inv_r2 * inv_r2 * inv_r
+            inv_r7 = inv_r5 * inv_r2
+            dz2 = dz * dz
+            # b0: M'(2dz^2 - dx^2 - dy^2)/r^5 == M'(3dz^2 - r^2)/r^5
+            b0 = m * (3.0 * dz2 - r2) * inv_r5
+            u = r2 - 5.0 * dz2
+            v = 3.0 * r2 - 5.0 * dz2
+            m3r7 = 3.0 * m * inv_r7
+            gx = m3r7 * dx * u
+            gy = m3r7 * dy * u
+            gz = m3r7 * dz * v
+            u_r2 = 7.0 * u * inv_r2
+            dx2 = dx * dx
+            dy2 = dy * dy
+            hxx = m3r7 * (u + dx2 * (2.0 - u_r2))
+            hyy = m3r7 * (u + dy2 * (2.0 - u_r2))
+            hzz = m3r7 * (v - dz2 * (4.0 + 7.0 * v * inv_r2))
+            hxy = m3r7 * dx * dy * (2.0 - u_r2)
+            hxz = m3r7 * dx * dz * (-8.0 - u_r2)
+            hyz = m3r7 * dy * dz * (-8.0 - u_r2)
+            w = far.astype(dtype)
+            parts = (b0, gx, gy, gz, hxx, hyy, hzz, hxy, hxz, hyz)
+            return tuple(a + c * w for a, c in zip(accs, parts))
+
+        zero = jnp.zeros((r_blk, 128), dtype)
+        accs = jax.lax.fori_loop(0, n_pad, body, (zero,) * 10)
+        for i in range(10):
+            out[i] = accs[i]
+
+    mnp_spec = pl.BlockSpec((4, n_pad), lambda b: (0, 0),
+                            memory_space=pltpu.SMEM)
+    anchor_spec = pl.BlockSpec((3, r_blk, 128), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM)
+    idx_spec = pl.BlockSpec((k, r_blk, 128), lambda b: (0, b, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((10, r_blk, 128), lambda b: (0, b, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel, grid=(n_blocks,),
+        out_shape=jax.ShapeDtypeStruct((10, r_planes, 128), dtype),
+        in_specs=[mnp_spec, anchor_spec, idx_spec],
+        out_specs=out_spec, interpret=interpret)
+
+
+def _far_sums_pallas(anchor, mnp_pos, mnp_M, near_idx, interpret=False):
+    """Pallas-kernel far sums; requires the walker count to be a multiple
+    of 128 (callers on the Pallas engine path guarantee it)."""
+    w = anchor.shape[0]
+    n = mnp_pos.shape[0]
+    dtype = anchor.dtype
+    r = w // 128
+    k = near_idx.shape[1]
+    pad = (-n) % 8
+    if pad:
+        mnp_pos = jnp.concatenate([mnp_pos, jnp.full((pad, 3), 1e6, dtype)])
+        mnp_M = jnp.concatenate([mnp_M, jnp.zeros(pad, dtype)])
+    mnp = jnp.concatenate(
+        [mnp_pos.T, (mnp_M * dtype.type(dipole.FIELD_SCALE))[None, :]], 0)
+    anchor_pl = anchor.T.reshape(3, r, 128)
+    idx_pl = near_idx.T.reshape(k, r, 128)
+    call = _make_far_sums_kernel(n + pad, r, k, jnp.dtype(dtype).name,
+                                 interpret)
+    t = call(mnp, anchor_pl, idx_pl)
+    flat = t.reshape(10, w).T
+    return flat[:, 0], flat[:, 1:4], flat[:, 4:10]
 
 
 def _far_sums_blocked(anchor, mnp_pos, mnp_M, near_idx, block: int = 512):
@@ -333,14 +468,22 @@ def validate_near_k(dipole_pos: np.ndarray, params: Params,
 
 
 def default_travel_bound(params: Params) -> float:
-    """Conservative per-chunk walker travel bound, µm.
+    """Per-chunk walker travel bound, µm: ``travel_sigmas`` sigma per axis
+    (times sqrt(3) for the 3D norm).
 
     Per-axis displacement over ``chunk_steps`` is a random walk with
-    sigma = out_stdev * sqrt(chunk_steps) (extracellular D dominates);
-    12 sigma on each axis makes escape probability < 1e-30 per chunk —
-    and single steps are hard-capped at 5.8 sigma by the 24-bit Box-Muller
-    (rng.normal_from_bits).  The engine counts anchor-escape events as an
-    observability metric.
+    sigma = out_stdev * sqrt(chunk_steps) (extracellular D dominates).
+    By the reflection principle, P(max_t |axis| > s*sigma) <= 2 P(N > s),
+    so P(any-time 3D excursion > s*sigma*sqrt(3)) <= 6 P(N > s).  At the
+    default s = 7 that is ~8e-12 per walker-chunk, i.e. ~3e-4 expected
+    escape events over the full reference run (4032 walkers x 1e4
+    chunks) — and every escape is *counted* by the engines (the escapes
+    metric), so a violated bound is observable, not silent.  The payoff
+    for 7 instead of the looser 12 used in round 1 is a much smaller
+    near list: at chunk_steps=4000 on the reference scene the worst-case
+    K drops from 10 to 4 (validate_near_k), which is worth ~1.5x in the
+    fused kernel.  Single steps are hard-capped at 5.8 sigma by the
+    24-bit Box-Muller (rng.normal_from_bits).
     """
     sigma_axis = params.out_stdev * float(np.sqrt(params.chunk_steps))
-    return float(12.0 * sigma_axis * np.sqrt(3.0))
+    return float(params.travel_sigmas * sigma_axis * np.sqrt(3.0))

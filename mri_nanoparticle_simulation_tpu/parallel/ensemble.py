@@ -16,6 +16,7 @@ list (they sit 1e6 µm outside the box) and contribute zero field.
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Sequence
 
 import jax
@@ -24,7 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import rng
-from ..engine import reference_engine
+from ..engine import pallas_engine, reference_engine
 from ..params import Params
 from ..scene import BacteriaBox
 
@@ -71,34 +72,109 @@ def make_ensemble_sprint_fn(params: Params, mesh: Mesh, dtype=jnp.float32):
     return jax.jit(sharded)
 
 
+def make_ensemble_pallas_sprint_fn(params: Params, mesh: Mesh,
+                                   dtype=jnp.float32,
+                                   rng_impl: str = pallas_engine.RNG_THREEFRY,
+                                   interpret: bool = False):
+    """Production-engine ensemble: trials sharded over the mesh, each
+    shard scanning its local trials through ONE compiled chunk kernel
+    (vmap over pallas_call doesn't lower to Mosaic — the SMEM scalar spec
+    can't batch — so the trial axis is a lax.scan, which is free: the
+    chip runs one kernel at a time anyway).
+
+    sprint(mnp_pos [T,N,3], mnp_M [T,N], keys [T,2],
+           planes (leading T)) -> (planes, wins [T, n_windows, 2])
+    """
+    local = pallas_engine.make_sprint_fn(params, params.num_water, dtype,
+                                         rng_impl, interpret)
+    n_dev = mesh.shape[TRIAL_AXIS]
+
+    def shard_fn(mnp_pos, mnp_M, keys, planes):
+        def body(_, xs):
+            mp, mm, key, ps = xs
+            # trials are distinguished by their per-trial key (run_seed+i),
+            # exactly like single runs — lane_offset stays 0 so each trial
+            # is bitwise-identical to its standalone run
+            new_ps, wins = local(mp, mm, key, ps, jnp.uint32(0))
+            return _, (new_ps, wins)
+
+        _, (new_planes, wins) = jax.lax.scan(
+            body, 0, (mnp_pos, mnp_M, keys, planes))
+        return new_planes, wins
+
+    tspec = P(TRIAL_AXIS)
+    planes_spec = pallas_engine.PlaneState(
+        px=tspec, py=tspec, pz=tspec, in_cell=tspec, phase=tspec,
+        phase_comp=tspec, step=tspec, escapes=tspec)
+    sharded = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(tspec, tspec, tspec, planes_spec),
+        out_specs=(planes_spec, tspec), check_vma=False)
+    del n_dev
+    return jax.jit(sharded)
+
+
+def _trial_mesh(n_trials: int, mesh: Optional[Mesh]):
+    """Pick a trial mesh; returns (mesh, padded_n_trials).  Trials pad up
+    to a multiple of the device count (the reference resubmitted whole PBS
+    jobs per trial; silently dropping to one device would hide an 8x
+    slowdown)."""
+    if mesh is not None:
+        n_dev = mesh.shape[TRIAL_AXIS]
+    else:
+        devs = jax.devices()
+        n_dev = len(devs)
+        mesh = Mesh(np.asarray(devs), (TRIAL_AXIS,))
+    pad = (-n_trials) % n_dev
+    if pad:
+        warnings.warn(
+            f"n_trials={n_trials} does not divide over {n_dev} devices; "
+            f"running {pad} extra padding trial(s) (their results are "
+            f"discarded). Use a multiple of the device count to avoid "
+            f"the waste.", stacklevel=3)
+    return mesh, n_trials + pad
+
+
 def run_ensemble(params: Params, n_trials: int,
                  mesh: Optional[Mesh] = None, base_seed: int = 0,
                  run_seed: int = 1000,
                  mmoments: Optional[Sequence[float]] = None,
-                 dtype=jnp.float32, max_steps: Optional[int] = None):
+                 dtype=jnp.float32, max_steps: Optional[int] = None,
+                 engine: str = "scan",
+                 rng_impl: str = pallas_engine.RNG_THREEFRY,
+                 interpret: bool = False):
     """Run T independent trials; returns (times_ms, sum_cos [T, n],
-    sum_sin [T, n]).  Average over axis 0 for the ensemble curve."""
-    if mesh is None:
-        devs = jax.devices()
-        if n_trials % len(devs) == 0:
-            mesh = Mesh(np.asarray(devs), (TRIAL_AXIS,))
-        else:
-            mesh = Mesh(np.asarray(devs[:1]), (TRIAL_AXIS,))
+    sum_sin [T, n], state).  Average over axis 0 for the ensemble curve.
+
+    ``engine='pallas'`` runs the production chunk kernel per trial;
+    ``engine='scan'`` (default) vmaps the pure-JAX engine.
+    """
     params.validate()
+    mesh, n_padded = _trial_mesh(n_trials, mesh)
+    if mmoments is not None and n_padded > n_trials:
+        mmoments = list(mmoments) + [mmoments[-1]] * (n_padded - n_trials)
     mnp_pos, mnp_M, waters, _ = build_trial_scenes(
-        params, n_trials, base_seed, mmoments)
+        params, n_padded, base_seed, mmoments)
 
     keys = []
-    for i in range(n_trials):
+    for i in range(n_padded):
         k = rng.key_from_seed(run_seed + i)
         keys.append([np.uint32(k[0]), np.uint32(k[1])])
     keys = jnp.asarray(keys)
 
     states = [reference_engine.init_state(waters[i], params, dtype)
-              for i in range(n_trials)]
-    state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-
-    sprint = make_ensemble_sprint_fn(params, mesh, dtype)
+              for i in range(n_padded)]
+    if engine == "pallas":
+        state = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[pallas_engine.to_planes(s, params) for s in states])
+        sprint = make_ensemble_pallas_sprint_fn(params, mesh, dtype,
+                                                rng_impl, interpret)
+    elif engine == "scan":
+        state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        sprint = make_ensemble_sprint_fn(params, mesh, dtype)
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
     mnp_pos = jnp.asarray(mnp_pos, dtype)
     mnp_M = jnp.asarray(mnp_M, dtype)
 
@@ -108,7 +184,15 @@ def run_ensemble(params: Params, n_trials: int,
         state, wins = sprint(mnp_pos, mnp_M, keys, state)
         outs.append(wins)
     wins = jnp.concatenate(outs, axis=1) if outs \
-        else jnp.zeros((n_trials, 0, 2), dtype)
+        else jnp.zeros((n_padded, 0, 2), dtype)
+    if engine == "pallas":
+        state = jax.vmap(
+            lambda ps: pallas_engine.from_planes(ps, params.num_water))(
+            state)
+    # drop padding trials
+    wins = wins[:n_trials]
+    state = jax.tree.map(
+        lambda x: x[:n_trials] if getattr(x, "ndim", 0) > 0 else x, state)
     n = wins.shape[1]
     times = (np.arange(1, n + 1) * params.pfreq) * params.tau
     return times, np.asarray(wins[..., 0]), np.asarray(wins[..., 1]), state

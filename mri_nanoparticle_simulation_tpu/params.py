@@ -51,6 +51,11 @@ FIELD_EXACT = "exact"          # brute-force masked sum over every dipole
                                # each step — the reference's EXPLICIT mode
                                # (octree.cpp:395-396) done exactly; slow,
                                # used as an on-device oracle
+FIELD_GRID = "grid"            # uniform HBM-resident field grid with exact
+                               # per-voxel residents — the direct analogue
+                               # of the reference's octree query
+                               # (octree.cpp:151-158); positions wrap per
+                               # step (cuda_sim.cu:597-601 semantics)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,6 +129,11 @@ class Params:
     #: scene-level validator (fields.expansion.validate_near_k) proves K
     #: covers every cell a walker can reach within a chunk
     near_k: int = 8
+    #: per-axis sigma multiplier of the per-chunk travel bound (escape
+    #: probability ~6*P(N>s) per walker-chunk by the reflection
+    #: principle; escapes are counted by the engines).  7 -> ~8e-12 per
+    #: walker-chunk; see fields.expansion.default_travel_bound
+    travel_sigmas: float = 7.0
     #: Threefry rounds; must be a multiple of 4 (key injections happen
     #: every 4 rounds).  20 = crypto-grade/jax-compatible; 12 is plenty
     #: for Monte Carlo statistics and measurably faster
@@ -140,6 +150,13 @@ class Params:
     #: cube_candidates covers the worst-case cube (like near_k).
     cube_hash_dim: int = 16
     cube_candidates: int = 96
+    #: field-grid backend resolution (FIELD_GRID): voxels per box edge.
+    #: 64 -> 0.47 µm voxels / 8 MB of corners at bound=30; accuracy scales
+    #: ~h² through the trilinear far field (residents are always exact)
+    grid_n: int = 64
+    #: fixed resident-list width per voxel (FIELD_GRID); build_grid raises
+    #: if any voxel's residency reach holds more dipoles
+    grid_max_residents: int = 16
 
     # ----------------------------------------------------------------------
     # Derived quantities (reference ctor parameters.h:106-122 and
@@ -231,7 +248,7 @@ class Params:
             raise ValueError(f"unknown boundary_mode {self.boundary_mode!r}")
         if self.direction_mode not in (DIRECTION_CUBE, DIRECTION_SPHERE):
             raise ValueError(f"unknown direction_mode {self.direction_mode!r}")
-        if self.field_mode not in (FIELD_EXPANSION, FIELD_EXACT):
+        if self.field_mode not in (FIELD_EXPANSION, FIELD_EXACT, FIELD_GRID):
             raise ValueError(f"unknown field_mode {self.field_mode!r}")
         if self.rng_rounds % 4 != 0 or self.rng_rounds <= 0:
             raise ValueError("rng_rounds must be a positive multiple of 4")

@@ -212,3 +212,57 @@ class BacteriaBox(SimulationBox):
                     break
             waters[i] = xyz
         return waters
+
+
+class ClusteredBacteriaBox(BacteriaBox):
+    """BacteriaBox variant with cells thrown in Gaussian clumps — the
+    scene family where the reference's octree *adaptivity* mattered
+    (octree.cpp:262-297 subdivides until < max_product field-gradient
+    criterion, i.e. deepest around dipole clusters).  The TPU expansion
+    has no tree to deepen; its analogous cost knob is the near-list size
+    K, which grows with the worst local dipole density.  This scene
+    exists to stress-test that K demand (tests/test_coverage.py and the
+    K-vs-scene table in ACCURACY.md).
+
+    ``n_clusters`` cluster centers are thrown uniformly; cells are thrown
+    Gaussian(sigma=``cluster_sigma``) around a random cluster center with
+    the same non-overlap rejection as BacteriaBox (>= 2*cell_r pairwise).
+    """
+
+    def __init__(self, params: Params, seed: int = 0, n_clusters: int = 8,
+                 cluster_sigma: float = 1.5, max_tries: int = 100_000):
+        # the native builder implements the uniform throw only
+        super().__init__(params, seed, prefer_native=False)
+        self.n_clusters = n_clusters
+        self.cluster_sigma = cluster_sigma
+        self.max_tries = max_tries
+
+    def init_cells(self) -> np.ndarray:
+        p = self.params
+        gen = CounterRNG(self.seed, _STREAM_CELLS)
+        lo, hi = p.cell_r, p.bound - p.cell_r
+        centers = lo + np.stack(
+            [gen.uniform3() for _ in range(self.n_clusters)]) * (hi - lo)
+        cells = np.empty((p.num_cells, 3))
+        for i in range(p.num_cells):
+            for _ in range(self.max_tries):
+                c = centers[int(gen.uniform3()[0] * self.n_clusters)
+                            % self.n_clusters]
+                # Box-Muller from the same counter stream
+                u = np.clip(np.concatenate([gen.uniform3(), gen.uniform3()]),
+                            1e-12, 1.0)
+                nrm = np.sqrt(-2.0 * np.log(u[:3])) * np.cos(
+                    2.0 * np.pi * u[3:])
+                xyz = np.clip(c + nrm * self.cluster_sigma, lo, hi)
+                if i == 0:
+                    break
+                d2 = np.sum((cells[:i] - xyz) ** 2, axis=1)
+                if d2.min() >= 4 * p.cell_r * p.cell_r:
+                    break
+            else:
+                raise ValueError(
+                    f"could not place cell {i}: clusters too dense "
+                    f"(sigma={self.cluster_sigma}, "
+                    f"{p.num_cells} cells of r={p.cell_r})")
+            cells[i] = xyz
+        return cells

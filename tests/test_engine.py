@@ -53,8 +53,17 @@ def np_field_masked(pos, mnps, cell_r):
     return np.sum(np.where(outside, val, 0.0), axis=1), outside
 
 
-def numpy_oracle(scene, p, seed, n_steps):
-    """Replay the engine semantics step by step in float64 NumPy."""
+def numpy_oracle(scene, p, seed, n_steps, wrap="chunk"):
+    """Replay the engine semantics step by step in float64 NumPy.
+
+    ``wrap='chunk'`` wraps positions at chunk boundaries (the engine's
+    semantics); ``wrap='step'`` wraps after every displacement — the
+    reference's boundary_conditions placement (cuda_sim.cu:597-601,
+    applied before updateNearest at :712-716).  Fields/residency are
+    evaluated against the full MNP table (base + periodic images), so the
+    two must agree up to roundoff: that is the engine's documented
+    equivalence claim (reference_engine.py module docstring), tested
+    adversarially in TestWrapSemantics."""
     pos = scene.waters.copy()
     mnps = scene.mnps
     cells = scene.cells
@@ -70,10 +79,12 @@ def numpy_oracle(scene, p, seed, n_steps):
         return d2.min(axis=1) < p.cell_r ** 2
 
     outs = []
+    if wrap == "step":
+        pos = np.mod(pos + p.bound, p.bound)
     b_prev = np_field_masked(pos, mnps, p.cell_r)[0]
     in_cell = in_cell_of(pos)
     for s in range(n_steps):
-        if s % p.chunk_steps == 0:
+        if wrap == "chunk" and s % p.chunk_steps == 0:
             pos = np.mod(pos + p.bound, p.bound)
             b_prev, _ = np_field_masked(pos, mnps, p.cell_r)
             in_cell = in_cell_of(pos)
@@ -84,6 +95,8 @@ def numpy_oracle(scene, p, seed, n_steps):
         inv = 1.0 / np.sqrt(np.maximum(dx * dx + dy * dy + dz * dz, 1e-12))
         mag = nrm * np.where(in_cell, p.in_stdev, p.out_stdev) * inv
         new = pos + np.stack([dx * mag, dy * mag, dz * mag], 1)
+        if wrap == "step":
+            new = np.mod(new + p.bound, p.bound)
         b, _ = np_field_masked(new, mnps, p.cell_r)
         in_new = in_cell_of(new)
         if use_refl:
@@ -276,6 +289,27 @@ class TestPrecision:
         err = np.abs(c64 - c32.astype(np.float64)) / p.num_water
         assert np.sqrt((err ** 2).mean()) < 3e-4
 
+    def test_grid_field_mode_curve_matches_exact(self, f64):
+        """FIELD_GRID (the octree analogue, BASELINE config 4) against the
+        exact brute-force oracle: same trajectories up to the grid's
+        trilinear far-field error; curve error bounded well under the 1%
+        target."""
+        p = P.small_test_params(num_water=48, totaltime=0.001,
+                                sprint_steps=500, mmoment=3.5e-15)
+        sc = BacteriaBox(p, seed=5).populate()
+        _, ce, se, ste = re.run_simulation(
+            sc, p.replace(field_mode=P.FIELD_EXACT), seed=3,
+            dtype=jnp.float64)
+        _, cg, sg, stg = re.run_simulation(
+            sc, p.replace(field_mode=P.FIELD_GRID, grid_n=64), seed=3,
+            dtype=jnp.float64)
+        # grid mode wraps per step; exact mode per chunk — compare mod box
+        d = np.abs(np.mod(np.asarray(ste.pos), p.bound) - np.asarray(stg.pos))
+        d = np.minimum(d, p.bound - d)
+        np.testing.assert_allclose(d, 0.0, atol=1e-9)
+        err = np.abs(np.asarray(ce) - np.asarray(cg)) / p.num_water
+        assert np.sqrt((err ** 2).mean()) < 1e-3
+
     def test_exact_field_mode_matches_expansion(self):
         """FIELD_EXACT (the reference's EXPLICIT mode) as an independent
         oracle: trajectories must match the production expansion backend
@@ -289,3 +323,83 @@ class TestPrecision:
         np.testing.assert_allclose(np.asarray(st1.pos),
                                    np.asarray(st2.pos), atol=1e-5)
         np.testing.assert_allclose(c1, c2, atol=1e-3)
+
+
+class TestWrapSemantics:
+    """Adversarial test of the chunk-boundary wrapping deviation.
+
+    The engine wraps positions at chunk starts; the reference wrapped
+    every step (boundary_conditions, cuda_sim.cu:597-601).  The module
+    docstring argues these are equivalent because MNP periodic images
+    make the field translation-periodic within `border` of each face and
+    cells never cross faces.  Here the claim is tested against an oracle
+    that implements the OTHER wrap rule, on a scene whose walkers are
+    seeded within ~one step length of faces, edges, and corners."""
+
+    def _face_hugging_scene(self):
+        p = P.small_test_params(
+            num_water=26, num_cells=8, totaltime=0.0006, sprint_steps=600,
+            chunk_steps=50, print_interval=0.0001, taucp=0.0003,
+            mmoment=3.5e-15, water_start_bound=8.0)
+        sc = BacteriaBox(p, seed=19).populate()
+        b, eps = p.bound, 2e-3  # eps ~ out_stdev: one step from the face
+        lo, hi, mid = eps, b - eps, b / 2
+        pts = []
+        for x in (lo, mid, hi):
+            for y in (lo, mid, hi):
+                for z in (lo, mid, hi):
+                    if (x, y, z) != (mid, mid, mid):
+                        pts.append([x, y, z])  # 26 faces/edges/corners
+        sc.waters[:] = np.asarray(pts)[:p.num_water]
+        return p, sc
+
+    def test_chunk_wrap_matches_per_step_wrap_oracle(self, f64):
+        p, sc = self._face_hugging_scene()
+        # exact field mode isolates the wrap rule (identical field model
+        # on both sides: full MNP table with periodic images)
+        _, c, s, st = re.run_simulation(
+            sc, p.replace(field_mode=P.FIELD_EXACT), seed=23,
+            dtype=jnp.float64)
+        o_pos, o_phase, o_outs = numpy_oracle(sc, p, 23, p.t, wrap="step")
+        eng_pos = np.mod(np.asarray(st.pos) + p.bound, p.bound)
+        d = np.abs(eng_pos - o_pos)
+        d = np.minimum(d, p.bound - d)  # positions equal modulo the box
+        np.testing.assert_allclose(d, 0.0, atol=1e-9)
+
+        # Phases differ ONLY by the unimaged-tail field picked up while a
+        # walker is outside the box: |ΔB| at an excursion point is the
+        # field-periodicity defect of the truncated image table.  Measure
+        # that defect directly on probe points one excursion depth outside
+        # every face, and bound the phase gap by it (conservatively:
+        # every step spent outside).
+        depth = np.sqrt(p.chunk_steps) * p.out_stdev
+        probes = []
+        for axis in range(3):
+            for side in (-depth, p.bound + depth):
+                q = np.random.default_rng(0).uniform(
+                    0, p.bound, size=(64, 3))
+                q[:, axis] = side
+                probes.append(q)
+        probes = np.concatenate(probes)
+        b_out = np_field_masked(probes, sc.mnps, p.cell_r)[0]
+        b_wrap = np_field_masked(np.mod(probes, p.bound), sc.mnps,
+                                 p.cell_r)[0]
+        gap = np.abs(b_out - b_wrap).max()
+        tol = p.t * p.phase_per_tesla * gap
+        assert np.abs(np.asarray(st.phase) - o_phase).max() < tol
+        np.testing.assert_allclose(np.stack([c, s], 1), o_outs,
+                                   atol=p.num_water * tol)
+
+    def test_expansion_covers_face_hugging_walkers(self, f64):
+        """The production expansion backend on the same face-hugging
+        scene: near-K selection must cover image dipoles for walkers
+        straying outside the box."""
+        p, sc = self._face_hugging_scene()
+        _, c1, s1, st1 = re.run_simulation(sc, p, seed=23,
+                                           dtype=jnp.float64)
+        _, c2, s2, st2 = re.run_simulation(
+            sc, p.replace(field_mode=P.FIELD_EXACT), seed=23,
+            dtype=jnp.float64)
+        np.testing.assert_allclose(np.asarray(st1.pos),
+                                   np.asarray(st2.pos), atol=1e-9)
+        np.testing.assert_allclose(c1, c2, atol=1e-6)

@@ -98,3 +98,81 @@ class TestSweep:
             p, "mmoment", [0.0, p.mmoment], n_trials_each=2)
         assert curves.shape == (2, 2, 2)
         np.testing.assert_allclose(curves[0], 16.0, atol=1e-4)
+
+
+class TestPallasSharding:
+    def test_pallas_sharded_matches_single_device(self, small):
+        """The production engine sharded over 8 devices (per-shard plane
+        packing, shard_map + psum): bitwise-identical walker physics to
+        the single-device Pallas run (global Threefry lanes)."""
+        p, sc = small
+        mesh = sharding.make_walker_mesh(jax.devices("cpu"))
+        t1, c1, s1, st1 = sharding.run_simulation_sharded_pallas(
+            sc, p, mesh=mesh, seed=3, interpret=True)
+        from mri_nanoparticle_simulation_tpu.engine import pallas_engine
+        t2, c2, s2, st2 = pallas_engine.run_simulation(
+            sc, p, seed=3, interpret=True)
+        np.testing.assert_array_equal(np.asarray(st1.pos),
+                                      np.asarray(st2.pos))
+        np.testing.assert_array_equal(np.asarray(st1.phase),
+                                      np.asarray(st2.phase))
+        np.testing.assert_allclose(c1, c2, atol=1e-3)
+        assert int(st1.escapes) == int(st2.escapes)
+
+    def test_pallas_sharded_matches_scan_engine(self, small):
+        """Cross-engine: sharded Pallas and the scan engine share Threefry
+        streams, so curves agree to f32 summation tolerance."""
+        p, sc = small
+        mesh = sharding.make_walker_mesh(jax.devices("cpu"))
+        _, c1, _, st1 = sharding.run_simulation_sharded_pallas(
+            sc, p, mesh=mesh, seed=3, interpret=True)
+        _, c2, _, st2 = re.run_simulation(sc, p, seed=3)
+        np.testing.assert_allclose(np.asarray(st1.pos),
+                                   np.asarray(st2.pos), atol=1e-5)
+        np.testing.assert_allclose(c1, c2, atol=1e-2)
+
+
+class TestEnsemblePallas:
+    def test_pallas_ensemble_matches_single_runs(self):
+        """Production-engine ensembles (lax.scan over trials inside each
+        shard): every trial bitwise-equal to its standalone run."""
+        from mri_nanoparticle_simulation_tpu.engine import pallas_engine
+        from mri_nanoparticle_simulation_tpu.scene import BacteriaBox
+        p = P.small_test_params(num_water=32, totaltime=0.0005,
+                                sprint_steps=500, mmoment=3.5e-15)
+        _, cos, _, st = ensemble.run_ensemble(
+            p, n_trials=2, base_seed=7, run_seed=99, engine="pallas",
+            interpret=True)
+        for i in range(2):
+            sc = BacteriaBox(p, seed=7 + i).populate()
+            _, c1, _, st1 = pallas_engine.run_simulation(
+                sc, p, seed=99 + i, interpret=True)
+            np.testing.assert_array_equal(np.asarray(st.pos)[i],
+                                          np.asarray(st1.pos))
+            np.testing.assert_allclose(cos[i], c1, atol=1e-4)
+
+
+class TestEnsemblePadding:
+    def test_indivisible_trials_warn_and_pad(self):
+        """n_trials not divisible by the device count: warn, pad, and
+        still return exactly n_trials results (round 1 silently shrank
+        the mesh to one device)."""
+        import warnings
+        p = P.small_test_params(num_water=32, totaltime=0.0005,
+                                sprint_steps=500)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            _, cos, _, st = ensemble.run_ensemble(p, n_trials=3,
+                                                  base_seed=0, run_seed=50)
+        assert any("does not divide" in str(x.message) for x in w)
+        assert cos.shape[0] == 3
+        assert np.asarray(st.pos).shape[0] == 3
+
+    def test_divisible_trials_do_not_warn(self):
+        import warnings
+        p = P.small_test_params(num_water=32, totaltime=0.0005,
+                                sprint_steps=500)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            ensemble.run_ensemble(p, n_trials=8, base_seed=0, run_seed=50)
+        assert not any("does not divide" in str(x.message) for x in w)

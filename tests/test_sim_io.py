@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 from mri_nanoparticle_simulation_tpu import params as P
+from mri_nanoparticle_simulation_tpu.engine import sim
 from mri_nanoparticle_simulation_tpu.engine.sim import SimulationRunner
 from mri_nanoparticle_simulation_tpu.io import checkpoint as ck
 from mri_nanoparticle_simulation_tpu.io import writer as wr
@@ -116,3 +117,55 @@ class TestResumeCsv:
         # times strictly increasing across the seam
         ts = [float(r.split(",")[0]) for r in rows]
         assert all(b > a for a, b in zip(ts, ts[1:]))
+
+
+class TestRunnerMesh:
+    def test_runner_sharded_pallas_matches_unsharded(self, tmp_path):
+        """SimulationRunner(mesh=...) runs the production engine sharded;
+        results equal the single-device runner (threefry mode)."""
+        import jax
+        from mri_nanoparticle_simulation_tpu.engine import pallas_engine
+        from mri_nanoparticle_simulation_tpu.parallel import sharding
+        p = P.small_test_params(num_water=64, totaltime=0.001,
+                                sprint_steps=500, mmoment=3.5e-15)
+        mesh = sharding.make_walker_mesh(jax.devices("cpu"))
+        r1 = sim.SimulationRunner(p, scene_seed=5, seed=3, engine="pallas",
+                                  rng_impl=pallas_engine.RNG_THREEFRY,
+                                  interpret=True, mesh=mesh)
+        t1, c1, s1, _ = r1.run(progress=False)
+        r2 = sim.SimulationRunner(p, scene_seed=5, seed=3, engine="pallas",
+                                  rng_impl=pallas_engine.RNG_THREEFRY,
+                                  interpret=True)
+        t2, c2, s2, _ = r2.run(progress=False)
+        np.testing.assert_allclose(c1, c2, atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(r1.state.pos),
+                                      np.asarray(r2.state.pos))
+
+    def test_runner_sharded_scan(self):
+        import jax
+        from mri_nanoparticle_simulation_tpu.parallel import sharding
+        p = P.small_test_params(num_water=64, totaltime=0.001,
+                                sprint_steps=500)
+        mesh = sharding.make_walker_mesh(jax.devices("cpu"))
+        r1 = sim.SimulationRunner(p, scene_seed=5, seed=3, engine="scan",
+                                  mesh=mesh)
+        _, c1, _, _ = r1.run(progress=False)
+        r2 = sim.SimulationRunner(p, scene_seed=5, seed=3, engine="scan")
+        _, c2, _, _ = r2.run(progress=False)
+        np.testing.assert_allclose(c1, c2, atol=1e-3)
+
+
+class TestRunnerGridBackend:
+    def test_grid_field_mode_runs(self):
+        p = P.small_test_params(num_water=32, totaltime=0.0005,
+                                sprint_steps=500, mmoment=3.5e-15,
+                                field_mode=P.FIELD_GRID, grid_n=32)
+        r = sim.SimulationRunner(p, scene_seed=5, seed=3, engine="scan")
+        times, c, s, stats = r.run(progress=False)
+        assert len(c) == p.t // p.pfreq
+        assert np.all(np.abs(c) <= p.num_water)
+
+    def test_grid_mode_rejects_pallas(self):
+        p = P.small_test_params(field_mode=P.FIELD_GRID)
+        with pytest.raises(ValueError, match="scan-engine backend"):
+            sim.SimulationRunner(p, engine="pallas")
