@@ -140,7 +140,8 @@ def _threefry_words(key01, c0_scalar, lane, n_words, rounds):
 def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                       rng_impl: str = RNG_THREEFRY,
                       interpret: bool = False,
-                      n_mnp_pad: int | None = None):
+                      n_mnp_pad: int | None = None,
+                      n_kernel_chunks: int = 1):
     """Build the pallas_call executing one chunk (chunk_steps timesteps,
     spanning chunk_steps/pfreq output windows) for all walkers.
 
@@ -180,6 +181,10 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
     n_win = params.chunk_steps // params.pfreq
     k = params.near_k
     rebuild = n_mnp_pad is not None
+    if n_kernel_chunks > 1 and not rebuild:
+        raise ValueError("multi-chunk kernels require the in-kernel "
+                         "rebuild (n_mnp_pad)")
+    travel2_f = float(expansion.default_travel_bound(params) ** 2)
     use_reflection = params.reflect_io > 0 or params.reflect_oi > 0
     use_kick_u = params.kick_mode == KICK_INTENDED
     n_words = 7 if (use_reflection or use_kick_u) else 5
@@ -266,8 +271,17 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
             return (tuple(nd2), tuple(nxs), tuple(nys), tuple(nzs),
                     tuple(nms), tuple(nids))
 
+        # 8-wide unroll: batches the SMEM scalar loads so their latency
+        # pipelines behind the vector work (the 1-dipole body measured
+        # ~5x its ALU floor)
+        def sel_block(t, slots):
+            j0 = t * 8
+            for u in range(8):
+                slots = sel_body(j0 + u, slots)
+            return slots
+
         _, xs, ys, zs, ms, ids = jax.lax.fori_loop(
-            0, n_mnp_pad, sel_body, init)
+            0, n_mnp_pad // 8, sel_block, init)
 
         def far_body(j, accs):
             x0 = mnp[0, j]
@@ -305,16 +319,22 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
             w = far.astype(dtype)
             return tuple(a + c * w for a, c in zip(accs, parts))
 
+        def far_block(t, accs):
+            j0 = t * 8
+            for u in range(8):
+                accs = far_body(j0 + u, accs)
+            return accs
+
         accs = jax.lax.fori_loop(
-            0, n_mnp_pad, far_body,
+            0, n_mnp_pad // 8, far_block,
             (jnp.zeros((rows, LANES), dtype),) * 10)
         return list(xs), list(ys), list(zs), list(ms), list(accs)
 
     def kernel(scalars, state, *rest):
         if rebuild:
-            (mnp,), (o_state, o_maxd2, o_wins) = rest[:1], rest[1:]
+            (mnp,), (o_state, o_esc, o_wins) = rest[:1], rest[1:]
         else:
-            (near, taylor), (o_state, o_maxd2, o_wins) = rest[:2], rest[2:]
+            (near, taylor), (o_state, o_esc, o_wins) = rest[:2], rest[2:]
         step0 = scalars[0]
         key01 = (scalars[1], scalars[2])
         if rng_impl == RNG_HARDWARE:
@@ -335,210 +355,242 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         valid_v = (idx_u < scalars[5]).astype(dtype)
         lane_v = idx_u + scalars[4]
 
-        if rebuild:
-            # periodic wrap at chunk boundary, in-kernel (same semantics
-            # as the XLA-side jnp.mod in the non-rebuild sprint)
-            anchor_x = jnp.mod(state[0] + bound_f, bound_f)
-            anchor_y = jnp.mod(state[1] + bound_f, bound_f)
-            anchor_z = jnp.mod(state[2] + bound_f, bound_f)
-            nx, ny, nz, nM, taylor_acc = rebuild_model(
-                mnp, anchor_x, anchor_y, anchor_z)
-            (tb0, tgx, tgy, tgz, thxx, thyy, thzz, thxy, thxz,
-             thyz) = taylor_acc
-        else:
-            anchor_x, anchor_y, anchor_z = state[0], state[1], state[2]
-            tb0, tgx, tgy, tgz = taylor[0], taylor[1], taylor[2], taylor[3]
-            thxx, thyy, thzz = taylor[4], taylor[5], taylor[6]
-            thxy, thxz, thyz = taylor[7], taylor[8], taylor[9]
-            nx, ny, nz, nM = near[0], near[1], near[2], near[3]
-
         def hw_bits(n):
             # prng_random_bits yields int32; bitcast before the logical
             # shift or sign extension corrupts the top bits
             return [pltpu.bitcast(pltpu.prng_random_bits((r_blk, LANES)),
                                   jnp.uint32) for _ in range(n)]
 
-        def eval_field(x, y, z):
-            """Masked K-near sum + far Taylor (expansion.evaluate, fused on
-            planes).  Returns (B, in_cell_mask)."""
-            b_near = jnp.zeros_like(x)
-            min_d2 = jnp.full_like(x, 1e9)
-            for j in range(k):
-                dx = x - nx[j]
-                dy = y - ny[j]
-                dz = z - nz[j]
-                d2 = dx * dx + dy * dy + dz * dz
-                # d2 == 0 only if a walker sits exactly on a dipole
-                # (measure zero, but inf * 0 = nan would poison the run)
-                rs = jax.lax.rsqrt(jnp.maximum(d2, 1e-12))
-                rs2 = rs * rs
-                inv_r5 = rs2 * rs2 * rs
-                # 2dz^2 - dx^2 - dy^2 == 3dz^2 - d2 (one op cheaper);
-                # nM is pre-scaled by FIELD_SCALE at pack time
-                contrib = nM[j] * (3.0 * dz * dz - d2) * inv_r5
-                b_near = b_near + jnp.where(d2 > cell_r2, contrib, 0.0)
-                min_d2 = jnp.minimum(min_d2, d2)
-            # one containment decision from the running min instead of a
-            # per-k mask chain
-            inside = jnp.where(min_d2 < cell_r2, 1.0, 0.0).astype(dtype)
-            ex = x - anchor_x
-            ey = y - anchor_y
-            ez = z - anchor_z
-            b_far = (tb0 + tgx * ex + tgy * ey + tgz * ez
-                     + 0.5 * (thxx * ex * ex + thyy * ey * ey
-                              + thzz * ez * ez)
-                     + thxy * ex * ey + thxz * ex * ez + thyz * ey * ez)
-            return b_near + b_far, inside
-
-        def one_step(carry, u0, u1, u2, nrm, u_coin, u_kick):
-            """The physics of one timestep given its random inputs
-            (simulateDiffusion body, cuda_sim.cu:708-732, fused with the
-            phase kick)."""
-            (x, y, z, incell, bprev, acc, maxd2) = carry
-            if params.direction_mode == DIRECTION_CUBE:
-                dx = 2.0 * u0 - 1.0
-                dy = 2.0 * u1 - 1.0
-                dz = 2.0 * u2 - 1.0
-                inv_norm = jax.lax.rsqrt(
-                    jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-12))
-            else:
-                cos_t = 2.0 * u0 - 1.0
-                sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-                phi = two_pi * u1
-                dx = sin_t * jnp.cos(phi)
-                dy = sin_t * jnp.sin(phi)
-                dz = cos_t
-                inv_norm = 1.0
-            stdev = incell * in_stdev + (1.0 - incell) * out_stdev
-            mag = nrm * stdev * inv_norm
-            x2 = x + dx * mag
-            y2 = y + dy * mag
-            z2 = z + dz * mag
-
-            b, in_new = eval_field(x2, y2, z2)
-
-            if use_reflection:
-                cross_out = incell * (1.0 - in_new)
-                cross_in = (1.0 - incell) * in_new
-                flip = (cross_out * (u_coin < float(params.reflect_io))
-                        + cross_in * (u_coin < float(params.reflect_oi)))
-                keep = 1.0 - flip
-                x2 = keep * x2 + flip * x
-                y2 = keep * y2 + flip * y
-                z2 = keep * z2 + flip * z
-                b = keep * b + flip * bprev
-                in_new = keep * in_new + flip * incell
-
-            kick = b * phase_per_tesla
-            intra = intracellular_kick(params, u_kick, in_new > 0.5, dtype)
-            if intra is not None:
-                kick = kick + intra
-            acc = acc + kick
-
-            ddx = x2 - anchor_x
-            ddy = y2 - anchor_y
-            ddz = z2 - anchor_z
-            maxd2 = jnp.maximum(maxd2, ddx * ddx + ddy * ddy + ddz * ddz)
-            return (x2, y2, z2, in_new, b, acc, maxd2)
-
         def uni(bits):
             return rng.uniform_from_bits(bits, dtype)
 
-        def run_window(win_step0, carry):
-            if rng_impl == RNG_THREEFRY:
-                # per-step counter draws: bit-compatible with the scan
-                # engine for cross-validation
-                def body(i, c):
-                    words = _threefry_words(
-                        key01, win_step0 + i.astype(jnp.uint32), lane_v,
-                        n_words, params.rng_rounds)
-                    nrm = jnp.sqrt(-2.0 * jnp.log(1.0 - uni(words[3]))) * \
-                        jnp.cos(two_pi * uni(words[4]))
-                    return one_step(
-                        c, uni(words[0]), uni(words[1]), uni(words[2]), nrm,
-                        uni(words[5]) if n_words > 5 else None,
-                        uni(words[6]) if n_words > 6 else None)
-                return jax.lax.fori_loop(0, params.pfreq, body, carry)
+        def run_chunk(model, chunk_step0, w_base, x, y, z, phase, comp):
+            """One chunk of chunk_steps timesteps against a fixed field
+            model; emits its windows into o_wins rows [w_base, ...).
+            Returns the end-of-chunk walker state and the chunk max
+            anchor distance (escape detection)."""
+            (anchor_x, anchor_y, anchor_z, nx, ny, nz, nM,
+             tb0, tgx, tgy, tgz, thxx, thyy, thzz, thxy, thxz,
+             thyz) = model
 
-            # hardware PRNG: two steps per iteration sharing one Box-Muller
-            # pair (cos and sin of the same draw are independent normals) —
-            # halves the log/sqrt/cos cost per step
-            extra = (1 if use_reflection else 0) + (1 if use_kick_u else 0)
+            def eval_field(px, py, pz):
+                """Masked K-near sum + far Taylor (expansion.evaluate,
+                fused on planes).  Returns (B, in_cell_mask)."""
+                b_near = jnp.zeros_like(px)
+                min_d2 = jnp.full_like(px, 1e9)
+                for j in range(k):
+                    dx = px - nx[j]
+                    dy = py - ny[j]
+                    dz = pz - nz[j]
+                    dz2 = dz * dz
+                    d2 = dx * dx + dy * dy + dz2
+                    # d2 == 0 only if a walker sits exactly on a dipole
+                    # (measure zero, but inf * 0 = nan poisons the run)
+                    rs = jax.lax.rsqrt(jnp.maximum(d2, 1e-12))
+                    rs2 = rs * rs
+                    inv_r5 = rs2 * rs2 * rs
+                    # 2dz^2 - dx^2 - dy^2 == 3dz^2 - d2 (one op cheaper);
+                    # nM is pre-scaled by FIELD_SCALE at pack time
+                    contrib = nM[j] * (3.0 * dz2 - d2) * inv_r5
+                    b_near = b_near + jnp.where(d2 > cell_r2, contrib, 0.0)
+                    min_d2 = jnp.minimum(min_d2, d2)
+                # one containment decision from the running min instead of
+                # a per-k mask chain
+                inside = jnp.where(min_d2 < cell_r2, 1.0, 0.0).astype(dtype)
+                ex = px - anchor_x
+                ey = py - anchor_y
+                ez = pz - anchor_z
+                b_far = (tb0 + tgx * ex + tgy * ey + tgz * ez
+                         + 0.5 * (thxx * ex * ex + thyy * ey * ey
+                                  + thzz * ez * ez)
+                         + thxy * ex * ey + thxz * ex * ez + thyz * ey * ez)
+                return b_near + b_far, inside
 
-            def body2(i, c):
-                del i
-                w = hw_bits(8 + 2 * extra)
-                # polynomial Box-Muller (rng.fast_normal_pair): ~4x cheaper
-                # than library log/cos/sin, ~1e-5-sigma accurate
-                n1, n2 = rng.fast_normal_pair(w[6], w[7])
-                nw = 8
-                coin1 = uni(w[nw]) if use_reflection else None
-                coin2 = uni(w[nw + 1]) if use_reflection else None
-                nw += 2 if use_reflection else 0
-                kick1 = uni(w[nw]) if use_kick_u else None
-                kick2 = uni(w[nw + 1]) if use_kick_u else None
-                c = one_step(c, uni(w[0]), uni(w[1]), uni(w[2]), n1,
-                             coin1, kick1)
-                c = one_step(c, uni(w[3]), uni(w[4]), uni(w[5]), n2,
-                             coin2, kick2)
-                return c
-            carry = jax.lax.fori_loop(0, params.pfreq // 2, body2, carry)
-            if params.pfreq % 2:
-                w = hw_bits(5 + extra)
-                n1, _ = rng.fast_normal_pair(w[3], w[4])
-                nw = 5
-                coin1 = uni(w[nw]) if use_reflection else None
-                nw += 1 if use_reflection else 0
-                kick1 = uni(w[nw]) if use_kick_u else None
-                carry = one_step(carry, uni(w[0]), uni(w[1]), uni(w[2]),
-                                 n1, coin1, kick1)
-            return carry
+            def one_step(carry, u0, u1, u2, nrm, u_coin, u_kick,
+                         track_maxd2=True):
+                """The physics of one timestep given its random inputs
+                (simulateDiffusion body, cuda_sim.cu:708-732, fused with
+                the phase kick).  ``track_maxd2=False`` skips the
+                anchor-escape sampling for this step (the hardware-RNG
+                path samples every second step; the bound's 7-sigma margin
+                dwarfs one step's 5.8-sigma travel cap)."""
+                (x, y, z, incell, bprev, acc, maxd2) = carry
+                if params.direction_mode == DIRECTION_CUBE:
+                    dx = 2.0 * u0 - 1.0
+                    dy = 2.0 * u1 - 1.0
+                    dz = 2.0 * u2 - 1.0
+                    inv_norm = jax.lax.rsqrt(
+                        jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-12))
+                else:
+                    cos_t = 2.0 * u0 - 1.0
+                    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+                    phi = two_pi * u1
+                    dx = sin_t * jnp.cos(phi)
+                    dy = sin_t * jnp.sin(phi)
+                    dz = cos_t
+                    inv_norm = 1.0
+                # exact select (bitwise-equal to the scan engine's
+                # jnp.where), one op cheaper than the two-mul blend
+                stdev = jnp.where(incell > 0.5, in_stdev, out_stdev)
+                mag = nrm * stdev * inv_norm
+                x2 = x + dx * mag
+                y2 = y + dy * mag
+                z2 = z + dz * mag
 
-        # chunk-start state (anchor == wrapped input position)
-        x, y, z = anchor_x, anchor_y, anchor_z
-        b_start, in_start = eval_field(x, y, z)
-        phase = state[4]
-        comp = state[5]
-        maxd2 = jnp.zeros_like(x)
+                b, in_new = eval_field(x2, y2, z2)
 
-        carry = (x, y, z, in_start, b_start, jnp.zeros_like(x), maxd2)
-        for w_idx in range(n_win):
-            win_step0 = step0 + jnp.uint32(w_idx * params.pfreq)
-            x, y, z, incell, bprev, _, maxd2 = carry
-            carry = (x, y, z, incell, bprev, jnp.zeros_like(x), maxd2)
-            carry = run_window(win_step0, carry)
-            (x, y, z, incell, bprev, acc, maxd2) = carry
+                if use_reflection:
+                    cross_out = incell * (1.0 - in_new)
+                    cross_in = (1.0 - incell) * in_new
+                    flip = (cross_out * (u_coin < float(params.reflect_io))
+                            + cross_in * (u_coin < float(params.reflect_oi)))
+                    keep = 1.0 - flip
+                    x2 = keep * x2 + flip * x
+                    y2 = keep * y2 + flip * y
+                    z2 = keep * z2 + flip * z
+                    b = keep * b + flip * bprev
+                    in_new = keep * in_new + flip * incell
 
-            # Kahan fold (performUpdate, cuda_sim.cu:814-828)
-            ky = acc - comp
-            kt = phase + ky
-            comp = (kt - phase) - ky
-            phase = kt
-            o_wins[0, w_idx, 0] = jnp.sum(jnp.cos(phase) * valid_v)
-            o_wins[0, w_idx, 1] = jnp.sum(jnp.sin(phase) * valid_v)
+                kick = b * phase_per_tesla
+                intra = intracellular_kick(params, u_kick, in_new > 0.5,
+                                           dtype)
+                if intra is not None:
+                    kick = kick + intra
+                acc = acc + kick
 
-            # Carr-Purcell flip after emission (cuda_sim.cu:1015-1020)
-            end_step = win_step0 + jnp.uint32(params.pfreq)
-            do_flip = (end_step % jnp.uint32(params.tcp)) == 0
-            sign = jnp.where(do_flip, -1.0, 1.0).astype(phase.dtype)
-            phase = phase * sign
-            comp = comp * sign
+                if track_maxd2:
+                    ddx = x2 - anchor_x
+                    ddy = y2 - anchor_y
+                    ddz = z2 - anchor_z
+                    maxd2 = jnp.maximum(maxd2,
+                                        ddx * ddx + ddy * ddy + ddz * ddz)
+                return (x2, y2, z2, in_new, b, acc, maxd2)
 
-        (x, y, z, incell, _, _, maxd2) = carry
+            def run_window(win_step0, carry):
+                if rng_impl == RNG_THREEFRY:
+                    # per-step counter draws: bit-compatible with the scan
+                    # engine for cross-validation
+                    def body(i, c):
+                        words = _threefry_words(
+                            key01, win_step0 + i.astype(jnp.uint32), lane_v,
+                            n_words, params.rng_rounds)
+                        nrm = jnp.sqrt(
+                            -2.0 * jnp.log(1.0 - uni(words[3]))) * \
+                            jnp.cos(two_pi * uni(words[4]))
+                        return one_step(
+                            c, uni(words[0]), uni(words[1]), uni(words[2]),
+                            nrm,
+                            uni(words[5]) if n_words > 5 else None,
+                            uni(words[6]) if n_words > 6 else None)
+                    return jax.lax.fori_loop(0, params.pfreq, body, carry)
+
+                # hardware PRNG: two steps per iteration sharing one
+                # Box-Muller pair (cos and sin of the same draw are
+                # independent normals) — halves the log/sqrt/cos cost
+                extra = (1 if use_reflection else 0) + \
+                    (1 if use_kick_u else 0)
+
+                def body2(i, c):
+                    del i
+                    w = hw_bits(8 + 2 * extra)
+                    # polynomial Box-Muller (rng.fast_normal_pair): ~4x
+                    # cheaper than library log/cos/sin, ~1e-5-sigma accurate
+                    n1, n2 = rng.fast_normal_pair(w[6], w[7])
+                    nw = 8
+                    coin1 = uni(w[nw]) if use_reflection else None
+                    coin2 = uni(w[nw + 1]) if use_reflection else None
+                    nw += 2 if use_reflection else 0
+                    kick1 = uni(w[nw]) if use_kick_u else None
+                    kick2 = uni(w[nw + 1]) if use_kick_u else None
+                    c = one_step(c, uni(w[0]), uni(w[1]), uni(w[2]), n1,
+                                 coin1, kick1, track_maxd2=False)
+                    c = one_step(c, uni(w[3]), uni(w[4]), uni(w[5]), n2,
+                                 coin2, kick2)
+                    return c
+                carry = jax.lax.fori_loop(0, params.pfreq // 2, body2, carry)
+                if params.pfreq % 2:
+                    w = hw_bits(5 + extra)
+                    n1, _ = rng.fast_normal_pair(w[3], w[4])
+                    nw = 5
+                    coin1 = uni(w[nw]) if use_reflection else None
+                    nw += 1 if use_reflection else 0
+                    kick1 = uni(w[nw]) if use_kick_u else None
+                    carry = one_step(carry, uni(w[0]), uni(w[1]),
+                                     uni(w[2]), n1, coin1, kick1)
+                return carry
+
+            # chunk-start state (anchor == wrapped input position)
+            b_start, in_start = eval_field(x, y, z)
+            maxd2 = jnp.zeros_like(x)
+            carry = (x, y, z, in_start, b_start, jnp.zeros_like(x), maxd2)
+            for w_idx in range(n_win):
+                win_step0 = chunk_step0 + jnp.uint32(w_idx * params.pfreq)
+                x, y, z, incell, bprev, _, maxd2 = carry
+                carry = (x, y, z, incell, bprev, jnp.zeros_like(x), maxd2)
+                carry = run_window(win_step0, carry)
+                (x, y, z, incell, bprev, acc, maxd2) = carry
+
+                # Kahan fold (performUpdate, cuda_sim.cu:814-828)
+                ky = acc - comp
+                kt = phase + ky
+                comp = (kt - phase) - ky
+                phase = kt
+                o_wins[0, w_base + w_idx, 0] = jnp.sum(
+                    jnp.cos(phase) * valid_v)
+                o_wins[0, w_base + w_idx, 1] = jnp.sum(
+                    jnp.sin(phase) * valid_v)
+
+                # Carr-Purcell flip after emission (cuda_sim.cu:1015-1020)
+                end_step = win_step0 + jnp.uint32(params.pfreq)
+                do_flip = (end_step % jnp.uint32(params.tcp)) == 0
+                sign = jnp.where(do_flip, -1.0, 1.0).astype(phase.dtype)
+                phase = phase * sign
+                comp = comp * sign
+
+            (x, y, z, incell, _, _, maxd2) = carry
+            return x, y, z, incell, phase, comp, maxd2
+
+        x, y, z = state[0], state[1], state[2]
+        incell, phase, comp = state[3], state[4], state[5]
+        esc_count = jnp.zeros((r_blk, LANES), dtype)
+        for c_idx in range(n_kernel_chunks):
+            if rebuild:
+                # periodic wrap at chunk boundary, in-kernel (same
+                # semantics as the XLA-side jnp.mod of the big-scene path)
+                ax = jnp.mod(x + bound_f, bound_f)
+                ay = jnp.mod(y + bound_f, bound_f)
+                az = jnp.mod(z + bound_f, bound_f)
+                nx, ny, nz, nM, tl = rebuild_model(mnp, ax, ay, az)
+                model = (ax, ay, az, nx, ny, nz, nM, *tl)
+            else:
+                ax, ay, az = x, y, z
+                model = (ax, ay, az,
+                         [near[0][j] for j in range(k)],
+                         [near[1][j] for j in range(k)],
+                         [near[2][j] for j in range(k)],
+                         [near[3][j] for j in range(k)],
+                         *[taylor[i] for i in range(10)])
+            chunk_step0 = step0 + jnp.uint32(c_idx * params.chunk_steps)
+            x, y, z, incell, phase, comp, maxd2 = run_chunk(
+                model, chunk_step0, c_idx * n_win, ax, ay, az, phase, comp)
+            esc_count = esc_count + \
+                jnp.where(maxd2 > travel2_f, 1.0, 0.0) * valid_v
+
         o_state[0] = x
         o_state[1] = y
         o_state[2] = z
         o_state[3] = incell
         o_state[4] = phase
         o_state[5] = comp
-        o_maxd2[:] = maxd2
+        o_esc[:] = esc_count
 
     sspec = pl.BlockSpec((8,), lambda b: (0,), memory_space=pltpu.SMEM)
     state_spec = pl.BlockSpec((6, r_blk, LANES), lambda b: (0, b, 0),
                               memory_space=pltpu.VMEM)
-    maxd2_spec = pl.BlockSpec((r_blk, LANES), lambda b: (b, 0),
-                              memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((1, n_win, 2), lambda b: (b, 0, 0),
+    esc_spec = pl.BlockSpec((r_blk, LANES), lambda b: (b, 0),
+                            memory_space=pltpu.VMEM)
+    total_win = n_kernel_chunks * n_win
+    wspec = pl.BlockSpec((1, total_win, 2), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM)
     if rebuild:
         mnp_spec = pl.BlockSpec((4, n_mnp_pad), lambda b: (0, 0),
@@ -558,10 +610,10 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         out_shape=(
             jax.ShapeDtypeStruct((6, r_planes, LANES), dtype),
             jax.ShapeDtypeStruct((r_planes, LANES), dtype),
-            jax.ShapeDtypeStruct((n_blocks, n_win, 2), dtype),
+            jax.ShapeDtypeStruct((n_blocks, total_win, 2), dtype),
         ),
         in_specs=in_specs,
-        out_specs=(state_spec, maxd2_spec, wspec),
+        out_specs=(state_spec, esc_spec, wspec),
         interpret=interpret,
     )
     return call
@@ -593,18 +645,16 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
     if n_chunks * chunk_steps != params.sprint_steps:
         raise ValueError("sprint_steps must be a multiple of chunk_steps")
     n_win_chunk = chunk_steps // params.pfreq
-    travel2 = dtype(expansion.default_travel_bound(params) ** 2)
     bound = dtype(params.bound)
     kerns = {}
 
-    def get_kern(n_mnp_pad):
-        if n_mnp_pad not in kerns:
-            kerns[n_mnp_pad] = make_chunk_kernel(
+    def get_kern(n_mnp_pad, n_kernel_chunks=1):
+        key = (n_mnp_pad, n_kernel_chunks)
+        if key not in kerns:
+            kerns[key] = make_chunk_kernel(
                 params, r, dtype, rng_impl, interpret,
-                n_mnp_pad=n_mnp_pad)
-        return kerns[n_mnp_pad]
-
-    valid = (jnp.arange(wp) < num_water).astype(dtype).reshape(r, LANES)
+                n_mnp_pad=n_mnp_pad, n_kernel_chunks=n_kernel_chunks)
+        return kerns[key]
 
     def make_scalars(ps, lane_offset, key_arr):
         step0 = ps.step
@@ -619,20 +669,24 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
              lane_off, jnp.uint32(num_water),
              jnp.uint32(0), jnp.uint32(0)])
 
-    def advance(ps, state_out, omaxd2):
-        escapes = ps.escapes + jnp.sum(
-            (omaxd2 * valid) > travel2, dtype=jnp.int32)
+    def advance(ps, state_out, o_esc, steps):
+        # o_esc: per-walker escape-event counts, already validity-masked
+        escapes = ps.escapes + jnp.sum(o_esc).astype(jnp.int32)
         return PlaneState(px=state_out[0], py=state_out[1],
                           pz=state_out[2], in_cell=state_out[3],
                           phase=state_out[4], phase_comp=state_out[5],
-                          step=ps.step + jnp.uint32(chunk_steps),
+                          step=ps.step + jnp.uint32(steps),
                           escapes=escapes)
 
     def sprint(mnp_pos, mnp_M, key_arr, ps: PlaneState, lane_offset,
                cache=None):
         n_mnp = mnp_pos.shape[0]
         if n_mnp <= REBUILD_MAX_MNPS:
-            # in-kernel rebuild: pack the SMEM table once per sprint
+            # in-kernel rebuild: the kernel performs the whole recandidate
+            # at chunk start (no XLA recandidate at all); the sprint is a
+            # scan over chunk launches.  (A single multi-chunk launch
+            # measures identically — the scan pipeline already hides the
+            # launch cost — but compiles 10x slower at big sprints.)
             n_pad = -(-n_mnp // 8) * 8
             pos_p = jnp.concatenate(
                 [mnp_pos, jnp.full((n_pad - n_mnp, 3), 1e6, dtype)]) \
@@ -642,16 +696,16 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                 if n_pad != n_mnp else mnp_M
             mnp_tbl = jnp.concatenate(
                 [pos_p.T, (m_p * dtype(dipole.FIELD_SCALE))[None, :]], 0)
-            kern = get_kern(n_pad)
+            kern = get_kern(n_pad, 1)
 
             def chunk_body(ps: PlaneState, chunk_idx):
                 del chunk_idx
                 state_in = jnp.stack([ps.px, ps.py, ps.pz, ps.in_cell,
                                       ps.phase, ps.phase_comp])
-                state_out, omaxd2, block_wins = kern(
+                state_out, o_esc, block_wins = kern(
                     make_scalars(ps, lane_offset, key_arr), state_in,
                     mnp_tbl)
-                return advance(ps, state_out, omaxd2), \
+                return advance(ps, state_out, o_esc, chunk_steps), \
                     jnp.sum(block_wins, axis=0)
 
             ps, wins = jax.lax.scan(chunk_body, ps,
@@ -664,7 +718,7 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
             # callers that run many sprints should precompute the cache
             # once (it only depends on the scene) and pass it in
             cache = expansion.build_cache(mnp_pos, mnp_M, params)
-        kern = get_kern(None)
+        kern = get_kern(None, 1)
 
         def chunk_body(ps: PlaneState, chunk_idx):
             del chunk_idx  # ps.step already advances chunk by chunk
@@ -699,10 +753,10 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                  pl_(nf.hess[..., 2]), pl_(nf.hess[..., 3]),
                  pl_(nf.hess[..., 4]), pl_(nf.hess[..., 5])])
 
-            state_out, omaxd2, block_wins = kern(
+            state_out, o_esc, block_wins = kern(
                 make_scalars(ps, lane_offset, key_arr), state_in, near,
                 taylor)
-            return advance(ps, state_out, omaxd2), \
+            return advance(ps, state_out, o_esc, chunk_steps), \
                 jnp.sum(block_wins, axis=0)
 
         ps, wins = jax.lax.scan(chunk_body, ps,

@@ -91,6 +91,9 @@ def main():
     log("A:", results["A_kahan_vs_f64_phase"])
 
     # ---- arm B/C: production Pallas engine, hardware + threefry ---------
+    # x64 off again: the Pallas kernel is f32-only, and weak-typed python
+    # floats would otherwise promote its planes to f64 inside the trace
+    jax.config.update("jax_enable_x64", False)
     pB = Params(num_water=4032, totaltime=totaltime, chunk_steps=4000,
                 near_k=5, sprint_steps=20000, cube_candidates=16).validate()
     scB = BacteriaBox(pB, seed=42).populate()
