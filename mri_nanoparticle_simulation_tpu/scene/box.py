@@ -182,7 +182,13 @@ class BacteriaBox(SimulationBox):
 
     def init_mnps(self, cells: np.ndarray) -> np.ndarray:
         """One dipole of moment mmoment and radius 0 at each cell center
-        (BacteriaBox.cpp:114-121)."""
+        (BacteriaBox.cpp:114-121).
+
+        The radius column is carried for schema parity with MNP_info.r
+        (rand_walk.h:58-69) but is deliberately 0: the reference's only
+        consumer of a nonzero radius, ``mnp_reflect``, is dead code
+        (defined at cuda_sim.cu:528, never called), so nonzero-radius
+        MNPs have no reference semantics to match."""
         p = self.params
         mnps = np.zeros((p.num_cells, 5))
         mnps[:, :3] = cells

@@ -12,9 +12,12 @@ what is being certified):
      (different RNG streams; tolerance set by the walker-sampling noise).
   C. hardware RNG vs threefry RNG inside the Pallas engine, same scene —
      statistical equivalence.
-  D. field backends: expansion vs grid vs exact in the scan engine on the
-     same threefry streams — near-identical trajectories, so differences
-     measure the field-model error directly.
+  D. field backends: expansion vs grid vs exact in the scan engine on
+     the same threefry streams — near-identical trajectories, so
+     differences measure the field-model error directly.  The exact
+     brute-force oracle is HBM-bound at [W, N] per step, so this arm runs
+     1/10 of the axis; arm D4 (expansion vs grid, both fast) covers the
+     full axis.
 
 Writes dossier JSON to ACCURACY_DATA.json; ACCURACY.md is the human
 summary (maintained by hand from these numbers).
@@ -68,7 +71,9 @@ def main():
         print(*a, file=sys.stderr, flush=True)
 
     # ---- arm A: Kahan f32 vs f64 phase, identical trajectories ----------
-    pA = Params(num_water=1024, totaltime=totaltime, chunk_steps=1000,
+    # 4032 walkers: small populations underutilize the VPU ~10x in the
+    # scan engine, and more walkers = tighter statistics anyway
+    pA = Params(num_water=4032, totaltime=totaltime, chunk_steps=1000,
                 near_k=5, sprint_steps=20000).validate()
     scA = BacteriaBox(pA, seed=42).populate()
     t0 = time.time()
@@ -125,28 +130,49 @@ def main():
     log("C:", results["C_pallas_hw_vs_pallas_threefry"])
     log("B2 (same streams):", results["B2_pallas_tf_vs_scan_tf_same_streams"])
 
-    # ---- arm D: field backends on the same streams ----------------------
+    # ---- arm D: field backends vs the exact oracle (1/10 axis) ----------
     pD = Params(num_water=512, totaltime=totaltime, chunk_steps=1000,
                 near_k=5, sprint_steps=20000).validate()
     scD = BacteriaBox(pD, seed=42).populate()
+    d_steps = pD.t // 10
     t0 = time.time()
     _, c_exp, _, _ = reference_engine.run_simulation(
-        scD, pD, seed=7, dtype=jnp.float32)
+        scD, pD, seed=7, dtype=jnp.float32, max_steps=d_steps)
     log(f"D1 expansion done in {time.time()-t0:.0f}s")
     t0 = time.time()
     _, c_grid, _, _ = reference_engine.run_simulation(
         scD, pD.replace(field_mode="grid", grid_n=96), seed=7,
-        dtype=jnp.float32)
+        dtype=jnp.float32, max_steps=d_steps)
     log(f"D2 grid done in {time.time()-t0:.0f}s")
     t0 = time.time()
     _, c_exact, _, _ = reference_engine.run_simulation(
-        scD, pD.replace(field_mode="exact"), seed=7, dtype=jnp.float32)
+        scD, pD.replace(field_mode="exact"), seed=7, dtype=jnp.float32,
+        max_steps=d_steps)
     log(f"D3 exact done in {time.time()-t0:.0f}s")
     results["D_expansion_vs_exact"] = stats_vs(c_exp, c_exact, pD.num_water)
     results["D_grid_vs_exact"] = stats_vs(c_grid, c_exact, pD.num_water)
     results["D_expansion_vs_grid"] = stats_vs(c_exp, c_grid, pD.num_water)
+    results["D_steps"] = d_steps
     log("D exp vs exact:", results["D_expansion_vs_exact"])
     log("D grid vs exact:", results["D_grid_vs_exact"])
+
+    # ---- arm D4: expansion vs grid, FULL axis, same streams --------------
+    pD4 = Params(num_water=4032, totaltime=totaltime, chunk_steps=1000,
+                 near_k=5, sprint_steps=20000).validate()
+    scD4 = BacteriaBox(pD4, seed=42).populate()
+    t0 = time.time()
+    _, c4_exp, _, _ = reference_engine.run_simulation(
+        scD4, pD4, seed=7, dtype=jnp.float32)
+    log(f"D4a expansion done in {time.time()-t0:.0f}s")
+    t0 = time.time()
+    _, c4_grid, _, _ = reference_engine.run_simulation(
+        scD4, pD4.replace(field_mode="grid", grid_n=96), seed=7,
+        dtype=jnp.float32)
+    log(f"D4b grid done in {time.time()-t0:.0f}s")
+    results["D4_expansion_vs_grid_full"] = stats_vs(c4_exp, c4_grid,
+                                                    pD4.num_water)
+    log("D4 exp vs grid (full axis):",
+        results["D4_expansion_vs_grid_full"])
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)

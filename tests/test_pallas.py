@@ -110,6 +110,25 @@ class TestOnHardware:
                                    np.asarray(st2.pos), atol=1e-4)
         np.testing.assert_allclose(c1, c2, atol=0.05)
 
+    def test_hardware_rng_curve_matches_threefry(self):
+        """The 87x headline path (hardware PRNG + polynomial Box-Muller)
+        against the Threefry validation path on the real chip: the two
+        T2 curves are independent samples of the same ensemble, so they
+        must agree within the walker-sampling noise.  The full-length
+        version of this comparison is dossier arm C (ACCURACY.md)."""
+        p = P.Params(num_water=4032, totaltime=0.04, chunk_steps=4000,
+                     near_k=5, sprint_steps=20000).validate()
+        sc = BacteriaBox(p, seed=42).populate()
+        _, c_hw, _, st_hw = pe.run_simulation(
+            sc, p, seed=7, rng_impl=pe.RNG_HARDWARE)
+        _, c_tf, _, _ = pe.run_simulation(
+            sc, p, seed=7, rng_impl=pe.RNG_THREEFRY)
+        d = (np.asarray(c_hw) - np.asarray(c_tf)) / p.num_water
+        # difference of two independent W-walker means of cos phi:
+        # sigma <= sqrt(2/W); allow 5 sigma on the max window
+        assert np.abs(d).max() < 5.0 * np.sqrt(2.0 / p.num_water)
+        assert int(st_hw.escapes) == 0
+
 
 class TestMultiBlock:
     def test_two_block_grid_matches_scan(self):
