@@ -290,7 +290,8 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
             init = (pos, in0, b0, acc, jnp.zeros(w, dtype))  # max_d2 stays dtype
             (pos, in_cell, _, acc, max_d2), _ = jax.lax.scan(
                 inner, init,
-                jnp.arange(params.chunk_steps, dtype=jnp.uint32))
+                jnp.arange(params.chunk_steps, dtype=jnp.uint32),
+                unroll=params.scan_unroll)
             escapes = escapes + jnp.sum(max_d2 > travel2,
                                         dtype=jnp.int32)
             return (pos, in_cell, acc, step0, escapes), None
@@ -356,7 +357,8 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
                 (pos, in_cell, b_prev, acc, maxd2), _ = jax.lax.scan(
                     inner, (pos, in_cell, b_prev, jnp.zeros(w, pdt),
                             maxd2),
-                    jnp.arange(params.pfreq, dtype=jnp.uint32))
+                    jnp.arange(params.pfreq, dtype=jnp.uint32),
+                    unroll=params.scan_unroll)
                 y = acc - comp
                 t = phase + y
                 comp = (t - phase) - y

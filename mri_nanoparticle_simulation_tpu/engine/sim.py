@@ -354,6 +354,12 @@ def main(argv=None):
     ap.add_argument("--checkpoint-every", type=int, default=0,
                     help="sprints between checkpoints")
     ap.add_argument("--resume", default=None)
+    ap.add_argument("--ensemble", type=int, default=1, metavar="N",
+                    help="run N independent trials (scenes seeded "
+                         "scene-seed..scene-seed+N-1) and write the "
+                         "ensemble-averaged curve — the reference's "
+                         "'multitrial' PBS-resubmission workflow "
+                         "(T2_GPU_sim.cu:45) as one device computation")
     args = ap.parse_args(argv)
 
     params = Params(
@@ -379,6 +385,23 @@ def main(argv=None):
     csv_path = args.out or writer_mod.default_output_path(params)
     print(f"Starting TPU simulation...\nPrinting to: {csv_path}",
           file=sys.stderr)
+
+    if args.ensemble > 1:
+        from ..parallel import ensemble as ens
+        t0 = time.perf_counter()
+        times, cos, sin, _ = ens.run_ensemble(
+            params, n_trials=args.ensemble, base_seed=args.scene_seed,
+            run_seed=args.seed + 1000, engine=args.engine)
+        wall = time.perf_counter() - t0
+        with writer_mod.T2CsvWriter(csv_path, params,
+                                    args.quadrature) as w:
+            wins = np.stack([cos.mean(axis=0), sin.mean(axis=0)], -1)
+            w.append_windows(0, wins)
+        rate = args.ensemble * params.t * params.num_water / wall
+        print(f"Ensemble complete: {args.ensemble} trials x {params.t} "
+              f"steps in {wall:.1f}s ({rate:.3e} walker-steps/s)",
+              file=sys.stderr)
+        return 0
 
     runner = SimulationRunner(params, scene_seed=args.scene_seed,
                               seed=args.seed, engine=args.engine)

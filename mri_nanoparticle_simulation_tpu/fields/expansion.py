@@ -91,12 +91,15 @@ def _argmin_passes(d2, k, col=None):
 
 def uses_large_path(num_walkers: int, n_mnp: int) -> bool:
     """Policy: whether callers should precompute a cube-candidate cache
-    (build() then takes the cube-pruned selection + blocked far sums
-    route).  Above ~2M walker-dipole pairs the full [W, N] argmin-pass
-    selection dominates the recandidate (measured: 0.78 ms at 4096x716 vs
-    ~0.1 ms cube-pruned), so the cache wins well below the old 16M
-    threshold."""
-    return num_walkers * n_mnp > (1 << 21)
+    (build() then takes the cube-pruned selection route).  Scenes at the
+    reference scale (<= REBUILD_MAX_MNPS dipoles) never reach this in the
+    production engine — the recandidate runs inside the chunk kernel —
+    and the scan engine's full [W, N] selection is cheaper than building
+    a cube table per sprint below this size.  NOTE: engines auto-build
+    the cache INSIDE the jitted sprint when none is passed, i.e. once per
+    sprint call — long runs should precompute it once per scene
+    (SimulationRunner does)."""
+    return num_walkers * n_mnp > (1 << 24)
 
 
 def build_cache(mnp_pos, mnp_M, params: Params):

@@ -201,7 +201,8 @@ def run_ensemble(params: Params, n_trials: int,
 def run_parameter_sweep(base_params: Params, name: str, values,
                         n_trials_each: int = 1, base_seed: int = 0,
                         run_seed: int = 1000, dtype=jnp.float32,
-                        max_steps=None):
+                        max_steps=None, engine: str = "scan",
+                        interpret: bool = False):
     """Sweep any Params field (e.g. cell_r, taucp, mmoment) across runs.
 
     ``mmoment`` sweeps share one compiled program via :func:`run_ensemble`
@@ -218,7 +219,8 @@ def run_parameter_sweep(base_params: Params, name: str, values,
             base_params, n_trials=len(values) * n_trials_each,
             base_seed=base_seed, run_seed=run_seed,
             mmoments=[v for v in values for _ in range(n_trials_each)],
-            dtype=dtype, max_steps=max_steps)
+            dtype=dtype, max_steps=max_steps, engine=engine,
+            interpret=interpret)
         return times, cos.reshape(len(values), n_trials_each, -1)
 
     curves = []
@@ -227,6 +229,7 @@ def run_parameter_sweep(base_params: Params, name: str, values,
         p = base_params.replace(**{name: v}).validate()
         times, cos, _, _ = run_ensemble(
             p, n_trials=n_trials_each, base_seed=base_seed,
-            run_seed=run_seed + i * 10000, dtype=dtype, max_steps=max_steps)
+            run_seed=run_seed + i * 10000, dtype=dtype,
+            max_steps=max_steps, engine=engine, interpret=interpret)
         curves.append(cos)
     return times, np.stack(curves)

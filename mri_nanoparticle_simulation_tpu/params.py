@@ -129,6 +129,12 @@ class Params:
     #: scene-level validator (fields.expansion.validate_near_k) proves K
     #: covers every cell a walker can reach within a chunk
     near_k: int = 8
+    #: scan-engine inner-loop unroll factor.  The lax.scan step loop is
+    #: latency-bound on TPU (~50 us/iteration of fused-kernel dispatch);
+    #: unroll=16 is ~3x faster there but multiplies trace/compile time,
+    #: so the default stays 1 (tests, CPU) and long TPU scan runs (the
+    #: accuracy dossier) set it explicitly.  No effect on physics.
+    scan_unroll: int = 1
     #: per-axis sigma multiplier of the per-chunk travel bound (escape
     #: probability ~6*P(N>s) per walker-chunk by the reflection
     #: principle; escapes are counted by the engines).  7 -> ~8e-12 per

@@ -74,7 +74,7 @@ def main():
     # 4032 walkers: small populations underutilize the VPU ~10x in the
     # scan engine, and more walkers = tighter statistics anyway
     pA = Params(num_water=4032, totaltime=totaltime, chunk_steps=1000,
-                near_k=5, sprint_steps=20000).validate()
+                near_k=5, sprint_steps=20000, scan_unroll=16).validate()
     scA = BacteriaBox(pA, seed=42).populate()
     t0 = time.time()
     _, c32, s32, st32 = reference_engine.run_simulation(
@@ -111,7 +111,7 @@ def main():
         scB, pB, seed=7, rng_impl=pallas_engine.RNG_THREEFRY)
     log(f"B2 pallas threefry done in {time.time()-t0:.0f}s")
     t0 = time.time()
-    pB_scan = pB.replace(chunk_steps=1000)
+    pB_scan = pB.replace(chunk_steps=1000, scan_unroll=16)
     _, c_scan, _, _ = reference_engine.run_simulation(
         scB, pB_scan, seed=7, dtype=jnp.float32)
     log(f"B3 scan threefry done in {time.time()-t0:.0f}s")
@@ -132,7 +132,7 @@ def main():
 
     # ---- arm D: field backends vs the exact oracle (1/10 axis) ----------
     pD = Params(num_water=512, totaltime=totaltime, chunk_steps=1000,
-                near_k=5, sprint_steps=20000).validate()
+                near_k=5, sprint_steps=20000, scan_unroll=16).validate()
     scD = BacteriaBox(pD, seed=42).populate()
     d_steps = pD.t // 10
     t0 = time.time()
@@ -158,7 +158,7 @@ def main():
 
     # ---- arm D4: expansion vs grid, FULL axis, same streams --------------
     pD4 = Params(num_water=4032, totaltime=totaltime, chunk_steps=1000,
-                 near_k=5, sprint_steps=20000).validate()
+                 near_k=5, sprint_steps=20000, scan_unroll=16).validate()
     scD4 = BacteriaBox(pD4, seed=42).populate()
     t0 = time.time()
     _, c4_exp, _, _ = reference_engine.run_simulation(

@@ -403,3 +403,24 @@ class TestWrapSemantics:
         np.testing.assert_allclose(np.asarray(st1.pos),
                                    np.asarray(st2.pos), atol=1e-9)
         np.testing.assert_allclose(c1, c2, atol=1e-6)
+
+
+class TestPhaseDtype:
+    def test_f64_phase_does_not_change_trajectories(self, f64):
+        """phase never feeds back into positions: an f64-phase run is
+        bitwise trajectory-identical to the f32-Kahan run, isolating
+        accumulation drift exactly (the accuracy dossier's arm A)."""
+        p = P.small_test_params(num_water=32, totaltime=0.001,
+                                sprint_steps=500, mmoment=3.5e-15)
+        sc = BacteriaBox(p, seed=5).populate()
+        _, c32, _, st32 = re.run_simulation(sc, p, seed=3)
+        _, c64, _, st64 = re.run_simulation(sc, p, seed=3,
+                                            phase_dtype=jnp.float64)
+        np.testing.assert_array_equal(np.asarray(st32.pos),
+                                      np.asarray(st64.pos))
+        assert np.asarray(st64.phase).dtype == np.float64
+        # Kahan keeps the f32 fold within ~1e-8 of the f64 truth here
+        drift = np.abs(np.asarray(st32.phase, np.float64)
+                       - np.asarray(st64.phase)).max()
+        assert drift < 1e-7
+        np.testing.assert_allclose(c32, np.asarray(c64), atol=1e-3)

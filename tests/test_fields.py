@@ -229,3 +229,29 @@ class TestCubePrunedSelection:
         # percent of rows — physically inert (validated coverage means the
         # swap is always outside the reachable radius)
         assert mismatched_rows < 0.05
+
+
+class TestPallasFarSums:
+    def test_pallas_far_sums_match_xla(self):
+        """The fused Pallas far-sum kernel (big-scene recandidate path)
+        against the XLA reductions: same near selection, same exclusion
+        contract, agreement to f32 summation-order noise."""
+        import jax.numpy as jnp
+        from mri_nanoparticle_simulation_tpu.params import Params
+        from mri_nanoparticle_simulation_tpu.scene import BacteriaBox
+
+        p = Params(num_water=256, num_cells=64, chunk_steps=2000,
+                   near_k=5, sprint_steps=20000).validate()
+        sc = BacteriaBox(p, seed=1).populate()
+        mnp_pos = jnp.asarray(sc.mnps[:, :3], jnp.float32)
+        mnp_M = jnp.asarray(sc.mnps[:, 4], jnp.float32)
+        anchor = jnp.asarray(sc.waters[:256], jnp.float32)
+        nf1 = expansion.build(anchor, mnp_pos, mnp_M, p)
+        nf2 = expansion.build(anchor, mnp_pos, mnp_M, p,
+                              far_impl="pallas", interpret=True)
+        np.testing.assert_array_equal(np.asarray(nf1.near_pos),
+                                      np.asarray(nf2.near_pos))
+        for f in ("b0", "grad", "hess"):
+            a = np.asarray(getattr(nf1, f))
+            b = np.asarray(getattr(nf2, f))
+            assert np.abs(a - b).max() / np.abs(a).max() < 1e-5, f

@@ -169,3 +169,20 @@ class TestRunnerGridBackend:
         p = P.small_test_params(field_mode=P.FIELD_GRID)
         with pytest.raises(ValueError, match="scan-engine backend"):
             sim.SimulationRunner(p, engine="pallas")
+
+
+class TestCliEnsemble:
+    def test_ensemble_flag_writes_mean_curve(self, tmp_path):
+        """--ensemble N: the reference's 'multitrial' workflow
+        (T2_GPU_sim.cu:45, PBS resubmission) as one device computation."""
+        out = str(tmp_path / "ens.csv")
+        rc = sim.main(["--num-water", "32", "--num-cells", "8",
+                       "--totaltime", "0.002", "--sprint-steps", "1000",
+                       "--chunk-steps", "100", "--near-k", "6",
+                       "--taucp", "0.001", "--hash-dim", "8",
+                       "--engine", "scan", "--ensemble", "4",
+                       "--out", out, "--quadrature"])
+        assert rc == 0
+        d = np.loadtxt(out, delimiter=",")
+        assert d.shape == (2, 3)
+        assert np.all(np.abs(d[:, 1]) <= 32.0 + 1e-5)
