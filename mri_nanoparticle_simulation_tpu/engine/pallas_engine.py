@@ -140,8 +140,7 @@ def _threefry_words(key01, c0_scalar, lane, n_words, rounds):
 def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                       rng_impl: str = RNG_THREEFRY,
                       interpret: bool = False,
-                      n_mnp_pad: int | None = None,
-                      n_kernel_chunks: int = 1):
+                      n_mnp_pad: int | None = None):
     """Build the pallas_call executing one chunk (chunk_steps timesteps,
     spanning chunk_steps/pfreq output windows) for all walkers.
 
@@ -173,6 +172,10 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         f(scalars_u32[8], state [6, R, 128],
           mnp [4, n_mnp_pad] SMEM (x, y, z, M*FIELD_SCALE))
         -> same outputs.
+
+    (A multi-chunk-per-launch variant was measured identical in speed —
+    the XLA scan pipeline already hides launch cost — and 10x slower to
+    compile, so one launch per chunk it is.)
     """
     params.validate()
     if params.chunk_steps % params.pfreq != 0:
@@ -181,9 +184,6 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
     n_win = params.chunk_steps // params.pfreq
     k = params.near_k
     rebuild = n_mnp_pad is not None
-    if n_kernel_chunks > 1 and not rebuild:
-        raise ValueError("multi-chunk kernels require the in-kernel "
-                         "rebuild (n_mnp_pad)")
     travel2_f = float(expansion.default_travel_bound(params) ** 2)
     use_reflection = params.reflect_io > 0 or params.reflect_oi > 0
     use_kick_u = params.kick_mode == KICK_INTENDED
@@ -228,10 +228,14 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
 
     def _rebuild_group(mnp, ax, ay, az, rows):
         inf = jnp.full((rows, LANES), 1e30, dtype)
+        # unfilled slots sit 1e9 um away with zero moment: even if a scene
+        # has fewer dipoles than K (rejected at sprint build anyway), the
+        # containment test can never see a phantom dipole
+        farpos = jnp.full((rows, LANES), 1e9, dtype)
         zero = jnp.zeros((rows, LANES), dtype)
         neg1 = jnp.full((rows, LANES), -1, jnp.int32)
         # slots: (d2, x, y, z, m, idx) ascending by d2
-        init = ((inf,) * k, (zero,) * k, (zero,) * k, (zero,) * k,
+        init = ((inf,) * k, (farpos,) * k, (farpos,) * k, (farpos,) * k,
                 (zero,) * k, (neg1,) * k)
 
         def sel_body(j, slots):
@@ -364,11 +368,11 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         def uni(bits):
             return rng.uniform_from_bits(bits, dtype)
 
-        def run_chunk(model, chunk_step0, w_base, x, y, z, phase, comp):
+        def run_chunk(model, chunk_step0, x, y, z, phase, comp):
             """One chunk of chunk_steps timesteps against a fixed field
-            model; emits its windows into o_wins rows [w_base, ...).
-            Returns the end-of-chunk walker state and the chunk max
-            anchor distance (escape detection)."""
+            model; emits its windows into o_wins.  Returns the
+            end-of-chunk walker state and the chunk max anchor distance
+            (escape detection)."""
             (anchor_x, anchor_y, anchor_z, nx, ny, nz, nM,
              tb0, tgx, tgy, tgz, thxx, thyy, thzz, thxy, thxz,
              thyz) = model
@@ -535,10 +539,8 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                 kt = phase + ky
                 comp = (kt - phase) - ky
                 phase = kt
-                o_wins[0, w_base + w_idx, 0] = jnp.sum(
-                    jnp.cos(phase) * valid_v)
-                o_wins[0, w_base + w_idx, 1] = jnp.sum(
-                    jnp.sin(phase) * valid_v)
+                o_wins[0, w_idx, 0] = jnp.sum(jnp.cos(phase) * valid_v)
+                o_wins[0, w_idx, 1] = jnp.sum(jnp.sin(phase) * valid_v)
 
                 # Carr-Purcell flip after emission (cuda_sim.cu:1015-1020)
                 end_step = win_step0 + jnp.uint32(params.pfreq)
@@ -552,29 +554,25 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
 
         x, y, z = state[0], state[1], state[2]
         incell, phase, comp = state[3], state[4], state[5]
-        esc_count = jnp.zeros((r_blk, LANES), dtype)
-        for c_idx in range(n_kernel_chunks):
-            if rebuild:
-                # periodic wrap at chunk boundary, in-kernel (same
-                # semantics as the XLA-side jnp.mod of the big-scene path)
-                ax = jnp.mod(x + bound_f, bound_f)
-                ay = jnp.mod(y + bound_f, bound_f)
-                az = jnp.mod(z + bound_f, bound_f)
-                nx, ny, nz, nM, tl = rebuild_model(mnp, ax, ay, az)
-                model = (ax, ay, az, nx, ny, nz, nM, *tl)
-            else:
-                ax, ay, az = x, y, z
-                model = (ax, ay, az,
-                         [near[0][j] for j in range(k)],
-                         [near[1][j] for j in range(k)],
-                         [near[2][j] for j in range(k)],
-                         [near[3][j] for j in range(k)],
-                         *[taylor[i] for i in range(10)])
-            chunk_step0 = step0 + jnp.uint32(c_idx * params.chunk_steps)
-            x, y, z, incell, phase, comp, maxd2 = run_chunk(
-                model, chunk_step0, c_idx * n_win, ax, ay, az, phase, comp)
-            esc_count = esc_count + \
-                jnp.where(maxd2 > travel2_f, 1.0, 0.0) * valid_v
+        if rebuild:
+            # periodic wrap at chunk boundary, in-kernel (same semantics
+            # as the XLA-side jnp.mod of the big-scene path)
+            ax = jnp.mod(x + bound_f, bound_f)
+            ay = jnp.mod(y + bound_f, bound_f)
+            az = jnp.mod(z + bound_f, bound_f)
+            nx, ny, nz, nM, tl = rebuild_model(mnp, ax, ay, az)
+            model = (ax, ay, az, nx, ny, nz, nM, *tl)
+        else:
+            ax, ay, az = x, y, z
+            model = (ax, ay, az,
+                     [near[0][j] for j in range(k)],
+                     [near[1][j] for j in range(k)],
+                     [near[2][j] for j in range(k)],
+                     [near[3][j] for j in range(k)],
+                     *[taylor[i] for i in range(10)])
+        x, y, z, incell, phase, comp, maxd2 = run_chunk(
+            model, step0, ax, ay, az, phase, comp)
+        esc_count = jnp.where(maxd2 > travel2_f, 1.0, 0.0) * valid_v
 
         o_state[0] = x
         o_state[1] = y
@@ -589,8 +587,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                               memory_space=pltpu.VMEM)
     esc_spec = pl.BlockSpec((r_blk, LANES), lambda b: (b, 0),
                             memory_space=pltpu.VMEM)
-    total_win = n_kernel_chunks * n_win
-    wspec = pl.BlockSpec((1, total_win, 2), lambda b: (b, 0, 0),
+    wspec = pl.BlockSpec((1, n_win, 2), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM)
     if rebuild:
         mnp_spec = pl.BlockSpec((4, n_mnp_pad), lambda b: (0, 0),
@@ -610,7 +607,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         out_shape=(
             jax.ShapeDtypeStruct((6, r_planes, LANES), dtype),
             jax.ShapeDtypeStruct((r_planes, LANES), dtype),
-            jax.ShapeDtypeStruct((n_blocks, total_win, 2), dtype),
+            jax.ShapeDtypeStruct((n_blocks, n_win, 2), dtype),
         ),
         in_specs=in_specs,
         out_specs=(state_spec, esc_spec, wspec),
@@ -648,13 +645,12 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
     bound = dtype(params.bound)
     kerns = {}
 
-    def get_kern(n_mnp_pad, n_kernel_chunks=1):
-        key = (n_mnp_pad, n_kernel_chunks)
-        if key not in kerns:
-            kerns[key] = make_chunk_kernel(
+    def get_kern(n_mnp_pad):
+        if n_mnp_pad not in kerns:
+            kerns[n_mnp_pad] = make_chunk_kernel(
                 params, r, dtype, rng_impl, interpret,
-                n_mnp_pad=n_mnp_pad, n_kernel_chunks=n_kernel_chunks)
-        return kerns[key]
+                n_mnp_pad=n_mnp_pad)
+        return kerns[n_mnp_pad]
 
     def make_scalars(ps, lane_offset, key_arr):
         step0 = ps.step
@@ -681,6 +677,11 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
     def sprint(mnp_pos, mnp_M, key_arr, ps: PlaneState, lane_offset,
                cache=None):
         n_mnp = mnp_pos.shape[0]
+        if params.near_k > n_mnp:
+            raise ValueError(
+                f"near_k={params.near_k} exceeds the number of dipoles "
+                f"({n_mnp}); selection would duplicate entries and "
+                f"double-count their field")
         if n_mnp <= REBUILD_MAX_MNPS:
             # in-kernel rebuild: the kernel performs the whole recandidate
             # at chunk start (no XLA recandidate at all); the sprint is a
@@ -696,7 +697,7 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                 if n_pad != n_mnp else mnp_M
             mnp_tbl = jnp.concatenate(
                 [pos_p.T, (m_p * dtype(dipole.FIELD_SCALE))[None, :]], 0)
-            kern = get_kern(n_pad, 1)
+            kern = get_kern(n_pad)
 
             def chunk_body(ps: PlaneState, chunk_idx):
                 del chunk_idx
@@ -718,7 +719,7 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
             # callers that run many sprints should precompute the cache
             # once (it only depends on the scene) and pass it in
             cache = expansion.build_cache(mnp_pos, mnp_M, params)
-        kern = get_kern(None, 1)
+        kern = get_kern(None)
 
         def chunk_body(ps: PlaneState, chunk_idx):
             del chunk_idx  # ps.step already advances chunk by chunk

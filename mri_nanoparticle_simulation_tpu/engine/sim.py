@@ -69,10 +69,14 @@ class SimulationRunner:
                  engine: str = "pallas", dtype=jnp.float32,
                  rng_impl: str = pallas_engine.RNG_HARDWARE,
                  interpret: bool = False, check_coverage: bool = True,
-                 mesh=None):
+                 mesh=None, scene=None):
         """``mesh``: an optional jax.sharding.Mesh with a 'walkers' axis;
         when given, walker state is sharded over it and window sums psum
-        over ICI (parallel/sharding.py) — for both engines."""
+        over ICI (parallel/sharding.py) — for both engines.
+
+        ``scene``: an optional prebuilt Scene (e.g. a
+        ClusteredBacteriaBox product); default builds a BacteriaBox from
+        scene_seed.  The coverage guard applies either way."""
         self.params = params.validate()
         self.seed = seed
         self.scene_seed = scene_seed
@@ -87,7 +91,8 @@ class SimulationRunner:
                 "which is both faster and more accurate); use "
                 "engine='scan'")
 
-        self.scene = BacteriaBox(params, seed=scene_seed).populate()
+        self.scene = scene if scene is not None \
+            else BacteriaBox(params, seed=scene_seed).populate()
         if check_coverage and not grid_mode:
             worst = expansion.validate_near_k(
                 self.scene.mnps[:, :3], params, n_probe=50_000)
@@ -146,11 +151,14 @@ class SimulationRunner:
         self.state = reference_engine.init_state(
             self.scene.waters, params, dtype)
         # scene-constant selection cache (large scenes): built once here
-        # instead of once per sprint
+        # instead of once per sprint.  The sharded sprint has no cache
+        # plumbing (it auto-builds per sprint on the large path), so skip
+        # the build under a mesh rather than pay for an unused table.
         self._cache = None
-        if engine == "pallas" and expansion.uses_large_path(
-                pallas_engine.pad_count(params.num_water),
-                len(self.scene.mnps)):
+        if engine == "pallas" and mesh is None and \
+                expansion.uses_large_path(
+                    pallas_engine.pad_count(params.num_water),
+                    len(self.scene.mnps)):
             self._cache = expansion.build_cache(
                 self.mnp_pos, self.mnp_M, params)
 

@@ -87,7 +87,6 @@ def make_ensemble_pallas_sprint_fn(params: Params, mesh: Mesh,
     """
     local = pallas_engine.make_sprint_fn(params, params.num_water, dtype,
                                          rng_impl, interpret)
-    n_dev = mesh.shape[TRIAL_AXIS]
 
     def shard_fn(mnp_pos, mnp_M, keys, planes):
         def body(_, xs):
@@ -110,7 +109,6 @@ def make_ensemble_pallas_sprint_fn(params: Params, mesh: Mesh,
         shard_fn, mesh=mesh,
         in_specs=(tspec, tspec, tspec, planes_spec),
         out_specs=(planes_spec, tspec), check_vma=False)
-    del n_dev
     return jax.jit(sharded)
 
 
@@ -142,19 +140,37 @@ def run_ensemble(params: Params, n_trials: int,
                  dtype=jnp.float32, max_steps: Optional[int] = None,
                  engine: str = "scan",
                  rng_impl: str = pallas_engine.RNG_THREEFRY,
-                 interpret: bool = False):
+                 interpret: bool = False, check_coverage: bool = True):
     """Run T independent trials; returns (times_ms, sum_cos [T, n],
     sum_sin [T, n], state).  Average over axis 0 for the ensemble curve.
 
     ``engine='pallas'`` runs the production chunk kernel per trial;
     ``engine='scan'`` (default) vmaps the pure-JAX engine.
+    ``check_coverage`` validates near_k against every trial's scene (the
+    same guard SimulationRunner applies to its single scene).
     """
     params.validate()
+    from ..params import FIELD_EXPANSION
+    if params.field_mode != FIELD_EXPANSION:
+        raise ValueError(
+            f"ensembles run the expansion field backend; field_mode="
+            f"{params.field_mode!r} is only wired into single-scene "
+            f"SimulationRunner/scan runs")
     mesh, n_padded = _trial_mesh(n_trials, mesh)
     if mmoments is not None and n_padded > n_trials:
         mmoments = list(mmoments) + [mmoments[-1]] * (n_padded - n_trials)
-    mnp_pos, mnp_M, waters, _ = build_trial_scenes(
+    mnp_pos, mnp_M, waters, scenes = build_trial_scenes(
         params, n_padded, base_seed, mmoments)
+    if check_coverage:
+        from ..fields import expansion
+        for i, s in enumerate(scenes[:n_trials]):
+            worst = expansion.validate_near_k(s.mnps[:, :3], params,
+                                              n_probe=20_000)
+            if worst > params.near_k:
+                raise ValueError(
+                    f"trial {i} (scene seed {base_seed + i}) requires "
+                    f"near_k >= {worst} (configured {params.near_k}); "
+                    f"raise near_k or lower chunk_steps")
 
     keys = []
     for i in range(n_padded):

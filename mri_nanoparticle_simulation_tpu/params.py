@@ -258,6 +258,17 @@ class Params:
             raise ValueError(f"unknown field_mode {self.field_mode!r}")
         if self.rng_rounds % 4 != 0 or self.rng_rounds <= 0:
             raise ValueError("rng_rounds must be a positive multiple of 4")
+        if self.scan_unroll < 1:
+            raise ValueError("scan_unroll must be >= 1")
+        if self.travel_sigmas < 3.0:
+            raise ValueError(
+                f"travel_sigmas={self.travel_sigmas} is unsafe: the "
+                f"per-chunk escape probability ~6*P(N>s) exceeds ~1e-2 "
+                f"below 3 sigma, breaking the near-list exactness "
+                f"guarantee (see fields.expansion.default_travel_bound)")
+        if self.grid_n < 2 or self.grid_max_residents < 1:
+            raise ValueError("grid_n must be >= 2 and grid_max_residents "
+                             ">= 1")
         if self.tcp % self.pfreq != 0:
             raise ValueError(
                 f"taucp must align with the output interval: tcp ({self.tcp}"

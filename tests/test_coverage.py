@@ -68,17 +68,22 @@ class TestClusteredScenes:
         from mri_nanoparticle_simulation_tpu.engine import sim
 
         p = clustered_params(near_k=2, chunk_steps=200)
-
-        class ClusteredRunner(sim.SimulationRunner):
-            pass
-
-        # the runner builds a BacteriaBox; validate the clustered scene
-        # directly through the same guard expression instead
         sc = ClusteredBacteriaBox(p, seed=3, n_clusters=2,
                                   cluster_sigma=0.9).populate()
-        worst = expansion.validate_near_k(sc.mnps[:, :3], p,
-                                          n_probe=50_000)
-        assert worst > p.near_k  # the guard condition the runner enforces
+        # precondition: the scene really does demand more than near_k=2
+        assert expansion.validate_near_k(sc.mnps[:, :3], p,
+                                         n_probe=50_000) > p.near_k
+        with pytest.raises(ValueError, match="requires near_k"):
+            sim.SimulationRunner(p, engine="scan", scene=sc)
+
+    def test_ensemble_rejects_insufficient_k(self):
+        """run_ensemble applies the same guard per trial scene."""
+        from mri_nanoparticle_simulation_tpu.parallel import ensemble
+        p = clustered_params(num_cells=40, bound=8.0, water_start_bound=7.0,
+                             near_k=1, chunk_steps=200)
+        with pytest.raises(ValueError, match="requires near_k"):
+            ensemble.run_ensemble(p, n_trials=1, base_seed=0, run_seed=1,
+                                  max_steps=200)
 
     def test_dense_packing_k_demand(self):
         """4x the reference density (cells fill most of the box): K demand
