@@ -111,20 +111,31 @@ def build_cache(mnp_pos, mnp_M, params: Params):
     dominate large-scene selection.
 
     Build cost is one [H^3, N] distance matrix + C argmin passes, paid
-    once per sprint instead of per chunk."""
+    once per sprint instead of per chunk.  The body is jitted (keyed on
+    the cube geometry): run eagerly its ~C x 3 ops each pay a dispatch
+    round trip, which measured 100x the compute on a tunneled device."""
     h = params.cube_hash_dim
     c = min(params.cube_candidates, mnp_pos.shape[0])
-    cube = params.bound / h
+    return _build_cache_jit(h, c, float(params.bound))(mnp_pos, mnp_M)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_cache_jit(h: int, c: int, bound: float):
+    cube = bound / h
     ax = (np.arange(h) + 0.5) * cube
     centers = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"),
                        -1).reshape(-1, 3)
-    d2c = _pairwise_d2(jnp.asarray(centers, mnp_pos.dtype), mnp_pos)
-    table, _ = _argmin_passes(d2c, c)                   # [H^3, C]
-    payload = jnp.concatenate(
-        [mnp_pos[table],                                # [H^3, C, 3]
-         mnp_M[table][..., None],
-         table[..., None].astype(mnp_pos.dtype)], axis=-1)
-    return payload
+
+    @jax.jit
+    def f(mnp_pos, mnp_M):
+        d2c = _pairwise_d2(jnp.asarray(centers, mnp_pos.dtype), mnp_pos)
+        table, _ = _argmin_passes(d2c, c)               # [H^3, C]
+        return jnp.concatenate(
+            [mnp_pos[table],                            # [H^3, C, 3]
+             mnp_M[table][..., None],
+             table[..., None].astype(mnp_pos.dtype)], axis=-1)
+
+    return f
 
 
 def build(anchor, mnp_pos, mnp_M, params: Params,
@@ -172,9 +183,22 @@ def build(anchor, mnp_pos, mnp_M, params: Params,
         cpos = payload[..., :3]
         dc = anchor[:, None, :] - cpos
         d2 = jnp.sum(dc * dc, axis=-1)                  # [W, C]
-        local_idx, _ = _argmin_passes(
-            d2, k, col=jnp.arange(d2.shape[1], dtype=jnp.int32)[None, :])
-        sel = jnp.take_along_axis(payload, local_idx[..., None], axis=1)
+        # K argmin passes with the winner's payload row extracted by a
+        # fused one-hot reduce per pass: XLA lowers take_along_axis on
+        # [W, C, 5] to a serial gather that measured 3x the rest of the
+        # selection combined; the one-hot extraction is bitwise-identical
+        # and fuses into the pass's own compare/where.
+        col = jnp.arange(d2.shape[1], dtype=jnp.int32)[None, :]
+        remaining = d2.astype(jnp.bfloat16) if d2.dtype == jnp.float32 \
+            else d2
+        rows = []
+        for _ in range(k):
+            j = jnp.argmin(remaining, axis=1).astype(jnp.int32)
+            onehot = col == j[:, None]
+            rows.append(jnp.sum(
+                jnp.where(onehot[..., None], payload, 0.0), axis=1))
+            remaining = jnp.where(onehot, jnp.inf, remaining)
+        sel = jnp.stack(rows, axis=1)                   # [W, K, 5]
         near_pos = sel[..., :3]                         # [W, K, 3]
         near_M = sel[..., 3]
         idx = sel[..., 4].astype(jnp.int32)             # global indices
@@ -294,8 +318,17 @@ def _make_far_sums_kernel(n_pad: int, r_planes: int, k: int, dtype_name: str,
             parts = (b0, gx, gy, gz, hxx, hyy, hzz, hxy, hxz, hyz)
             return tuple(a + c * w for a, c in zip(accs, parts))
 
+        # 8-wide unroll: batches the SMEM scalar loads so their latency
+        # pipelines behind the vector work (the 1-dipole body measured
+        # 2x slower end-to-end); callers pad the table to a multiple of 8
+        def block8(t, accs):
+            j0 = t * 8
+            for u in range(8):
+                accs = body(j0 + u, accs)
+            return accs
+
         zero = jnp.zeros((r_blk, 128), dtype)
-        accs = jax.lax.fori_loop(0, n_pad, body, (zero,) * 10)
+        accs = jax.lax.fori_loop(0, n_pad // 8, block8, (zero,) * 10)
         for i in range(10):
             out[i] = accs[i]
 
