@@ -717,8 +717,11 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
         # the near/taylor kernel inputs
         if cache is None and expansion.uses_large_path(wp, n_mnp):
             # callers that run many sprints should precompute the cache
-            # once (it only depends on the scene) and pass it in
-            cache = expansion.build_cache(mnp_pos, mnp_M, params)
+            # once (it only depends on the scene) and pass it in; the
+            # far table is skipped here because this build runs inside
+            # the jitted sprint, i.e. once per sprint CALL on device
+            cache = expansion.build_cache(mnp_pos, mnp_M, params,
+                                          far_table=False)
         kern = get_kern(None)
 
         def chunk_body(ps: PlaneState, chunk_idx):

@@ -269,7 +269,8 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
         key = (key_arr[0], key_arr[1])
         w = state.pos.shape[0]
         lane = jnp.arange(w, dtype=jnp.uint32) + jnp.uint32(lane_offset)
-        cache = (expansion.build_cache(mnp_pos, mnp_M, params)
+        cache = (expansion.build_cache(mnp_pos, mnp_M, params,
+                               far_table=False)
                  if not grid_mode
                  and expansion.uses_large_path(w, mnp_pos.shape[0])
                  else None)
@@ -336,7 +337,8 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
         w = state.pos.shape[0]
         lane = jnp.arange(w, dtype=jnp.uint32) + jnp.uint32(lane_offset)
         n_chunks = params.sprint_steps // params.chunk_steps
-        cache = (expansion.build_cache(mnp_pos, mnp_M, params)
+        cache = (expansion.build_cache(mnp_pos, mnp_M, params,
+                               far_table=False)
                  if not grid_mode
                  and expansion.uses_large_path(w, mnp_pos.shape[0])
                  else None)

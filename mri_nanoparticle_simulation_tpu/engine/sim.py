@@ -349,6 +349,10 @@ def main(argv=None):
     ap.add_argument("--tau", type=float, default=1e-6,
                     help="timestep in ms (reference: 1e-6 = 1 ns)")
     ap.add_argument("--cube-candidates", type=int, default=96)
+    ap.add_argument("--far-table-order", type=int, default=5,
+                    help="per-cube far-field Taylor order on the "
+                         "large-scene path (0 = exact far sums each "
+                         "chunk)")
     ap.add_argument("--sprint-steps", type=int, default=100000,
                     help="steps per host dispatch batch (auto-shrunk to "
                          "divide the total step count)")
@@ -378,6 +382,7 @@ def main(argv=None):
         sprint_steps=args.sprint_steps, max_neighbors=args.max_neighbors,
         hash_dim=args.hash_dim, tau=args.tau,
         cube_candidates=args.cube_candidates,
+        far_table_order=args.far_table_order,
         field_mode=args.field_mode, grid_n=args.grid_n,
     )
     params = params.replace(

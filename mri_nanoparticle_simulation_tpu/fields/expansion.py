@@ -46,7 +46,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..params import Params
-from . import dipole
+from . import dipole, fartable
+
+
+class SceneCache(NamedTuple):
+    """Scene-constant selection + far-field tables for the large path.
+
+    payload: [H^3, C, 5] per-cube candidate table (x, y, z, M, global idx)
+    far_coeffs: [H^3, n_coeffs] per-cube Taylor table of the
+        beyond-candidates field (fields/fartable.py), or None when the
+        table is disabled (params.far_table_order == 0) — build() then
+        computes exact far sums over all N dipoles instead.
+    """
+    payload: jnp.ndarray
+    far_coeffs: jnp.ndarray | None
 
 
 class NearField(NamedTuple):
@@ -102,21 +115,38 @@ def uses_large_path(num_walkers: int, n_mnp: int) -> bool:
     return num_walkers * n_mnp > (1 << 24)
 
 
-def build_cache(mnp_pos, mnp_M, params: Params):
-    """Per-sprint selection cache for large scenes: for each spatial cube,
+def build_cache(mnp_pos, mnp_M, params: Params,
+                far_table: bool = True) -> SceneCache:
+    """Scene-constant tables for large scenes: for each spatial cube,
     its C nearest dipoles (a superset of everything any walker in the cube
     can reach — validated by validate_cube_candidates) stored as a single
-    [H^3, C, 5] payload of (x, y, z, M, global index).  One wide row
-    gather per walker then replaces the per-element index gathers that
-    dominate large-scene selection.
+    [H^3, C, 5] payload of (x, y, z, M, global index), plus (when
+    ``params.far_table_order > 0`` and ``far_table``) the per-cube Taylor
+    table of the beyond-candidates field (fields/fartable.py).  One wide
+    row gather per walker then replaces the per-element index gathers
+    that dominate large-scene selection, and the far table caps the
+    recandidate's dipole work at C instead of N.
 
-    Build cost is one [H^3, N] distance matrix + C argmin passes, paid
-    once per sprint instead of per chunk.  The body is jitted (keyed on
-    the cube geometry): run eagerly its ~C x 3 ops each pay a dispatch
-    round trip, which measured 100x the compute on a tunneled device."""
+    Build cost is one [H^3, N] distance matrix + C argmin passes (+ the
+    jacfwd table sweep), paid once per scene.  The body is jitted (keyed
+    on the cube geometry): run eagerly its ~C x 3 ops each pay a dispatch
+    round trip, which measured 100x the compute on a tunneled device.
+
+    ``far_table=False`` skips the Taylor table regardless of params —
+    used when build_cache runs *inside* a jitted sprint (the auto-build
+    fallback), where the table would otherwise be rebuilt on device every
+    sprint call; callers that want the table must precompute the cache
+    once per scene (SimulationRunner does)."""
     h = params.cube_hash_dim
     c = min(params.cube_candidates, mnp_pos.shape[0])
-    return _build_cache_jit(h, c, float(params.bound))(mnp_pos, mnp_M)
+    payload = _build_cache_jit(h, c, float(params.bound))(mnp_pos, mnp_M)
+    coeffs = None
+    if far_table and params.far_table_order > 0:
+        cand_idx = payload[..., 4].astype(jnp.int32)
+        coeffs = fartable.build_far_table(
+            mnp_pos, mnp_M, cand_idx, h, float(params.bound),
+            params.far_table_order)
+    return SceneCache(payload=payload, far_coeffs=coeffs)
 
 
 @functools.lru_cache(maxsize=32)
@@ -164,6 +194,11 @@ def build(anchor, mnp_pos, mnp_M, params: Params,
             f"({n}); selection would duplicate entries and "
             f"double-count their field")
 
+    far_coeffs = None
+    if isinstance(cache, SceneCache):
+        far_coeffs = cache.far_coeffs
+        cache = cache.payload
+
     # --- near selection -----------------------------------------------------
     far_mask = None
     if cache is not None:
@@ -202,6 +237,45 @@ def build(anchor, mnp_pos, mnp_M, params: Params,
         near_pos = sel[..., :3]                         # [W, K, 3]
         near_M = sel[..., 3]
         idx = sel[..., 4].astype(jnp.int32)             # global indices
+
+        if far_coeffs is not None:
+            # far = exact mid sums over the remaining candidates + the
+            # per-cube Taylor table for everything beyond them.  Exact
+            # partition: every dipole is counted once (near by selection,
+            # mid by index exclusion, table by build-time index
+            # exclusion); only the table term is an approximation
+            # (fields/fartable.py docstring has the error analysis).
+            order = params.far_table_order
+            if far_coeffs.shape[-1] != fartable.n_coeffs(order):
+                raise ValueError(
+                    f"far table was built at a different order than "
+                    f"params.far_table_order={order} "
+                    f"({far_coeffs.shape[-1]} != "
+                    f"{fartable.n_coeffs(order)} coefficients)")
+            cidx = payload[..., 4].astype(jnp.int32)    # [W, C]
+            mid = jnp.ones(cidx.shape, bool)
+            for j in range(k):
+                mid = mid & (cidx != idx[:, j:j + 1])
+            # guard the closed forms at r -> 0 for the excluded (near)
+            # entries; their weight is 0 but inf * 0 = nan
+            dx = jnp.where(mid, dc[..., 0], 1.0)
+            dy = jnp.where(mid, dc[..., 1], 1.0)
+            dz = jnp.where(mid, dc[..., 2], 1.0)
+            is_mid = mid.astype(anchor.dtype)
+            cm = payload[..., 3]
+            b0 = jnp.sum(dipole.dipole_bz(dx, dy, dz, cm) * is_mid, 1)
+            g = jnp.stack(
+                [jnp.sum(c * is_mid, 1)
+                 for c in dipole.dipole_bz_grad(dx, dy, dz, cm)], -1)
+            hs = jnp.stack(
+                [jnp.sum(c * is_mid, 1)
+                 for c in dipole.dipole_bz_hessian(dx, dy, dz, cm)], -1)
+            e = anchor - (ci.astype(anchor.dtype) + 0.5) * cube
+            tb0, tg, th = fartable.eval_far_table(far_coeffs[flat], e,
+                                                  order)
+            return NearField(anchor=anchor, near_pos=near_pos,
+                             near_M=near_M, b0=b0 + tb0, grad=g + tg,
+                             hess=hs + th)
     else:
         d2 = _pairwise_d2(anchor, mnp_pos)              # [W, N]
         idx, remaining = _argmin_passes(d2, k)

@@ -156,6 +156,15 @@ class Params:
     #: cube_candidates covers the worst-case cube (like near_k).
     cube_hash_dim: int = 16
     cube_candidates: int = 96
+    #: Taylor order of the per-cube far-field tables on the large-scene
+    #: path (fields/fartable.py): each cube caches a Taylor expansion of
+    #: every beyond-candidate dipole's field, so a chunk rebuild touches
+    #: only the ~cube_candidates nearby dipoles instead of all N — the
+    #: TPU analogue of the reference octree's cached far field
+    #: (octree.cpp:262-297).  0 = disabled (exact far sums over all N
+    #: every chunk).  Only consulted where a scene-level cache is
+    #: precomputed (SimulationRunner / explicit build_cache callers).
+    far_table_order: int = 5
     #: field-grid backend resolution (FIELD_GRID): voxels per box edge.
     #: 64 -> 0.47 µm voxels / 8 MB of corners at bound=30; accuracy scales
     #: ~h² through the trilinear far field (residents are always exact)
@@ -266,6 +275,10 @@ class Params:
                 f"per-chunk escape probability ~6*P(N>s) exceeds ~1e-2 "
                 f"below 3 sigma, breaking the near-list exactness "
                 f"guarantee (see fields.expansion.default_travel_bound)")
+        if not 0 <= self.far_table_order <= 8:
+            raise ValueError(
+                f"far_table_order must be in [0, 8] (0 = exact far sums); "
+                f"got {self.far_table_order}")
         if self.grid_n < 2 or self.grid_max_residents < 1:
             raise ValueError("grid_n must be >= 2 and grid_max_residents "
                              ">= 1")

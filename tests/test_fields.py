@@ -200,7 +200,10 @@ class TestCubePrunedSelection:
         import jax
         p = P.DEFAULT.replace(num_cells=1200, water_start_bound=28.0,
                               max_neighbors=40, near_k=12,
-                              chunk_steps=2000, cube_candidates=64)
+                              chunk_steps=2000, cube_candidates=64,
+                              far_table_order=0)  # exactness contract:
+        # this test certifies the cube-pruned path's far sums are EXACT;
+        # the far-table approximation has its own test (TestFarTable)
         sc = BacteriaBox(p, seed=3).populate()
         mp = jnp.asarray(sc.mnps[:, :3], jnp.float32)
         mM = jnp.asarray(sc.mnps[:, 4], jnp.float32)
@@ -229,6 +232,121 @@ class TestCubePrunedSelection:
         # percent of rows — physically inert (validated coverage means the
         # swap is always outside the reachable radius)
         assert mismatched_rows < 0.05
+
+
+class TestFarTable:
+    """Per-cube far-field Taylor tables (fields/fartable.py) — the
+    hierarchical far-field cache replacing exact O(N) far sums on the
+    large-scene path."""
+
+    @pytest.fixture(scope="class")
+    def table_scene(self):
+        # CPU-affordable: coarse cube lattice, order 3
+        p = P.DEFAULT.replace(num_cells=250, water_start_bound=28.0,
+                              max_neighbors=40, near_k=8,
+                              chunk_steps=2000, cube_hash_dim=8,
+                              cube_candidates=48, far_table_order=3)
+        sc = BacteriaBox(p, seed=5).populate()
+        return p, sc
+
+    def test_eval_grad_hess_match_autodiff(self, f64):
+        """The hand-rolled polynomial derivative evaluation against
+        jax.grad/jax.hessian of its own value — any monomial bookkeeping
+        slip shows up here."""
+        from mri_nanoparticle_simulation_tpu.fields import fartable
+        order = 4
+        rng = np.random.default_rng(0)
+        coeffs = jnp.asarray(rng.normal(size=(5, fartable.n_coeffs(order))),
+                             jnp.float64)
+        e = jnp.asarray(rng.normal(size=(5, 3)), jnp.float64)
+        b0, g, h = fartable.eval_far_table(coeffs, e, order)
+
+        def val(ei, ci):
+            b, _, _ = fartable.eval_far_table(ci[None], ei[None], order)
+            return b[0]
+
+        for i in range(5):
+            ga = jax.grad(val)(e[i], coeffs[i])
+            np.testing.assert_allclose(np.asarray(g[i]), np.asarray(ga),
+                                       rtol=1e-10)
+            ha = jax.hessian(val)(e[i], coeffs[i])
+            want = np.array([ha[0, 0], ha[1, 1], ha[2, 2],
+                             ha[0, 1], ha[0, 2], ha[1, 2]])
+            np.testing.assert_allclose(np.asarray(h[i]), want, rtol=1e-10)
+
+    def test_table_matches_exact_beyond_candidate_sums(self, table_scene,
+                                                       f64):
+        """Table-predicted (b0, grad, hess) of the beyond-candidates
+        field vs the exact masked f64 sums, at random in-box anchors.
+        The tolerance is the order-3 truncation budget, measured against
+        the full-field scale (what the phase integral sees)."""
+        from mri_nanoparticle_simulation_tpu.fields import fartable
+        p, sc = table_scene
+        mp = jnp.asarray(sc.mnps[:, :3], jnp.float64)
+        mM = jnp.asarray(sc.mnps[:, 4], jnp.float64)
+        cache = expansion.build_cache(mp, mM, p)
+        assert cache.far_coeffs is not None
+        h = p.cube_hash_dim
+        cube = p.bound / h
+        rng = np.random.default_rng(1)
+        anchors = jnp.asarray(rng.random((512, 3)) * p.bound, jnp.float64)
+        ci = jnp.clip((anchors / cube).astype(jnp.int32), 0, h - 1)
+        flat = (ci[:, 0] * h + ci[:, 1]) * h + ci[:, 2]
+        idxrow = cache.payload[..., 4].astype(jnp.int32)[flat]  # [W, C]
+        col = jnp.arange(mp.shape[0], dtype=jnp.int32)
+        far = jnp.all(idxrow[:, :, None] != col[None, None, :], axis=1)
+        d = anchors[:, None, :] - mp[None]
+        w = far.astype(jnp.float64)
+        dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+        eb0 = jnp.sum(dipole.dipole_bz(dx, dy, dz, mM) * w, 1)
+        eg = jnp.stack([jnp.sum(c * w, 1)
+                        for c in dipole.dipole_bz_grad(dx, dy, dz, mM)], -1)
+        eh = jnp.stack(
+            [jnp.sum(c * w, 1)
+             for c in dipole.dipole_bz_hessian(dx, dy, dz, mM)], -1)
+
+        e = anchors - (ci.astype(jnp.float64) + 0.5) * cube
+        tb0, tg, th = fartable.eval_far_table(
+            cache.far_coeffs[flat], e, p.far_table_order)
+
+        b_scale = float(jnp.sqrt(jnp.mean(jnp.square(
+            dipole.total_field_masked(anchors, mp, mM, p.cell_r)))))
+        # b0 error budget: truncation at order 3 over a 8^3 lattice;
+        # grad/hess errors enter the phase only through the (sub-um)
+        # travel, so their budgets scale by 1/um and 1/um^2
+        assert float(jnp.sqrt(jnp.mean((tb0 - eb0) ** 2))) < 2e-2 * b_scale
+        assert float(jnp.sqrt(jnp.mean((tg - eg) ** 2))) < 5e-2 * b_scale
+        assert float(jnp.sqrt(jnp.mean((th - eh) ** 2))) < 3e-1 * b_scale
+
+    def test_build_with_table_consistent(self, table_scene, f64):
+        """expansion.build with the far table vs the exact path: same
+        near sets (selection is table-independent, bitwise), total field
+        agreement within the table's truncation budget at positions
+        displaced up to a chunk travel from the anchor."""
+        p, sc = table_scene
+        mp = jnp.asarray(sc.mnps[:, :3], jnp.float64)
+        mM = jnp.asarray(sc.mnps[:, 4], jnp.float64)
+        cache_t = expansion.build_cache(mp, mM, p)
+        cache_e = expansion.build_cache(mp, mM,
+                                        p.replace(far_table_order=0))
+        assert cache_e.far_coeffs is None
+        rng = np.random.default_rng(2)
+        anchors = jnp.asarray(rng.random((512, 3)) * p.bound, jnp.float64)
+        nf_t = expansion.build(anchors, mp, mM, p, cache=cache_t)
+        nf_e = expansion.build(anchors, mp, mM,
+                               p.replace(far_table_order=0), cache=cache_e)
+        np.testing.assert_array_equal(np.asarray(nf_t.near_pos),
+                                      np.asarray(nf_e.near_pos))
+        tb = expansion.default_travel_bound(p)
+        delta = jnp.asarray(rng.normal(size=(512, 3)), jnp.float64)
+        delta = delta / jnp.linalg.norm(delta, axis=1, keepdims=True) \
+            * tb * rng.random((512, 1))
+        pos = anchors + delta
+        b_t, in_t, _ = expansion.evaluate(nf_t, pos, p.cell_r)
+        b_e, in_e, _ = expansion.evaluate(nf_e, pos, p.cell_r)
+        np.testing.assert_array_equal(np.asarray(in_t), np.asarray(in_e))
+        scale = float(jnp.sqrt(jnp.mean(jnp.square(b_e))))
+        assert float(jnp.sqrt(jnp.mean((b_t - b_e) ** 2))) < 2e-2 * scale
 
 
 class TestPallasFarSums:
