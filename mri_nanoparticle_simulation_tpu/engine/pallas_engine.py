@@ -155,10 +155,14 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
             wins [n_blocks, n_win, 2])
 
     scalars = [step0, key_hi, key_lo, chunk_seed, lane_offset, num_water,
-    0, 0].  The chunk anchor IS the input position (positions are wrapped
-    before the recandidate build), and walker lanes / validity masks are
-    derived in-kernel from (program_id, lane_offset, num_water) — no
-    per-launch index planes.
+    tcp, cell_r2_bits].  The chunk anchor IS the input position (positions
+    are wrapped before the recandidate build), and walker lanes / validity
+    masks are derived in-kernel from (program_id, lane_offset, num_water)
+    — no per-launch index planes.  tcp (Carr-Purcell interval, steps) and
+    cell_r^2 (f32 bit pattern) ride the scalar vector instead of being
+    baked into the program so parameter sweeps over taucp / cell_r share
+    ONE compile (the reference recompiled with nvcc per value,
+    README.md:13); both are read once per launch, outside the step loop.
 
     **In-kernel rebuild mode** (``n_mnp_pad`` set): the near/taylor inputs
     are replaced by the raw dipole table in SMEM, and the kernel performs
@@ -191,7 +195,6 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
 
     # plain python floats: weak-typed scalars that adopt the plane dtype
     # without becoming traced constants the kernel would have to capture
-    cell_r2 = float(params.cell_r ** 2)
     in_stdev = float(params.in_stdev)
     out_stdev = float(params.out_stdev)
     phase_per_tesla = float(params.phase_per_tesla)
@@ -341,6 +344,12 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
             (near, taylor), (o_state, o_esc, o_wins) = rest[:2], rest[2:]
         step0 = scalars[0]
         key01 = (scalars[1], scalars[2])
+        tcp_u = scalars[6]
+        # cell_r^2 travels as its f32 bit pattern (scalar bitcasts are
+        # unsupported in Mosaic, so view it on the vector side); read once
+        # per launch, it is a plain vector register in the step loop
+        cell_r2 = jax.lax.bitcast_convert_type(
+            jnp.full((r_blk, LANES), scalars[7]), jnp.float32).astype(dtype)
         if rng_impl == RNG_HARDWARE:
             # distinct hardware-PRNG stream per walker block — seeding all
             # blocks identically would give them identical random sequences
@@ -542,9 +551,10 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                 o_wins[0, w_idx, 0] = jnp.sum(jnp.cos(phase) * valid_v)
                 o_wins[0, w_idx, 1] = jnp.sum(jnp.sin(phase) * valid_v)
 
-                # Carr-Purcell flip after emission (cuda_sim.cu:1015-1020)
+                # Carr-Purcell flip after emission (cuda_sim.cu:1015-1020);
+                # tcp is a launch scalar so taucp sweeps share one compile
                 end_step = win_step0 + jnp.uint32(params.pfreq)
-                do_flip = (end_step % jnp.uint32(params.tcp)) == 0
+                do_flip = (end_step % tcp_u) == 0
                 sign = jnp.where(do_flip, -1.0, 1.0).astype(phase.dtype)
                 phase = phase * sign
                 comp = comp * sign
@@ -622,8 +632,17 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
     reference_engine.make_sprint_fn, but running chunks in the Pallas
     kernel.  Operates on PlaneState.
 
-    sprint(mnp_pos, mnp_M, key_arr, plane_state, lane_offset)
+    sprint(mnp_pos, mnp_M, key_arr, plane_state, lane_offset,
+           cache=None, tcp=None, cell_r2=None)
         -> (plane_state', wins [n_windows, 2])
+
+    ``tcp`` (Carr-Purcell interval in steps, uint32) and ``cell_r2``
+    (cell radius squared, f32) optionally override their static params
+    values with *traced* runtime scalars: a taucp / cell_r sweep can then
+    reuse ONE compiled sprint across all values (the reference rebuilt
+    with nvcc per value, README.md:13).  Defaults (None) bake the params
+    values into the very same launch scalars — the compiled program is
+    identical either way.
 
     When the scene's dipole table fits SMEM (<= REBUILD_MAX_MNPS entries),
     the whole recandidate runs inside the chunk kernel and the XLA side
@@ -652,7 +671,7 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                 n_mnp_pad=n_mnp_pad)
         return kerns[n_mnp_pad]
 
-    def make_scalars(ps, lane_offset, key_arr):
+    def make_scalars(ps, lane_offset, key_arr, tcp_u, cr2_bits):
         step0 = ps.step
         lane_off = jnp.asarray(lane_offset, jnp.uint32)
         # chunk_seed folds in lane_offset so walker shards on other
@@ -663,7 +682,17 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
              (step0 ^ (key_arr[1] * jnp.uint32(2654435761)))
              + lane_off * jnp.uint32(2246822519),
              lane_off, jnp.uint32(num_water),
-             jnp.uint32(0), jnp.uint32(0)])
+             tcp_u, cr2_bits])
+
+    def dyn_scalars(tcp, cell_r2):
+        """Resolve the runtime-sweepable scalars: defaults come from the
+        static params (bitwise-identical program either way), overrides
+        are traced values so taucp / cell_r sweeps share one compile."""
+        tcp_u = (jnp.uint32(params.tcp) if tcp is None
+                 else jnp.asarray(tcp, jnp.uint32))
+        cr2 = (jnp.float32(params.cell_r ** 2) if cell_r2 is None
+               else jnp.asarray(cell_r2, jnp.float32))
+        return tcp_u, jax.lax.bitcast_convert_type(cr2, jnp.uint32)
 
     def advance(ps, state_out, o_esc, steps):
         # o_esc: per-walker escape-event counts, already validity-masked
@@ -675,7 +704,8 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                           escapes=escapes)
 
     def sprint(mnp_pos, mnp_M, key_arr, ps: PlaneState, lane_offset,
-               cache=None):
+               cache=None, tcp=None, cell_r2=None):
+        tcp_u, cr2_bits = dyn_scalars(tcp, cell_r2)
         n_mnp = mnp_pos.shape[0]
         if params.near_k > n_mnp:
             raise ValueError(
@@ -704,8 +734,8 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                 state_in = jnp.stack([ps.px, ps.py, ps.pz, ps.in_cell,
                                       ps.phase, ps.phase_comp])
                 state_out, o_esc, block_wins = kern(
-                    make_scalars(ps, lane_offset, key_arr), state_in,
-                    mnp_tbl)
+                    make_scalars(ps, lane_offset, key_arr, tcp_u, cr2_bits),
+                    state_in, mnp_tbl)
                 return advance(ps, state_out, o_esc, chunk_steps), \
                     jnp.sum(block_wins, axis=0)
 
@@ -758,8 +788,8 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                  pl_(nf.hess[..., 4]), pl_(nf.hess[..., 5])])
 
             state_out, o_esc, block_wins = kern(
-                make_scalars(ps, lane_offset, key_arr), state_in, near,
-                taylor)
+                make_scalars(ps, lane_offset, key_arr, tcp_u, cr2_bits),
+                state_in, near, taylor)
             return advance(ps, state_out, o_esc, chunk_steps), \
                 jnp.sum(block_wins, axis=0)
 

@@ -131,11 +131,14 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
                    phase_dtype=None):
     """Build the jitted sprint function.
 
-    Returns ``sprint(mnp_pos, mnp_M, key, state, lane_offset) ->
-    (state', windows)`` where ``key`` is a [2] uint32 array and ``windows``
-    is [n_windows, 2] local (sum cos, sum sin) per output window.
-    ``lane_offset`` makes walker RNG lanes globally unique when walkers are
-    sharded across devices.
+    Returns ``sprint(mnp_pos, mnp_M, key, state, lane_offset, tcp=None,
+    cell_r=None) -> (state', windows)`` where ``key`` is a [2] uint32
+    array and ``windows`` is [n_windows, 2] local (sum cos, sum sin) per
+    output window.  ``lane_offset`` makes walker RNG lanes globally unique
+    when walkers are sharded across devices.  ``tcp`` (steps, uint32) and
+    ``cell_r`` (µm) optionally override their static params values with
+    traced runtime scalars so taucp / cell_r sweeps share one compiled
+    program (see pallas_engine.make_sprint_fn for the rationale).
 
     ``field_grid`` (a :class:`fields.grid.FieldGrid`) is required when
     ``params.field_mode == FIELD_GRID``; the grid is scene-static, so build
@@ -162,7 +165,7 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
     use_reflection = params.reflect_io > 0 or params.reflect_oi > 0
     use_kick_u = params.kick_mode == KICK_INTENDED
     n_words = 7 if (use_reflection or use_kick_u) else 5
-    cell_r = dtype(params.cell_r)
+    cell_r_static = dtype(params.cell_r)
     in_stdev = dtype(params.in_stdev)
     out_stdev = dtype(params.out_stdev)
     phase_per_tesla = dtype(params.phase_per_tesla)
@@ -183,6 +186,7 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
         """Field + residency: expansion (production), uniform grid
         (the reference octree's direct analogue, octree.cpp:151-158), or
         brute-force exact (EXPLICIT mode, octree.cpp:395-396)."""
+        cell_r = dyn_ref[0]  # static constant unless a sweep overrides it
         if grid_mode:
             return grid_mod.query(field_grid, pos, cell_r)
         if not exact_mode:
@@ -199,6 +203,17 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
         return expansion.build(pos, mnp_pos, mnp_M, params, cache=cache)
 
     mnp_pos_ref = [None, None]  # set by each sprint call before tracing
+    # [cell_r, tcp]: runtime-sweepable scalars, set per sprint call before
+    # tracing (same ref-cell pattern as mnp_pos_ref).  Defaults are the
+    # static params constants; a taucp / cell_r sweep passes traced
+    # overrides so all values share one compiled program.
+    dyn_ref = [cell_r_static, jnp.uint32(params.tcp)]
+
+    def _set_dyn(tcp, cell_r):
+        dyn_ref[0] = (cell_r_static if cell_r is None
+                      else jnp.asarray(cell_r, dtype))
+        dyn_ref[1] = (jnp.uint32(params.tcp) if tcp is None
+                      else jnp.asarray(tcp, jnp.uint32))
 
     def step_fn(key, nf, lane, carry, step_idx):
         """One timestep for all walkers (simulateDiffusion body,
@@ -264,8 +279,10 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
         max_d2 = jnp.maximum(max_d2, jnp.sum(delta * delta, axis=-1))
         return (new_pos, in_new, b, acc, max_d2)
 
-    def sprint(mnp_pos, mnp_M, key_arr, state: WalkerState, lane_offset):
+    def sprint(mnp_pos, mnp_M, key_arr, state: WalkerState, lane_offset,
+               tcp=None, cell_r=None):
         mnp_pos_ref[0], mnp_pos_ref[1] = mnp_pos, mnp_M
+        _set_dyn(tcp, cell_r)
         key = (key_arr[0], key_arr[1])
         w = state.pos.shape[0]
         lane = jnp.arange(w, dtype=jnp.uint32) + jnp.uint32(lane_offset)
@@ -318,7 +335,7 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
             # Carr-Purcell flip AFTER emission when the global step count
             # reaches a multiple of tcp (cuda_sim.cu:1015-1020)
             end_step = step0 + jnp.uint32(params.pfreq)
-            do_flip = (end_step % jnp.uint32(params.tcp)) == 0
+            do_flip = (end_step % dyn_ref[1]) == 0
             phase = jnp.where(do_flip, -phase, phase)
             comp = jnp.where(do_flip, -comp, comp)
 
@@ -331,8 +348,9 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
         return state, wins
 
     def sprint_chunk_major(mnp_pos, mnp_M, key_arr, state: WalkerState,
-                           lane_offset):
+                           lane_offset, tcp=None, cell_r=None):
         mnp_pos_ref[0], mnp_pos_ref[1] = mnp_pos, mnp_M
+        _set_dyn(tcp, cell_r)
         key = (key_arr[0], key_arr[1])
         w = state.pos.shape[0]
         lane = jnp.arange(w, dtype=jnp.uint32) + jnp.uint32(lane_offset)
@@ -368,7 +386,7 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
                 out = jnp.stack([jnp.sum(jnp.cos(phase)),
                                  jnp.sum(jnp.sin(phase))])
                 end_step = base + jnp.uint32(params.pfreq)
-                do_flip = (end_step % jnp.uint32(params.tcp)) == 0
+                do_flip = (end_step % dyn_ref[1]) == 0
                 phase = jnp.where(do_flip, -phase, phase)
                 comp = jnp.where(do_flip, -comp, comp)
                 return (pos, in_cell, b_prev, maxd2, phase, comp), out

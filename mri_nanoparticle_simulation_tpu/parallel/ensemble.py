@@ -33,10 +33,16 @@ TRIAL_AXIS = "trials"
 
 
 def build_trial_scenes(params: Params, n_trials: int, base_seed: int = 0,
-                       mmoments: Optional[Sequence[float]] = None):
+                       mmoments: Optional[Sequence[float]] = None,
+                       cell_rs: Optional[Sequence[float]] = None):
     """Build T scenes -> stacked (mnp_pos [T,N,3], mnp_M [T,N],
-    waters [T,W,3]).  ``mmoments`` (len T) sweeps the per-cell moment."""
-    scenes = [BacteriaBox(params, seed=base_seed + i).populate()
+    waters [T,W,3]).  ``mmoments`` (len T) sweeps the per-cell moment;
+    ``cell_rs`` (len T) sweeps the cell radius (a geometry knob: each
+    trial's scene is built with its own radius)."""
+    trial_params = [params if cell_rs is None
+                    else params.replace(cell_r=float(cell_rs[i]))
+                    for i in range(n_trials)]
+    scenes = [BacteriaBox(trial_params[i], seed=base_seed + i).populate()
               for i in range(n_trials)]
     n_max = max(s.mnps.shape[0] for s in scenes)
     pos = np.full((n_trials, n_max, 3), 1e6)
@@ -55,11 +61,17 @@ def build_trial_scenes(params: Params, n_trials: int, base_seed: int = 0,
 def make_ensemble_sprint_fn(params: Params, mesh: Mesh, dtype=jnp.float32):
     """vmapped-over-trials sprint, trials sharded over the mesh.
 
-    sprint(mnp_pos [T,N,3], mnp_M [T,N], keys [T,2], states (leading T))
+    sprint(mnp_pos [T,N,3], mnp_M [T,N], keys [T,2], states (leading T),
+           tcps [T] uint32, cell_rs [T] f32)
         -> (states, wins [T, n_windows, 2])
+
+    ``tcps`` / ``cell_rs`` are the per-trial Carr-Purcell interval (steps)
+    and cell radius: runtime data, so a taucp / cell_r sweep rides one
+    compiled program exactly like an mmoment sweep.
     """
     local = reference_engine.make_sprint_fn(params, dtype)
-    vm = jax.vmap(lambda mp, mm, k, st: local(mp, mm, k, st, 0))
+    vm = jax.vmap(lambda mp, mm, k, st, tc, cr: local(
+        mp, mm, k, st, 0, tcp=tc, cell_r=cr))
 
     tspec = P(TRIAL_AXIS)
     state_spec = reference_engine.WalkerState(
@@ -67,7 +79,7 @@ def make_ensemble_sprint_fn(params: Params, mesh: Mesh, dtype=jnp.float32):
         step=tspec, escapes=tspec)
     sharded = jax.shard_map(
         vm, mesh=mesh,
-        in_specs=(tspec, tspec, tspec, state_spec),
+        in_specs=(tspec, tspec, tspec, state_spec, tspec, tspec),
         out_specs=(state_spec, tspec), check_vma=False)
     return jax.jit(sharded)
 
@@ -82,23 +94,26 @@ def make_ensemble_pallas_sprint_fn(params: Params, mesh: Mesh,
     can't batch — so the trial axis is a lax.scan, which is free: the
     chip runs one kernel at a time anyway).
 
-    sprint(mnp_pos [T,N,3], mnp_M [T,N], keys [T,2],
-           planes (leading T)) -> (planes, wins [T, n_windows, 2])
+    sprint(mnp_pos [T,N,3], mnp_M [T,N], keys [T,2], planes (leading T),
+           tcps [T] uint32, cell_rs [T] f32)
+        -> (planes, wins [T, n_windows, 2])
     """
     local = pallas_engine.make_sprint_fn(params, params.num_water, dtype,
                                          rng_impl, interpret)
 
-    def shard_fn(mnp_pos, mnp_M, keys, planes):
+    def shard_fn(mnp_pos, mnp_M, keys, planes, tcps, cell_rs):
         def body(_, xs):
-            mp, mm, key, ps = xs
+            mp, mm, key, ps, tc, cr = xs
             # trials are distinguished by their per-trial key (run_seed+i),
             # exactly like single runs — lane_offset stays 0 so each trial
-            # is bitwise-identical to its standalone run
-            new_ps, wins = local(mp, mm, key, ps, jnp.uint32(0))
+            # is bitwise-identical to its standalone run.  tcp / cell_r²
+            # ride the kernel's launch scalars (runtime sweep data).
+            new_ps, wins = local(mp, mm, key, ps, jnp.uint32(0),
+                                 tcp=tc, cell_r2=cr * cr)
             return _, (new_ps, wins)
 
         _, (new_planes, wins) = jax.lax.scan(
-            body, 0, (mnp_pos, mnp_M, keys, planes))
+            body, 0, (mnp_pos, mnp_M, keys, planes, tcps, cell_rs))
         return new_planes, wins
 
     tspec = P(TRIAL_AXIS)
@@ -107,7 +122,7 @@ def make_ensemble_pallas_sprint_fn(params: Params, mesh: Mesh,
         phase_comp=tspec, step=tspec, escapes=tspec)
     sharded = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(tspec, tspec, tspec, planes_spec),
+        in_specs=(tspec, tspec, tspec, planes_spec, tspec, tspec),
         out_specs=(planes_spec, tspec), check_vma=False)
     return jax.jit(sharded)
 
@@ -137,6 +152,8 @@ def run_ensemble(params: Params, n_trials: int,
                  mesh: Optional[Mesh] = None, base_seed: int = 0,
                  run_seed: int = 1000,
                  mmoments: Optional[Sequence[float]] = None,
+                 taucps: Optional[Sequence[float]] = None,
+                 cell_rs: Optional[Sequence[float]] = None,
                  dtype=jnp.float32, max_steps: Optional[int] = None,
                  engine: str = "scan",
                  rng_impl: str = pallas_engine.RNG_THREEFRY,
@@ -148,8 +165,17 @@ def run_ensemble(params: Params, n_trials: int,
     ``engine='scan'`` (default) vmaps the pure-JAX engine.
     ``check_coverage`` validates near_k against every trial's scene (the
     same guard SimulationRunner applies to its single scene).
+
+    ``mmoments`` / ``taucps`` (ms) / ``cell_rs`` (µm), each len T, give
+    per-trial values of the corresponding knob as *runtime data* — all
+    trials share one compiled program (the engines accept tcp / cell_r as
+    launch scalars).  Every taucp must keep tcp a multiple of pfreq
+    (checked here, like Params.validate does for the static knob).
     """
     params.validate()
+    if taucps is not None:
+        for v in taucps:
+            params.replace(taucp=float(v)).validate()
     from ..params import FIELD_EXPANSION
     if params.field_mode != FIELD_EXPANSION:
         raise ValueError(
@@ -157,14 +183,23 @@ def run_ensemble(params: Params, n_trials: int,
             f"{params.field_mode!r} is only wired into single-scene "
             f"SimulationRunner/scan runs")
     mesh, n_padded = _trial_mesh(n_trials, mesh)
-    if mmoments is not None and n_padded > n_trials:
-        mmoments = list(mmoments) + [mmoments[-1]] * (n_padded - n_trials)
+
+    def pad_vals(vals):
+        if vals is not None and n_padded > n_trials:
+            return list(vals) + [vals[-1]] * (n_padded - n_trials)
+        return vals
+
+    mmoments = pad_vals(mmoments)
+    taucps = pad_vals(taucps)
+    cell_rs = pad_vals(cell_rs)
     mnp_pos, mnp_M, waters, scenes = build_trial_scenes(
-        params, n_padded, base_seed, mmoments)
+        params, n_padded, base_seed, mmoments, cell_rs)
     if check_coverage:
         from ..fields import expansion
         for i, s in enumerate(scenes[:n_trials]):
-            worst = expansion.validate_near_k(s.mnps[:, :3], params,
+            p_i = params if cell_rs is None \
+                else params.replace(cell_r=float(cell_rs[i]))
+            worst = expansion.validate_near_k(s.mnps[:, :3], p_i,
                                               n_probe=20_000)
             if worst > params.near_k:
                 raise ValueError(
@@ -193,11 +228,17 @@ def run_ensemble(params: Params, n_trials: int,
         raise ValueError(f"unknown engine {engine!r}")
     mnp_pos = jnp.asarray(mnp_pos, dtype)
     mnp_M = jnp.asarray(mnp_M, dtype)
+    tcps = jnp.asarray(
+        [params.tcp if taucps is None else int(round(taucps[i] / params.tau))
+         for i in range(n_padded)], jnp.uint32)
+    crs = jnp.asarray(
+        [params.cell_r if cell_rs is None else float(cell_rs[i])
+         for i in range(n_padded)], jnp.float32)
 
     total = params.t if max_steps is None else min(params.t, max_steps)
     outs = []
     for _ in range(total // params.sprint_steps):
-        state, wins = sprint(mnp_pos, mnp_M, keys, state)
+        state, wins = sprint(mnp_pos, mnp_M, keys, state, tcps, crs)
         outs.append(wins)
     wins = jnp.concatenate(outs, axis=1) if outs \
         else jnp.zeros((n_padded, 0, 2), dtype)
@@ -221,20 +262,24 @@ def run_parameter_sweep(base_params: Params, name: str, values,
                         interpret: bool = False):
     """Sweep any Params field (e.g. cell_r, taucp, mmoment) across runs.
 
-    ``mmoment`` sweeps share one compiled program via :func:`run_ensemble`
-    (the moment is runtime data).  Every other knob is a compile-time
-    constant of the kernels — exactly as it was an nvcc-time constant in
-    the reference (README.md:13 "make clean && make") — so each value
+    ``mmoment``, ``taucp``, and ``cell_r`` sweeps share ONE compiled
+    program via :func:`run_ensemble` — the moment is plain array data,
+    and tcp / cell_r ride the engines' launch scalars (the reference
+    recompiled with nvcc per value of any of these, README.md:13).  Every
+    other knob is a compile-time constant of the kernels, so each value
     compiles its own program; scenes are rebuilt per value since geometry
-    knobs change cell placement.
+    knobs change cell placement (cell_r rebuilds scenes too — per *trial*
+    — but without recompiling).
 
     Returns (times_ms, curves [len(values), n_trials_each, n_windows]).
     """
-    if name == "mmoment":
+    if name in ("mmoment", "taucp", "cell_r"):
+        key = {"mmoment": "mmoments", "taucp": "taucps",
+               "cell_r": "cell_rs"}[name]
+        per_trial = {key: [v for v in values for _ in range(n_trials_each)]}
         times, cos, _, _ = run_ensemble(
             base_params, n_trials=len(values) * n_trials_each,
-            base_seed=base_seed, run_seed=run_seed,
-            mmoments=[v for v in values for _ in range(n_trials_each)],
+            base_seed=base_seed, run_seed=run_seed, **per_trial,
             dtype=dtype, max_steps=max_steps, engine=engine,
             interpret=interpret)
         return times, cos.reshape(len(values), n_trials_each, -1)

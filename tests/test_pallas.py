@@ -174,3 +174,84 @@ class TestOddPfreq:
             if step % p.tcp == 0:
                 phase = -phase
         np.testing.assert_allclose(c, expect, rtol=1e-5)
+
+
+class TestRuntimeSweepScalars:
+    """taucp / cell_r as launch scalars (sweep-ergonomics path): a sprint
+    compiled from BASE params but fed runtime tcp / cell_r overrides must
+    match, bitwise, an engine compiled with those values baked statically
+    — proving the scalar plumbing carries the full physics (CP flip
+    timing and the containment radius) with zero recompiles."""
+
+    def _scene_and_static(self, pv, engine):
+        sc = BacteriaBox(pv, seed=3).populate()
+        if engine == "pallas":
+            r = pe.run_simulation(sc, pv, seed=9, interpret=True)
+        else:
+            r = re.run_simulation(sc, pv, seed=9)
+        return sc, r
+
+    def test_pallas_runtime_scalars_match_static(self):
+        from mri_nanoparticle_simulation_tpu import rng
+        p = P.small_test_params(num_water=64, totaltime=0.001,
+                                sprint_steps=500)
+        pv = p.replace(taucp=0.0003, cell_r=0.4).validate()
+        sc, (_, c_s, _, st_s) = self._scene_and_static(pv, "pallas")
+
+        sprint = pe.make_sprint_fn(p, sc.waters.shape[0], interpret=True)
+        kk = rng.key_from_seed(9)
+        key_arr = jnp.asarray([np.uint32(kk[0]), np.uint32(kk[1])])
+        ps = pe.to_planes(re.init_state(sc.waters, pv), pv)
+        mnp_pos = jnp.asarray(sc.mnps[:, :3], jnp.float32)
+        mnp_M = jnp.asarray(sc.mnps[:, 4], jnp.float32)
+        outs = []
+        for _ in range(pv.t // pv.sprint_steps):
+            ps, wins = sprint(mnp_pos, mnp_M, key_arr, ps, 0,
+                              tcp=jnp.uint32(pv.tcp),
+                              cell_r2=jnp.float32(pv.cell_r ** 2))
+            outs.append(wins)
+        wins = np.asarray(jnp.concatenate(outs, axis=0))
+        st_r = pe.from_planes(ps, sc.waters.shape[0])
+        np.testing.assert_array_equal(np.asarray(st_r.pos),
+                                      np.asarray(st_s.pos))
+        np.testing.assert_array_equal(np.asarray(st_r.phase),
+                                      np.asarray(st_s.phase))
+        np.testing.assert_array_equal(wins[:, 0], c_s)
+
+    def test_scan_runtime_scalars_match_static(self):
+        from mri_nanoparticle_simulation_tpu import rng
+        p = P.small_test_params(num_water=64, totaltime=0.001,
+                                sprint_steps=500)
+        pv = p.replace(taucp=0.0003, cell_r=0.4).validate()
+        sc, (_, c_s, _, st_s) = self._scene_and_static(pv, "scan")
+
+        sprint = re.make_sprint_fn(p)
+        kk = rng.key_from_seed(9)
+        key_arr = jnp.asarray([np.uint32(kk[0]), np.uint32(kk[1])])
+        st = re.init_state(sc.waters, pv)
+        mnp_pos = jnp.asarray(sc.mnps[:, :3], jnp.float32)
+        mnp_M = jnp.asarray(sc.mnps[:, 4], jnp.float32)
+        outs = []
+        for _ in range(pv.t // pv.sprint_steps):
+            st, wins = sprint(mnp_pos, mnp_M, key_arr, st, 0,
+                              tcp=jnp.uint32(pv.tcp),
+                              cell_r=jnp.float32(pv.cell_r))
+            outs.append(wins)
+        wins = np.asarray(jnp.concatenate(outs, axis=0))
+        np.testing.assert_array_equal(np.asarray(st.pos),
+                                      np.asarray(st_s.pos))
+        np.testing.assert_array_equal(np.asarray(st.phase),
+                                      np.asarray(st_s.phase))
+        np.testing.assert_array_equal(wins[:, 0], c_s)
+
+    def test_default_none_is_bitwise_identical(self):
+        """Passing no overrides must reproduce the pre-change program
+        exactly (the params values ride the same launch scalars)."""
+        p = P.small_test_params(num_water=64, totaltime=0.0005,
+                                sprint_steps=500)
+        sc = BacteriaBox(p, seed=3).populate()
+        _, c1, _, st1 = pe.run_simulation(sc, p, seed=9, interpret=True)
+        _, c2, _, st2 = re.run_simulation(sc, p, seed=9)
+        np.testing.assert_allclose(np.asarray(st1.pos),
+                                   np.asarray(st2.pos), atol=5e-6)
+        np.testing.assert_allclose(c1, c2, atol=1e-3)

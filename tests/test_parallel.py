@@ -82,14 +82,21 @@ class TestEnsemble:
 
 class TestSweep:
     def test_cell_r_sweep(self):
-        """cell_r is kernel-static (like every reference knob was
-        nvcc-static): the sweep recompiles per value and geometry
-        responds (bigger cells -> waters thrown further out)."""
+        """cell_r rides the engines' launch scalars: the sweep shares one
+        compile; geometry responds per trial (scenes are rebuilt with each
+        trial's radius) and every value's curve equals a statically-built
+        engine run on the matching scene/seed."""
         p = P.small_test_params(num_water=16, totaltime=0.0002,
                                 sprint_steps=200, num_cells=4)
+        vals = [0.4, 0.8]
         times, curves = ensemble.run_parameter_sweep(
-            p, "cell_r", [0.4, 0.8], n_trials_each=1)
+            p, "cell_r", vals, n_trials_each=1)
         assert curves.shape == (2, 1, 2)
+        for i, v in enumerate(vals):
+            pv = p.replace(cell_r=v).validate()
+            sc = BacteriaBox(pv, seed=i).populate()
+            _, c2, _, _ = re.run_simulation(sc, pv, seed=1000 + i)
+            np.testing.assert_allclose(curves[i, 0], c2, atol=1e-4)
 
     def test_mmoment_sweep_shares_compile(self):
         p = P.small_test_params(num_water=16, totaltime=0.0002,
@@ -98,6 +105,60 @@ class TestSweep:
             p, "mmoment", [0.0, p.mmoment], n_trials_each=2)
         assert curves.shape == (2, 2, 2)
         np.testing.assert_allclose(curves[0], 16.0, atol=1e-4)
+
+    def test_taucp_sweep_shared_compile(self):
+        """taucp sweeps share one compiled program (runtime tcp scalar);
+        each value's curve equals a statically-built run, and the swept
+        values genuinely flip at different echo times."""
+        p = P.small_test_params(num_water=32, totaltime=0.001,
+                                sprint_steps=500)
+        vals = [0.0005, 0.0003]
+        times, curves = ensemble.run_parameter_sweep(
+            p, "taucp", vals, n_trials_each=1)
+        for i, v in enumerate(vals):
+            pv = p.replace(taucp=v).validate()
+            sc = BacteriaBox(p, seed=i).populate()  # taucp: same geometry
+            _, c2, _, _ = re.run_simulation(sc, pv, seed=1000 + i)
+            np.testing.assert_allclose(curves[i, 0], c2, atol=1e-4)
+
+    def test_taucp_sweep_builds_one_program(self, monkeypatch):
+        """The shared path must construct exactly one sprint program for
+        the whole sweep (the reference re-ran nvcc per value)."""
+        calls = []
+        orig = ensemble.reference_engine.make_sprint_fn
+        monkeypatch.setattr(
+            ensemble.reference_engine, "make_sprint_fn",
+            lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+        p = P.small_test_params(num_water=16, totaltime=0.0002,
+                                sprint_steps=200)
+        ensemble.run_parameter_sweep(p, "taucp", [0.0001, 0.0002],
+                                     n_trials_each=1)
+        assert len(calls) == 1
+
+    def test_taucp_sweep_pallas_engine(self):
+        """The production engine's launch-scalar path through ensembles."""
+        p = P.small_test_params(num_water=32, totaltime=0.0005,
+                                sprint_steps=500)
+        vals = [0.0005, 0.0001]
+        _, curves = ensemble.run_parameter_sweep(
+            p, "taucp", vals, n_trials_each=1, engine="pallas",
+            interpret=True)
+        from mri_nanoparticle_simulation_tpu.engine import pallas_engine
+        for i, v in enumerate(vals):
+            pv = p.replace(taucp=v).validate()
+            sc = BacteriaBox(p, seed=i).populate()
+            _, c2, _, _ = pallas_engine.run_simulation(
+                sc, pv, seed=1000 + i, interpret=True)
+            np.testing.assert_allclose(curves[i, 0], c2, atol=1e-4)
+
+    def test_invalid_runtime_taucp_rejected(self):
+        """A swept taucp that misaligns with pfreq fails fast at the host
+        boundary, exactly like the static Params.validate check."""
+        p = P.small_test_params(num_water=16, totaltime=0.0002,
+                                sprint_steps=200)
+        with pytest.raises(ValueError, match="taucp must align"):
+            ensemble.run_ensemble(p, n_trials=2, base_seed=0, run_seed=1,
+                                  taucps=[0.0001, 0.00013])
 
 
 class TestPallasSharding:
