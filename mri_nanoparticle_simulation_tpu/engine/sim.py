@@ -372,6 +372,16 @@ def main(argv=None):
                          "ensemble-averaged curve — the reference's "
                          "'multitrial' PBS-resubmission workflow "
                          "(T2_GPU_sim.cu:45) as one device computation")
+    ap.add_argument("--sweep", default=None, metavar="KNOB",
+                    help="sweep a numeric Params knob over --sweep-values, "
+                         "writing one CSV per value; mmoment/taucp/cell_r "
+                         "ride runtime launch scalars so the whole sweep "
+                         "shares ONE compiled program (the reference "
+                         "re-ran nvcc per value, README.md:13)")
+    ap.add_argument("--sweep-values", default=None, metavar="V1,V2,...",
+                    help="comma-separated values for --sweep")
+    ap.add_argument("--trials-per-value", type=int, default=1,
+                    help="independent trials averaged per sweep value")
     args = ap.parse_args(argv)
 
     params = Params(
@@ -398,6 +408,47 @@ def main(argv=None):
     csv_path = args.out or writer_mod.default_output_path(params)
     print(f"Starting TPU simulation...\nPrinting to: {csv_path}",
           file=sys.stderr)
+
+    if args.sweep:
+        if not args.sweep_values:
+            ap.error("--sweep requires --sweep-values")
+        if args.quadrature:
+            ap.error("--sweep writes the reference's cos-only schema; "
+                     "drop --quadrature")
+        if args.ensemble > 1:
+            ap.error("--sweep runs --trials-per-value trials per value; "
+                     "drop --ensemble")
+        name = args.sweep
+        if not hasattr(params, name):
+            ap.error(f"unknown Params knob {name!r}")
+        cast = type(getattr(params, name))
+        if cast not in (int, float):
+            ap.error(f"--sweep only supports numeric knobs; {name!r} "
+                     f"is {cast.__name__}")
+        values = [cast(float(v)) for v in args.sweep_values.split(",")]
+        from ..parallel import ensemble as ens
+        t0 = time.perf_counter()
+        times, curves = ens.run_parameter_sweep(
+            params, name, values, n_trials_each=args.trials_per_value,
+            base_seed=args.scene_seed, run_seed=args.seed + 1000,
+            engine=args.engine)
+        wall = time.perf_counter() - t0
+        import os
+        stem, ext = os.path.splitext(csv_path)
+        for v, cv in zip(values, curves):
+            pv = params.replace(**{name: v}).validate()
+            path = f"{stem}_{name}={v:g}{ext or '.csv'}"
+            mean = cv.mean(axis=0)
+            with writer_mod.T2CsvWriter(path, pv, quadrature=False) as w:
+                w.append_windows(0, np.stack([mean,
+                                              np.zeros_like(mean)], -1))
+            print(f"  {name}={v:g}: wrote {path}", file=sys.stderr)
+        n_runs = len(values) * args.trials_per_value
+        rate = n_runs * params.t * params.num_water / wall
+        print(f"Sweep complete: {len(values)} values x "
+              f"{args.trials_per_value} trial(s) in {wall:.1f}s "
+              f"({rate:.3e} walker-steps/s)", file=sys.stderr)
+        return 0
 
     if args.ensemble > 1:
         from ..parallel import ensemble as ens

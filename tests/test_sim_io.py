@@ -186,3 +186,34 @@ class TestCliEnsemble:
         d = np.loadtxt(out, delimiter=",")
         assert d.shape == (2, 3)
         assert np.all(np.abs(d[:, 1]) <= 32.0 + 1e-5)
+
+
+class TestCliSweep:
+    def test_sweep_flag_writes_per_value_curves(self, tmp_path):
+        """--sweep taucp: one compiled program, one CSV per value with
+        the reference's cos-only schema; later windows diverge because
+        the earlier echo flips phase at different times."""
+        out = str(tmp_path / "sweep.csv")
+        rc = sim.main(["--num-water", "32", "--num-cells", "8",
+                       "--totaltime", "0.002", "--sprint-steps", "1000",
+                       "--chunk-steps", "100", "--near-k", "6",
+                       "--taucp", "0.001", "--hash-dim", "8",
+                       "--engine", "scan",
+                       "--sweep", "taucp",
+                       "--sweep-values", "0.001,0.002",
+                       "--out", out])
+        assert rc == 0
+        d1 = np.loadtxt(str(tmp_path / "sweep_taucp=0.001.csv"),
+                        delimiter=",")
+        d2 = np.loadtxt(str(tmp_path / "sweep_taucp=0.002.csv"),
+                        delimiter=",")
+        assert d1.shape == (2, 2) and d2.shape == (2, 2)
+        # reference cos-only schema: time_ms, sum_cos within [-W, W]
+        np.testing.assert_allclose(d1[:, 0], [0.001, 0.002], atol=1e-9)
+        assert np.all(np.abs(d1[:, 1]) <= 32.0 + 1e-5)
+        assert np.all(np.abs(d2[:, 1]) <= 32.0 + 1e-5)
+
+    def test_sweep_requires_values(self, tmp_path):
+        with pytest.raises(SystemExit):
+            sim.main(["--sweep", "taucp",
+                      "--out", str(tmp_path / "x.csv")])
