@@ -754,39 +754,52 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                                           far_table=False)
         kern = get_kern(None)
 
+        # cache WITH far table -> the whole recandidate (selection + mid
+        # sums + far-table shift) runs in the fused candidate-model
+        # kernel (expansion.build_planes), plane-native end to end;
+        # otherwise the XLA build() path with the far-sums kernel
+        use_fused_recand = (isinstance(cache, expansion.SceneCache)
+                            and cache.far_coeffs is not None)
+
         def chunk_body(ps: PlaneState, chunk_idx):
             del chunk_idx  # ps.step already advances chunk by chunk
             # periodic wrap at chunk boundary (see reference_engine notes)
             px = jnp.mod(ps.px + bound, bound)
             py = jnp.mod(ps.py + bound, bound)
             pz = jnp.mod(ps.pz + bound, bound)
-            pos = jnp.stack([px.reshape(-1), py.reshape(-1),
-                             pz.reshape(-1)], axis=-1)
-            nf = expansion.build(pos, mnp_pos, mnp_M, params, cache=cache,
-                                 far_impl="pallas", interpret=interpret)
+            if use_fused_recand:
+                near, taylor = expansion.build_planes(
+                    px, py, pz, params, cache, interpret=interpret)
+            else:
+                pos = jnp.stack([px.reshape(-1), py.reshape(-1),
+                                 pz.reshape(-1)], axis=-1)
+                nf = expansion.build(pos, mnp_pos, mnp_M, params,
+                                     cache=cache, far_impl="pallas",
+                                     interpret=interpret)
 
-            def slab(a):  # [W, K] -> [K, R, 128]
-                return a.T.reshape(params.near_k, r, LANES)
+                def slab(a):  # [W, K] -> [K, R, 128]
+                    return a.T.reshape(params.near_k, r, LANES)
 
-            def pl_(a):   # [W] -> [R, 128]
-                return a.reshape(r, LANES)
+                def pl_(a):   # [W] -> [R, 128]
+                    return a.reshape(r, LANES)
+
+                near = jnp.stack(
+                    [slab(nf.near_pos[..., 0]),
+                     slab(nf.near_pos[..., 1]),
+                     slab(nf.near_pos[..., 2]),
+                     # fold the unit conversion into the moment
+                     # (one fewer multiply per k per step)
+                     slab(nf.near_M * dtype(dipole.FIELD_SCALE))])
+                taylor = jnp.stack(
+                    [pl_(nf.b0),
+                     pl_(nf.grad[..., 0]), pl_(nf.grad[..., 1]),
+                     pl_(nf.grad[..., 2]),
+                     pl_(nf.hess[..., 0]), pl_(nf.hess[..., 1]),
+                     pl_(nf.hess[..., 2]), pl_(nf.hess[..., 3]),
+                     pl_(nf.hess[..., 4]), pl_(nf.hess[..., 5])])
 
             state_in = jnp.stack(
                 [px, py, pz, ps.in_cell, ps.phase, ps.phase_comp])
-            near = jnp.stack([slab(nf.near_pos[..., 0]),
-                              slab(nf.near_pos[..., 1]),
-                              slab(nf.near_pos[..., 2]),
-                              # fold the unit conversion into the moment
-                              # (one fewer multiply per k per step)
-                              slab(nf.near_M * dtype(dipole.FIELD_SCALE))])
-            taylor = jnp.stack(
-                [pl_(nf.b0),
-                 pl_(nf.grad[..., 0]), pl_(nf.grad[..., 1]),
-                 pl_(nf.grad[..., 2]),
-                 pl_(nf.hess[..., 0]), pl_(nf.hess[..., 1]),
-                 pl_(nf.hess[..., 2]), pl_(nf.hess[..., 3]),
-                 pl_(nf.hess[..., 4]), pl_(nf.hess[..., 5])])
-
             state_out, o_esc, block_wins = kern(
                 make_scalars(ps, lane_offset, key_arr, tcp_u, cr2_bits),
                 state_in, near, taylor)

@@ -444,6 +444,283 @@ def _far_sums_pallas(anchor, mnp_pos, mnp_M, near_idx, interpret=False):
     return flat[:, 0], flat[:, 1:4], flat[:, 4:10]
 
 
+@functools.lru_cache(maxsize=32)
+def _make_cand_model_kernel(c: int, k: int, order: int, r_planes: int,
+                            dtype_name: str, interpret: bool):
+    """Fused candidate-model kernel: the WHOLE large-scene chunk rebuild
+    in one register-resident Pallas pass per walker block.
+
+    The XLA path runs the same work as ~15 separate fusions — K argmin
+    passes with one-hot payload extraction, 10 masked mid-sum reductions
+    each recomputing dx/dy/dz/powers, and the far-table polynomial —
+    re-reading the [W, C, 5] candidate payload from HBM each time
+    (measured 10.6 ms of 18.3 ms per 100k-walker chunk rebuild).  Here
+    the per-walker candidate slabs stream through VMEM once and three
+    phases share registers:
+
+      1. exact-f32 K-nearest selection (branchless sorted insertion over
+         the C candidate slabs, tracking the candidate slot id);
+      2. masked mid sums (value/gradient/Hessian of the non-selected
+         candidates, excluded by slot id — exact partition);
+      3. the per-cube far-table Taylor polynomial (fields/fartable.py)
+         evaluated at the anchor offset, added to the mid accumulators.
+
+        f(cand [4, C, r_blk, 128]  (x, y, z, M*FIELD_SCALE),
+          anchor [3, r_blk, 128], e [3, r_blk, 128],
+          coeffs [n_coeffs, r_blk, 128])
+        -> (near [4, K, r_blk, 128]  (x, y, z, M*FIELD_SCALE),
+            taylor [10, r_blk, 128])
+
+    — exactly the chunk kernel's near/taylor input format (near_M comes
+    out pre-scaled; the engine's pack step must not scale again).
+    Selection is exact f32 where the XLA path fuzzes distances to bf16:
+    the near/mid *partition* may differ on ties, the total field cannot
+    (both sides of the partition are evaluated exactly).
+
+    Blocks are 8 sublane rows: the K slots (d2, x, y, z, M, id) are
+    ~6K live planes of loop carry, a register-file-sized working set at
+    8 rows (32-row blocks spill — same measurement as the in-kernel
+    rebuild in engine/pallas_engine.py)."""
+    dtype = jnp.dtype(dtype_name)
+    mons = fartable.monomials(order)
+    r_blk = 8 if r_planes % 8 == 0 else r_planes
+    n_blocks = r_planes // r_blk
+
+    # unroll width for the candidate loops: batches the VMEM slab loads
+    # without exploding the traced graph (a fully-unrolled C-loop at
+    # C=48/K=8 is ~6k ops and takes XLA minutes to compile)
+    unroll = 4 if c % 4 == 0 else 1
+
+    def kernel(cand, anchor, e, coeffs, o_near, o_taylor):
+        ax, ay, az = anchor[0], anchor[1], anchor[2]
+        inf = jnp.full((r_blk, 128), 1e30, dtype)
+        zero = jnp.zeros((r_blk, 128), dtype)
+        neg1 = jnp.full((r_blk, 128), -1, jnp.int32)
+
+        # phase 1: exact K-nearest selection (sorted insertion; c >= k
+        # guarantees every slot is filled with a distinct candidate)
+        def insert_one(j, slots):
+            d2s, xs, ys, zs, ms, ids = slots
+            x0 = cand[0, j]
+            y0 = cand[1, j]
+            z0 = cand[2, j]
+            m0 = cand[3, j]
+            dx = ax - x0
+            dy = ay - y0
+            dz = az - z0
+            d2 = dx * dx + dy * dy + dz * dz
+            nd2, nxs, nys, nzs, nms, nids = [], [], [], [], [], []
+            for s in range(k):
+                lt_s = d2 < d2s[s]
+                if s == 0:
+                    take_new = lt_s
+                    take_prev = None
+                else:
+                    take_prev = d2 < d2s[s - 1]
+                    take_new = lt_s & ~take_prev
+
+                def put(new_val, old, prev):
+                    v = jnp.where(take_new, new_val, old)
+                    if take_prev is not None:
+                        v = jnp.where(take_prev, prev, v)
+                    return v
+
+                pi = s - 1
+                nd2.append(put(d2, d2s[s], d2s[pi] if s else None))
+                nxs.append(put(x0, xs[s], xs[pi] if s else None))
+                nys.append(put(y0, ys[s], ys[pi] if s else None))
+                nzs.append(put(z0, zs[s], zs[pi] if s else None))
+                nms.append(put(m0, ms[s], ms[pi] if s else None))
+                nids.append(put(j, ids[s], ids[pi] if s else None))
+            return (tuple(nd2), tuple(nxs), tuple(nys), tuple(nzs),
+                    tuple(nms), tuple(nids))
+
+        def sel_block(t, slots):
+            j0 = t * unroll
+            for uu in range(unroll):
+                slots = insert_one(j0 + uu, slots)
+            return slots
+
+        slots = ((inf,) * k, (zero,) * k, (zero,) * k, (zero,) * k,
+                 (zero,) * k, (neg1,) * k)
+        slots = jax.lax.fori_loop(0, c // unroll, sel_block, slots)
+        for j in range(c - c % unroll, c):
+            slots = insert_one(j, slots)
+        _, xs, ys, zs, ms, ids = slots
+
+        # phase 2: masked mid sums over the non-selected candidates
+        def mid_one(j, accs):
+            x0 = cand[0, j]
+            y0 = cand[1, j]
+            z0 = cand[2, j]
+            m0 = cand[3, j]
+            dx = ax - x0
+            dy = ay - y0
+            dz = az - z0
+            far = ids[0] != j
+            for s in range(1, k):
+                far = far & (ids[s] != j)
+            r2 = dx * dx + dy * dy + dz * dz
+            # clamp, not select: an excluded dipole can sit at r ~ 0
+            # (walker inside its cell); the mask zeroes the garbage
+            r2 = jnp.maximum(r2, 1e-8)
+            inv_r = jax.lax.rsqrt(r2)
+            inv_r2 = inv_r * inv_r
+            inv_r5 = inv_r2 * inv_r2 * inv_r
+            inv_r7 = inv_r5 * inv_r2
+            dz2 = dz * dz
+            b0 = m0 * (3.0 * dz2 - r2) * inv_r5
+            u = r2 - 5.0 * dz2
+            v = 3.0 * r2 - 5.0 * dz2
+            m3r7 = 3.0 * m0 * inv_r7
+            u_r2 = 7.0 * u * inv_r2
+            parts = (b0,
+                     m3r7 * dx * u, m3r7 * dy * u, m3r7 * dz * v,
+                     m3r7 * (u + dx * dx * (2.0 - u_r2)),
+                     m3r7 * (u + dy * dy * (2.0 - u_r2)),
+                     m3r7 * (v - dz2 * (4.0 + 7.0 * v * inv_r2)),
+                     m3r7 * dx * dy * (2.0 - u_r2),
+                     m3r7 * dx * dz * (-8.0 - u_r2),
+                     m3r7 * dy * dz * (-8.0 - u_r2))
+            w = far.astype(dtype)
+            return tuple(a + p * w for a, p in zip(accs, parts))
+
+        def mid_block(t, accs):
+            j0 = t * unroll
+            for uu in range(unroll):
+                accs = mid_one(j0 + uu, accs)
+            return accs
+
+        accs = jax.lax.fori_loop(0, c // unroll, mid_block, (zero,) * 10)
+        for j in range(c - c % unroll, c):
+            accs = mid_one(j, accs)
+
+        # phase 3: far-table polynomial (value/grad/Hessian), same
+        # monomial bookkeeping as fartable.eval_far_table on planes
+        ex, ey, ez = e[0], e[1], e[2]
+        one = jnp.ones((r_blk, 128), dtype)
+
+        def pows(x):
+            ps = [one]
+            for _ in range(order):
+                ps.append(ps[-1] * x)
+            return ps
+
+        px_l, py_l, pz_l = pows(ex), pows(ey), pows(ez)
+        (b0, gx, gy, gz, hxx, hyy, hzz, hxy, hxz, hyz) = accs
+        for t, (i, j2, k2) in enumerate(mons):
+            cf = coeffs[t]
+            b0 = b0 + cf * px_l[i] * py_l[j2] * pz_l[k2]
+            if i:
+                gx = gx + cf * i * px_l[i - 1] * py_l[j2] * pz_l[k2]
+            if j2:
+                gy = gy + cf * j2 * px_l[i] * py_l[j2 - 1] * pz_l[k2]
+            if k2:
+                gz = gz + cf * k2 * px_l[i] * py_l[j2] * pz_l[k2 - 1]
+            if i > 1:
+                hxx = hxx + cf * (i * (i - 1)) * px_l[i - 2] * py_l[j2] \
+                    * pz_l[k2]
+            if j2 > 1:
+                hyy = hyy + cf * (j2 * (j2 - 1)) * px_l[i] * py_l[j2 - 2] \
+                    * pz_l[k2]
+            if k2 > 1:
+                hzz = hzz + cf * (k2 * (k2 - 1)) * px_l[i] * py_l[j2] \
+                    * pz_l[k2 - 2]
+            if i and j2:
+                hxy = hxy + cf * (i * j2) * px_l[i - 1] * py_l[j2 - 1] \
+                    * pz_l[k2]
+            if i and k2:
+                hxz = hxz + cf * (i * k2) * px_l[i - 1] * py_l[j2] \
+                    * pz_l[k2 - 1]
+            if j2 and k2:
+                hyz = hyz + cf * (j2 * k2) * px_l[i] * py_l[j2 - 1] \
+                    * pz_l[k2 - 1]
+
+        for s in range(k):
+            o_near[0, s] = xs[s]
+            o_near[1, s] = ys[s]
+            o_near[2, s] = zs[s]
+            o_near[3, s] = ms[s]
+        taylor = (b0, gx, gy, gz, hxx, hyy, hzz, hxy, hxz, hyz)
+        for i in range(10):
+            o_taylor[i] = taylor[i]
+
+    nc = len(mons)
+    cand_spec = pl.BlockSpec((4, c, r_blk, 128), lambda b: (0, 0, b, 0),
+                             memory_space=pltpu.VMEM)
+    vec3_spec = pl.BlockSpec((3, r_blk, 128), lambda b: (0, b, 0),
+                             memory_space=pltpu.VMEM)
+    coeff_spec = pl.BlockSpec((nc, r_blk, 128), lambda b: (0, b, 0),
+                              memory_space=pltpu.VMEM)
+    near_spec = pl.BlockSpec((4, k, r_blk, 128), lambda b: (0, 0, b, 0),
+                             memory_space=pltpu.VMEM)
+    taylor_spec = pl.BlockSpec((10, r_blk, 128), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel, grid=(n_blocks,),
+        out_shape=(
+            jax.ShapeDtypeStruct((4, k, r_planes, 128), dtype),
+            jax.ShapeDtypeStruct((10, r_planes, 128), dtype),
+        ),
+        in_specs=[cand_spec, vec3_spec, vec3_spec, coeff_spec],
+        out_specs=(near_spec, taylor_spec), interpret=interpret)
+
+
+def build_planes(px, py, pz, params: Params, cache: SceneCache,
+                 interpret: bool = False):
+    """Plane-native chunk rebuild for the Pallas engine's large-scene
+    path: gathers the per-walker cube payload + far-table coefficients
+    (XLA row gathers) and runs the fused candidate-model kernel.
+
+    px, py, pz: [R, 128] wrapped anchor planes (the engine's layout).
+    Requires a cache built with the far table (``far_table_order > 0``).
+    Returns (near [4, K, R, 128] slabs with M pre-scaled by FIELD_SCALE,
+    taylor [10, R, 128]) — the chunk kernel's input format, no [W]-vector
+    detour.  Replaces build() + slab packing on this path: measured 3x
+    faster at the 100k-walker scale-up (the XLA path's 15-odd fusions
+    re-read the candidate payload from HBM per pass)."""
+    k = params.near_k
+    payload_t = cache.payload
+    coeffs_t = cache.far_coeffs
+    if coeffs_t is None:
+        raise ValueError(
+            "build_planes requires a cache built with the far table "
+            "(params.far_table_order > 0 and build_cache(far_table=True))")
+    c = payload_t.shape[1]
+    if k > c:
+        raise ValueError(
+            f"near_k={k} exceeds cube_candidates={c}; selection would "
+            f"duplicate entries and double-count their field")
+    order = params.far_table_order
+    if coeffs_t.shape[-1] != fartable.n_coeffs(order):
+        raise ValueError(
+            f"far table was built at a different order than "
+            f"params.far_table_order={order} ({coeffs_t.shape[-1]} != "
+            f"{fartable.n_coeffs(order)} coefficients)")
+    r, lanes = px.shape
+    dtype = px.dtype
+    h = params.cube_hash_dim
+    cube = params.bound / h
+    cix = jnp.clip((px / cube).astype(jnp.int32), 0, h - 1)
+    ciy = jnp.clip((py / cube).astype(jnp.int32), 0, h - 1)
+    ciz = jnp.clip((pz / cube).astype(jnp.int32), 0, h - 1)
+    flat = ((cix * h + ciy) * h + ciz).reshape(-1)
+    payload = payload_t[flat]                       # [W, C, 5] row gather
+    pc = payload.transpose(2, 1, 0)                 # [5, C, W]
+    cand = jnp.concatenate(
+        [pc[:3], pc[3:4] * dtype.type(dipole.FIELD_SCALE)],
+        axis=0).reshape(4, c, r, lanes)
+    coeffs = coeffs_t[flat].T.reshape(-1, r, lanes).astype(dtype)
+    anchor = jnp.stack([px, py, pz])
+    half = dtype.type(0.5)
+    e = jnp.stack([px - (cix.astype(dtype) + half) * dtype.type(cube),
+                   py - (ciy.astype(dtype) + half) * dtype.type(cube),
+                   pz - (ciz.astype(dtype) + half) * dtype.type(cube)])
+    call = _make_cand_model_kernel(c, k, order, r, jnp.dtype(dtype).name,
+                                   interpret)
+    return call(cand, anchor, e, coeffs)
+
+
 def _far_sums_blocked(anchor, mnp_pos, mnp_M, near_idx, block: int = 512):
     """Far-field value/gradient/Hessian sums via a lax.scan over dipole
     blocks: carry is [W, 10] accumulators, per-iteration intermediates are

@@ -373,3 +373,66 @@ class TestPallasFarSums:
             a = np.asarray(getattr(nf1, f))
             b = np.asarray(getattr(nf2, f))
             assert np.abs(a - b).max() / np.abs(a).max() < 1e-5, f
+
+
+class TestFusedCandModel:
+    """expansion.build_planes — the fused selection + mid-sums +
+    far-table kernel — against the XLA path on the same cache."""
+
+    def test_matches_xla_path(self):
+        from mri_nanoparticle_simulation_tpu.fields import dipole as dip
+        p = P.DEFAULT.replace(num_cells=250, water_start_bound=28.0,
+                              max_neighbors=40, near_k=8,
+                              chunk_steps=2000, cube_hash_dim=8,
+                              cube_candidates=48, far_table_order=3)
+        sc = BacteriaBox(p, seed=5).populate()
+        mp = jnp.asarray(sc.mnps[:, :3], jnp.float32)
+        mM = jnp.asarray(sc.mnps[:, 4], jnp.float32)
+        cache = expansion.build_cache(mp, mM, p)
+        rng = np.random.default_rng(3)
+        w = 256
+        anchors = jnp.asarray(rng.random((w, 3)) * p.bound, jnp.float32)
+        r = w // 128
+        px = anchors[:, 0].reshape(r, 128)
+        py = anchors[:, 1].reshape(r, 128)
+        pz = anchors[:, 2].reshape(r, 128)
+        # jit the call as the engine does (the unrolled kernel is ~6k ops;
+        # eager interpret-mode dispatch of that is minutes on one core)
+        near, taylor = jax.jit(
+            lambda a, b, c: expansion.build_planes(a, b, c, p, cache,
+                                                   interpret=True))(
+            px, py, pz)
+        near = np.asarray(near)
+        taylor = np.asarray(taylor)
+        k = p.near_k
+        nf_k = expansion.NearField(
+            anchor=anchors,
+            near_pos=jnp.asarray(np.stack(
+                [near[0].reshape(k, w).T, near[1].reshape(k, w).T,
+                 near[2].reshape(k, w).T], -1)),
+            near_M=jnp.asarray(near[3].reshape(k, w).T / dip.FIELD_SCALE),
+            b0=jnp.asarray(taylor[0].reshape(w)),
+            grad=jnp.asarray(taylor[1:4].reshape(3, w).T),
+            hess=jnp.asarray(taylor[4:10].reshape(6, w).T))
+        nf_x = expansion.build(anchors, mp, mM, p, cache=cache)
+
+        tb = expansion.default_travel_bound(p)
+        delta = rng.normal(size=(w, 3))
+        delta = delta / np.linalg.norm(delta, axis=1, keepdims=True) \
+            * tb * rng.random((w, 1))
+        pos = anchors + jnp.asarray(delta, jnp.float32)
+        b_k, in_k, _ = expansion.evaluate(nf_k, pos, p.cell_r)
+        b_x, in_x, _ = expansion.evaluate(nf_x, pos, p.cell_r)
+        # identical partition physics (same cache, same table): the total
+        # field differs only by f32 summation order + selection-tie swaps
+        scale = float(jnp.max(jnp.abs(b_x)))
+        assert float(jnp.max(jnp.abs(b_k - b_x))) < 1e-5 * scale
+        np.testing.assert_array_equal(np.asarray(in_k), np.asarray(in_x))
+
+    def test_rejects_cache_without_table(self):
+        p = P.DEFAULT.replace(far_table_order=0)
+        cache = expansion.SceneCache(
+            payload=jnp.zeros((8, 4, 5)), far_coeffs=None)
+        with pytest.raises(ValueError, match="far table"):
+            expansion.build_planes(jnp.zeros((1, 128)), jnp.zeros((1, 128)),
+                                   jnp.zeros((1, 128)), p, cache)

@@ -255,3 +255,39 @@ class TestRuntimeSweepScalars:
         np.testing.assert_allclose(np.asarray(st1.pos),
                                    np.asarray(st2.pos), atol=5e-6)
         np.testing.assert_allclose(c1, c2, atol=1e-3)
+
+
+class TestBigScenePathFused:
+    def test_fused_recand_matches_scan_engine(self, monkeypatch):
+        """Force the big-scene path (REBUILD_MAX_MNPS -> 0) with a
+        far-table cache whose candidate set covers EVERY dipole, so the
+        table term is identically zero and the fused candidate-model
+        recandidate is an exact partition — the engine must then match
+        the scan engine to the usual cross-engine tolerance."""
+        from mri_nanoparticle_simulation_tpu import rng as rng_mod
+        from mri_nanoparticle_simulation_tpu.fields import expansion
+        p = P.small_test_params(num_water=128, totaltime=0.001,
+                                sprint_steps=500, mmoment=3.5e-15,
+                                cube_hash_dim=8, far_table_order=3)
+        sc = BacteriaBox(p, seed=3).populate()
+        mp = jnp.asarray(sc.mnps[:, :3], jnp.float32)
+        mM = jnp.asarray(sc.mnps[:, 4], jnp.float32)
+        assert sc.mnps.shape[0] <= p.cube_candidates
+        cache = expansion.build_cache(mp, mM, p)
+        assert cache.far_coeffs is not None
+        monkeypatch.setattr(pe, "REBUILD_MAX_MNPS", 0)
+        sprint = pe.make_sprint_fn(p, 128, interpret=True)
+        kk = rng_mod.key_from_seed(9)
+        key_arr = jnp.asarray([np.uint32(kk[0]), np.uint32(kk[1])])
+        ps = pe.to_planes(re.init_state(sc.waters, p), p)
+        outs = []
+        for _ in range(p.t // p.sprint_steps):
+            ps, wins = sprint(mp, mM, key_arr, ps, 0, cache)
+            outs.append(wins)
+        wins = np.asarray(jnp.concatenate(outs, axis=0))
+        st = pe.from_planes(ps, 128)
+        _, c2, _, st2 = re.run_simulation(sc, p, seed=9)
+        np.testing.assert_allclose(np.asarray(st.pos),
+                                   np.asarray(st2.pos), atol=5e-6)
+        np.testing.assert_allclose(wins[:, 0], c2, atol=1e-3)
+        assert int(st.step) == int(st2.step) == p.t
