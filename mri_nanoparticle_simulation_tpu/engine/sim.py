@@ -128,12 +128,23 @@ class SimulationRunner:
         if engine not in ENGINES:
             raise ValueError(f"unknown engine {engine!r}; use one of "
                              f"{ENGINES}")
+        # scene-constant selection cache (large scenes): built once here
+        # instead of once per sprint; carries the per-cube far table that
+        # selects the fused candidate-model recandidate.  Sharded pallas
+        # sprints get it replicated over the mesh.
+        self._cache = None
+        if engine == "pallas" and expansion.uses_large_path(
+                pallas_engine.pad_count(params.num_water),
+                len(self.scene.mnps)):
+            self._cache = expansion.build_cache(
+                self.mnp_pos, self.mnp_M, params)
+
         if mesh is not None:
             from ..parallel import sharding
             if engine == "pallas":
                 self._sprint = sharding.make_sharded_pallas_sprint_fn(
                     params, params.num_water, mesh, dtype, rng_impl,
-                    interpret)
+                    interpret, cache=self._cache)
             else:
                 if grid_mode:
                     raise ValueError("sharded grid-mode runs are not "
@@ -150,17 +161,6 @@ class SimulationRunner:
 
         self.state = reference_engine.init_state(
             self.scene.waters, params, dtype)
-        # scene-constant selection cache (large scenes): built once here
-        # instead of once per sprint.  The sharded sprint has no cache
-        # plumbing (it auto-builds per sprint on the large path), so skip
-        # the build under a mesh rather than pay for an unused table.
-        self._cache = None
-        if engine == "pallas" and mesh is None and \
-                expansion.uses_large_path(
-                    pallas_engine.pad_count(params.num_water),
-                    len(self.scene.mnps)):
-            self._cache = expansion.build_cache(
-                self.mnp_pos, self.mnp_M, params)
 
     # -- state plumbing ------------------------------------------------------
 

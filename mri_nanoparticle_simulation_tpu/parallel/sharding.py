@@ -178,13 +178,18 @@ def from_planes_sharded(ps: pallas_engine.PlaneState, num_water: int,
 def make_sharded_pallas_sprint_fn(params: Params, num_water: int, mesh: Mesh,
                                   dtype=jnp.float32,
                                   rng_impl: str = pallas_engine.RNG_THREEFRY,
-                                  interpret: bool = False):
+                                  interpret: bool = False, cache=None):
     """Sharded sprint over the production Pallas engine: per-shard plane
     blocks run the fused chunk kernel locally (each shard's Mosaic grid
     covers only its rows), window sums psum over ICI.
 
     sprint(mnp_pos, mnp_M, key_arr, plane_state) -> (plane_state', wins)
     with ``plane_state`` laid out by :func:`to_planes_sharded`.
+
+    ``cache`` (an ``expansion.SceneCache``, scene-constant) is replicated
+    over the mesh and passed to every shard's sprint, so big scenes run
+    the fused candidate-model recandidate (expansion.build_planes) per
+    shard instead of the slow auto-built XLA path.
     """
     n_shards = mesh.shape[WALKER_AXIS]
     if num_water % n_shards != 0:
@@ -195,14 +200,16 @@ def make_sharded_pallas_sprint_fn(params: Params, num_water: int, mesh: Mesh,
     local_sprint = pallas_engine.make_sprint_fn(
         params, local_w, dtype, rng_impl, interpret)
 
-    def shard_fn(mnp_pos, mnp_M, key_arr, ps: pallas_engine.PlaneState):
+    def shard_fn(mnp_pos, mnp_M, key_arr, ps: pallas_engine.PlaneState,
+                 *cache_args):
         idx = jax.lax.axis_index(WALKER_AXIS)
         # global Threefry lane = global walker index: shard s, local j
         # -> s*local_w + j, exactly the single-chip lane assignment
         lane_offset = (idx * local_w).astype(jnp.uint32)
         esc0 = ps.escapes
         new_ps, wins = local_sprint(mnp_pos, mnp_M, key_arr, ps,
-                                    lane_offset)
+                                    lane_offset,
+                                    cache_args[0] if cache_args else None)
         wins = jax.lax.psum(wins, WALKER_AXIS)
         esc = jax.lax.psum(new_ps.escapes - esc0, WALKER_AXIS) + esc0
         return new_ps._replace(escapes=esc), wins
@@ -211,11 +218,19 @@ def make_sharded_pallas_sprint_fn(params: Params, num_water: int, mesh: Mesh,
     ps_spec = pallas_engine.PlaneState(
         px=row, py=row, pz=row, in_cell=row, phase=row, phase_comp=row,
         step=P(), escapes=P())
+    if cache is None:
+        sharded = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), ps_spec),
+            out_specs=(ps_spec, P()), check_vma=False)
+        return jax.jit(sharded)
+    cache_spec = jax.tree.map(lambda _: P(), cache)
     sharded = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), ps_spec),
+        in_specs=(P(), P(), P(), ps_spec, cache_spec),
         out_specs=(ps_spec, P()), check_vma=False)
-    return jax.jit(sharded)
+    cache_dev = jax.device_put(cache, NamedSharding(mesh, P()))
+    return jax.jit(lambda mp, mM, k, ps: sharded(mp, mM, k, ps, cache_dev))
 
 
 def run_simulation_sharded_pallas(scene, params: Params,
@@ -223,14 +238,17 @@ def run_simulation_sharded_pallas(scene, params: Params,
                                   seed: int = 0, dtype=jnp.float32,
                                   rng_impl: str = pallas_engine.RNG_THREEFRY,
                                   interpret: bool = False,
-                                  max_steps: Optional[int] = None):
+                                  max_steps: Optional[int] = None,
+                                  cache=None):
     """Full sharded run on the production Pallas engine; mirrors
-    pallas_engine.run_simulation."""
+    pallas_engine.run_simulation.  Pass a scene ``cache``
+    (expansion.build_cache) for big scenes so every shard runs the fused
+    candidate-model recandidate."""
     mesh = mesh or make_walker_mesh()
     n_shards = mesh.shape[WALKER_AXIS]
     num_water = scene.waters.shape[0]
     sprint_fn = make_sharded_pallas_sprint_fn(
-        params, num_water, mesh, dtype, rng_impl, interpret)
+        params, num_water, mesh, dtype, rng_impl, interpret, cache=cache)
     mnp_pos, mnp_M, key_arr = _scene_inputs(scene, mesh, seed, dtype)
     with jax.default_device(mesh.devices.flat[0]):
         ps = to_planes_sharded(

@@ -237,3 +237,44 @@ class TestEnsemblePadding:
             warnings.simplefilter("always")
             ensemble.run_ensemble(p, n_trials=8, base_seed=0, run_seed=50)
         assert not any("does not divide" in str(x.message) for x in w)
+
+
+class TestShardedBigScene:
+    def test_sharded_fused_recand_matches_single_device(self, monkeypatch):
+        """Big-scene path under shard_map: the far-table cache replicates
+        over the mesh and every shard runs the fused candidate-model
+        recandidate — bitwise-identical walker physics to the
+        single-device fused run (global Threefry lanes)."""
+        from mri_nanoparticle_simulation_tpu import rng as rng_mod
+        from mri_nanoparticle_simulation_tpu.engine import (
+            pallas_engine, reference_engine)
+        from mri_nanoparticle_simulation_tpu.fields import expansion
+        p = P.small_test_params(num_water=256, totaltime=0.0005,
+                                sprint_steps=500, mmoment=3.5e-15,
+                                cube_hash_dim=8, far_table_order=3)
+        sc = BacteriaBox(p, seed=3).populate()
+        mp = jnp.asarray(sc.mnps[:, :3], jnp.float32)
+        mM = jnp.asarray(sc.mnps[:, 4], jnp.float32)
+        cache = expansion.build_cache(mp, mM, p)
+        monkeypatch.setattr(pallas_engine, "REBUILD_MAX_MNPS", 0)
+        mesh = sharding.make_walker_mesh(jax.devices("cpu"))
+        t1, c1, s1, st1 = sharding.run_simulation_sharded_pallas(
+            sc, p, mesh=mesh, seed=3, interpret=True, cache=cache)
+
+        # single-device fused run with the same cache
+        sprint = pallas_engine.make_sprint_fn(p, 256, interpret=True)
+        kk = rng_mod.key_from_seed(3)
+        key_arr = jnp.asarray([np.uint32(kk[0]), np.uint32(kk[1])])
+        ps = pallas_engine.to_planes(
+            reference_engine.init_state(sc.waters, p), p)
+        outs = []
+        for _ in range(p.t // p.sprint_steps):
+            ps, wins = sprint(mp, mM, key_arr, ps, 0, cache)
+            outs.append(wins)
+        wins = np.asarray(jnp.concatenate(outs, axis=0))
+        st2 = pallas_engine.from_planes(ps, 256)
+        np.testing.assert_array_equal(np.asarray(st1.pos),
+                                      np.asarray(st2.pos))
+        np.testing.assert_array_equal(np.asarray(st1.phase),
+                                      np.asarray(st2.phase))
+        np.testing.assert_allclose(c1, wins[:, 0], atol=1e-3)
