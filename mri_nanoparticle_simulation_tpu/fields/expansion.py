@@ -214,7 +214,10 @@ def build(anchor, mnp_pos, mnp_M, params: Params,
         cube = params.bound / h
         ci = jnp.clip((anchor / cube).astype(jnp.int32), 0, h - 1)
         flat = (ci[:, 0] * h + ci[:, 1]) * h + ci[:, 2]
-        payload = cache[flat]                           # [W, C, 5] row gather
+        # gather through a 2D view: XLA lowers a [H^3, C*5] row gather
+        # ~2.4x faster than the equivalent [H^3, C, 5] gather (measured)
+        payload = cache.reshape(cache.shape[0], -1)[flat] \
+            .reshape(flat.shape[0], cache.shape[1], 5)  # [W, C, 5]
         cpos = payload[..., :3]
         dc = anchor[:, None, :] - cpos
         d2 = jnp.sum(dc * dc, axis=-1)                  # [W, C]
@@ -705,7 +708,9 @@ def build_planes(px, py, pz, params: Params, cache: SceneCache,
     ciy = jnp.clip((py / cube).astype(jnp.int32), 0, h - 1)
     ciz = jnp.clip((pz / cube).astype(jnp.int32), 0, h - 1)
     flat = ((cix * h + ciy) * h + ciz).reshape(-1)
-    payload = payload_t[flat]                       # [W, C, 5] row gather
+    # 2D-view row gather (2.4x the 3D form — see build()'s cube path)
+    payload = payload_t.reshape(payload_t.shape[0], -1)[flat] \
+        .reshape(flat.shape[0], c, 5)               # [W, C, 5]
     pc = payload.transpose(2, 1, 0)                 # [5, C, W]
     cand = jnp.concatenate(
         [pc[:3], pc[3:4] * dtype.type(dipole.FIELD_SCALE)],
