@@ -237,12 +237,13 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         farpos = jnp.full((rows, LANES), 1e9, dtype)
         zero = jnp.zeros((rows, LANES), dtype)
         neg1 = jnp.full((rows, LANES), -1, jnp.int32)
-        # slots: (d2, x, y, z, m, idx) ascending by d2
-        init = ((inf,) * k, (farpos,) * k, (farpos,) * k, (farpos,) * k,
-                (zero,) * k, (neg1,) * k)
+        # slots: (d2, (x, y, z, m), idx) ascending by d2
+        init = ((inf,) * k,
+                ((farpos,) * k, (farpos,) * k, (farpos,) * k, (zero,) * k),
+                (neg1,) * k)
 
         def sel_body(j, slots):
-            d2s, xs, ys, zs, ms, ids = slots
+            d2s, fields, ids = slots
             x0 = mnp[0, j]
             y0 = mnp[1, j]
             z0 = mnp[2, j]
@@ -251,32 +252,8 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
             dy = ay - y0
             dz = az - z0
             d2 = dx * dx + dy * dy + dz * dz
-            nd2, nxs, nys, nzs, nms, nids = [], [], [], [], [], []
-            for s in range(k):
-                lt_s = d2 < d2s[s]
-                if s == 0:
-                    take_new = lt_s
-                    take_prev = None
-                else:
-                    take_prev = d2 < d2s[s - 1]
-                    take_new = lt_s & ~take_prev
-
-                def put(new_val, old, prev):
-                    v = jnp.where(take_new, new_val, old)
-                    if take_prev is not None:
-                        v = jnp.where(take_prev, prev, v)
-                    return v
-
-                prev_i = s - 1
-                nd2.append(put(d2, d2s[s],
-                               d2s[prev_i] if s else None))
-                nxs.append(put(x0, xs[s], xs[prev_i] if s else None))
-                nys.append(put(y0, ys[s], ys[prev_i] if s else None))
-                nzs.append(put(z0, zs[s], zs[prev_i] if s else None))
-                nms.append(put(m0, ms[s], ms[prev_i] if s else None))
-                nids.append(put(j, ids[s], ids[prev_i] if s else None))
-            return (tuple(nd2), tuple(nxs), tuple(nys), tuple(nzs),
-                    tuple(nms), tuple(nids))
+            return expansion.sorted_insert(d2s, fields, ids, d2,
+                                           (x0, y0, z0, m0), j)
 
         # 8-wide unroll: batches the SMEM scalar loads so their latency
         # pipelines behind the vector work (the 1-dipole body measured
@@ -287,7 +264,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                 slots = sel_body(j0 + u, slots)
             return slots
 
-        _, xs, ys, zs, ms, ids = jax.lax.fori_loop(
+        _, (xs, ys, zs, ms), ids = jax.lax.fori_loop(
             0, n_mnp_pad // 8, sel_block, init)
 
         def far_body(j, accs):
@@ -295,35 +272,8 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
             y0 = mnp[1, j]
             z0 = mnp[2, j]
             m0 = mnp[3, j]
-            dx = ax - x0
-            dy = ay - y0
-            dz = az - z0
-            far = ids[0] != j
-            for s in range(1, k):
-                far = far & (ids[s] != j)
-            r2 = dx * dx + dy * dy + dz * dz
-            # clamp, not select: an excluded dipole can sit at r ~ 0
-            # (walker inside its cell); the mask zeroes the garbage
-            r2 = jnp.maximum(r2, 1e-8)
-            inv_r = jax.lax.rsqrt(r2)
-            inv_r2 = inv_r * inv_r
-            inv_r5 = inv_r2 * inv_r2 * inv_r
-            inv_r7 = inv_r5 * inv_r2
-            dz2 = dz * dz
-            b0 = m0 * (3.0 * dz2 - r2) * inv_r5
-            u = r2 - 5.0 * dz2
-            v = 3.0 * r2 - 5.0 * dz2
-            m3r7 = 3.0 * m0 * inv_r7
-            u_r2 = 7.0 * u * inv_r2
-            parts = (b0,
-                     m3r7 * dx * u, m3r7 * dy * u, m3r7 * dz * v,
-                     m3r7 * (u + dx * dx * (2.0 - u_r2)),
-                     m3r7 * (u + dy * dy * (2.0 - u_r2)),
-                     m3r7 * (v - dz2 * (4.0 + 7.0 * v * inv_r2)),
-                     m3r7 * dx * dy * (2.0 - u_r2),
-                     m3r7 * dx * dz * (-8.0 - u_r2),
-                     m3r7 * dy * dz * (-8.0 - u_r2))
-            w = far.astype(dtype)
+            parts = dipole.bz_taylor_parts(ax - x0, ay - y0, az - z0, m0)
+            w = expansion.excluded_weight(ids, j, dtype)
             return tuple(a + c * w for a, c in zip(accs, parts))
 
         def far_block(t, accs):
@@ -636,15 +586,16 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
     kernel.  Operates on PlaneState.
 
     sprint(mnp_pos, mnp_M, key_arr, plane_state, lane_offset,
-           cache=None, tcp=None, cell_r2=None)
+           cache=None, tcp=None, cell_r=None)
         -> (plane_state', wins [n_windows, 2])
 
-    ``tcp`` (Carr-Purcell interval in steps, uint32) and ``cell_r2``
-    (cell radius squared, f32) optionally override their static params
-    values with *traced* runtime scalars: a taucp / cell_r sweep can then
-    reuse ONE compiled sprint across all values (the reference rebuilt
-    with nvcc per value, README.md:13).  Defaults (None) bake the params
-    values into the very same launch scalars — the compiled program is
+    ``tcp`` (Carr-Purcell interval in steps, uint32) and ``cell_r``
+    (cell radius, f32 — squared in-flight with scan-engine-identical
+    rounding) optionally override their static params values with
+    *traced* runtime scalars: a taucp / cell_r sweep can then reuse ONE
+    compiled sprint across all values (the reference rebuilt with nvcc
+    per value, README.md:13).  Defaults (None) bake the params values
+    into the very same launch scalars — the compiled program is
     identical either way.
 
     When the scene's dipole table fits SMEM (<= REBUILD_MAX_MNPS entries),
@@ -687,15 +638,20 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
              lane_off, jnp.uint32(num_water),
              tcp_u, cr2_bits])
 
-    def dyn_scalars(tcp, cell_r2):
+    def dyn_scalars(tcp, cell_r):
         """Resolve the runtime-sweepable scalars: defaults come from the
         static params (bitwise-identical program either way), overrides
-        are traced values so taucp / cell_r sweeps share one compile."""
+        are traced values so taucp / cell_r sweeps share one compile.
+
+        cell_r is squared HERE as an f32 x f32 product — the same
+        rounding as the scan engine's ``cell_r * cell_r`` — so the
+        in-cell verdict is bitwise consistent across every path (a
+        pre-squared f64 constant differs by 1 ulp for radii like 0.55)."""
         tcp_u = (jnp.uint32(params.tcp) if tcp is None
                  else jnp.asarray(tcp, jnp.uint32))
-        cr2 = (jnp.float32(params.cell_r ** 2) if cell_r2 is None
-               else jnp.asarray(cell_r2, jnp.float32))
-        return tcp_u, jax.lax.bitcast_convert_type(cr2, jnp.uint32)
+        cr = (jnp.float32(params.cell_r) if cell_r is None
+              else jnp.asarray(cell_r, jnp.float32))
+        return tcp_u, jax.lax.bitcast_convert_type(cr * cr, jnp.uint32)
 
     def advance(ps, state_out, o_esc, steps):
         # o_esc: per-walker escape-event counts, already validity-masked
@@ -707,8 +663,8 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                           escapes=escapes)
 
     def sprint(mnp_pos, mnp_M, key_arr, ps: PlaneState, lane_offset,
-               cache=None, tcp=None, cell_r2=None):
-        tcp_u, cr2_bits = dyn_scalars(tcp, cell_r2)
+               cache=None, tcp=None, cell_r=None):
+        tcp_u, cr2_bits = dyn_scalars(tcp, cell_r)
         n_mnp = mnp_pos.shape[0]
         if params.near_k > n_mnp:
             raise ValueError(

@@ -93,6 +93,18 @@ class SimulationRunner:
 
         self.scene = scene if scene is not None \
             else BacteriaBox(params, seed=scene_seed).populate()
+        # whether this engine will actually consult the cube-candidate
+        # tables: the pallas engine only leaves its in-kernel rebuild
+        # (which never touches cubes) above REBUILD_MAX_MNPS dipoles;
+        # the scan engine auto-builds a cube cache on the large path
+        n_mnp = len(self.scene.mnps)
+        if engine == "pallas":
+            uses_cubes = (n_mnp > pallas_engine.REBUILD_MAX_MNPS
+                          and expansion.uses_large_path(
+                              pallas_engine.pad_count(params.num_water),
+                              n_mnp))
+        else:
+            uses_cubes = expansion.uses_large_path(params.num_water, n_mnp)
         if check_coverage and not grid_mode:
             worst = expansion.validate_near_k(
                 self.scene.mnps[:, :3], params, n_probe=50_000)
@@ -102,10 +114,7 @@ class SimulationRunner:
                     f"tests at chunk_steps={params.chunk_steps} "
                     f"(configured near_k={params.near_k}); raise near_k or "
                     f"lower chunk_steps")
-            # the pallas engine decides on the PADDED walker count
-            if expansion.uses_large_path(
-                    pallas_engine.pad_count(params.num_water),
-                    len(self.scene.mnps)):
+            if uses_cubes:
                 worst_c = expansion.validate_cube_candidates(
                     self.scene.mnps[:, :3], params)
                 if worst_c > params.cube_candidates:
@@ -131,11 +140,12 @@ class SimulationRunner:
         # scene-constant selection cache (large scenes): built once here
         # instead of once per sprint; carries the per-cube far table that
         # selects the fused candidate-model recandidate.  Sharded pallas
-        # sprints get it replicated over the mesh.
+        # sprints get it replicated over the mesh.  Only built when the
+        # pallas sprint will actually take the cube path (uses_cubes) —
+        # scenes small enough for the in-kernel rebuild would pay the
+        # order-5 jacfwd table sweep for nothing.
         self._cache = None
-        if engine == "pallas" and expansion.uses_large_path(
-                pallas_engine.pad_count(params.num_water),
-                len(self.scene.mnps)):
+        if engine == "pallas" and uses_cubes:
             self._cache = expansion.build_cache(
                 self.mnp_pos, self.mnp_M, params)
 
@@ -409,6 +419,15 @@ def main(argv=None):
     print(f"Starting TPU simulation...\nPrinting to: {csv_path}",
           file=sys.stderr)
 
+    if (args.sweep or args.ensemble > 1) and \
+            (args.checkpoint or args.resume or args.checkpoint_every):
+        ap.error("--checkpoint/--resume are single-run features; drop "
+                 "them for --ensemble/--sweep runs")
+    # ensembles/sweeps run the same RNG the single-run path would
+    # (SimulationRunner defaults to the hardware PRNG on pallas)
+    cli_rng = pallas_engine.RNG_HARDWARE if args.engine == "pallas" \
+        else pallas_engine.RNG_THREEFRY
+
     if args.sweep:
         if not args.sweep_values:
             ap.error("--sweep requires --sweep-values")
@@ -431,7 +450,7 @@ def main(argv=None):
         times, curves = ens.run_parameter_sweep(
             params, name, values, n_trials_each=args.trials_per_value,
             base_seed=args.scene_seed, run_seed=args.seed + 1000,
-            engine=args.engine)
+            engine=args.engine, rng_impl=cli_rng)
         wall = time.perf_counter() - t0
         import os
         stem, ext = os.path.splitext(csv_path)
@@ -455,7 +474,8 @@ def main(argv=None):
         t0 = time.perf_counter()
         times, cos, sin, _ = ens.run_ensemble(
             params, n_trials=args.ensemble, base_seed=args.scene_seed,
-            run_seed=args.seed + 1000, engine=args.engine)
+            run_seed=args.seed + 1000, engine=args.engine,
+            rng_impl=cli_rng)
         wall = time.perf_counter() - t0
         with writer_mod.T2CsvWriter(csv_path, params,
                                     args.quadrature) as w:

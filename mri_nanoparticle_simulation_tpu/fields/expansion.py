@@ -351,48 +351,15 @@ def _make_far_sums_kernel(n_pad: int, r_planes: int, k: int, dtype_name: str,
 
     def kernel(mnp, anchor, idx, out):
         ax, ay, az = anchor[0], anchor[1], anchor[2]
-        idx_pl = [idx[j] for j in range(k)]
+        idx_pl = tuple(idx[j] for j in range(k))
 
         def body(j, accs):
             x = mnp[0, j]
             y = mnp[1, j]
             z = mnp[2, j]
             m = mnp[3, j]          # pre-scaled by FIELD_SCALE
-            dx = ax - x
-            dy = ay - y
-            dz = az - z
-            far = idx_pl[0] != j
-            for q in range(1, k):
-                far = far & (idx_pl[q] != j)
-            r2 = dx * dx + dy * dy + dz * dz
-            # clamp instead of select: excluded dipoles can sit at r ~ 0
-            # (walker inside its cell); 1e-8 keeps 1/r^7 finite in f32 and
-            # the mask zeroes the garbage
-            r2 = jnp.maximum(r2, 1e-8)
-            inv_r = jax.lax.rsqrt(r2)
-            inv_r2 = inv_r * inv_r
-            inv_r5 = inv_r2 * inv_r2 * inv_r
-            inv_r7 = inv_r5 * inv_r2
-            dz2 = dz * dz
-            # b0: M'(2dz^2 - dx^2 - dy^2)/r^5 == M'(3dz^2 - r^2)/r^5
-            b0 = m * (3.0 * dz2 - r2) * inv_r5
-            u = r2 - 5.0 * dz2
-            v = 3.0 * r2 - 5.0 * dz2
-            m3r7 = 3.0 * m * inv_r7
-            gx = m3r7 * dx * u
-            gy = m3r7 * dy * u
-            gz = m3r7 * dz * v
-            u_r2 = 7.0 * u * inv_r2
-            dx2 = dx * dx
-            dy2 = dy * dy
-            hxx = m3r7 * (u + dx2 * (2.0 - u_r2))
-            hyy = m3r7 * (u + dy2 * (2.0 - u_r2))
-            hzz = m3r7 * (v - dz2 * (4.0 + 7.0 * v * inv_r2))
-            hxy = m3r7 * dx * dy * (2.0 - u_r2)
-            hxz = m3r7 * dx * dz * (-8.0 - u_r2)
-            hyz = m3r7 * dy * dz * (-8.0 - u_r2)
-            w = far.astype(dtype)
-            parts = (b0, gx, gy, gz, hxx, hyy, hzz, hxy, hxz, hyz)
+            parts = dipole.bz_taylor_parts(ax - x, ay - y, az - z, m)
+            w = excluded_weight(idx_pl, j, dtype)
             return tuple(a + c * w for a, c in zip(accs, parts))
 
         # 8-wide unroll: batches the SMEM scalar loads so their latency
@@ -445,6 +412,55 @@ def _far_sums_pallas(anchor, mnp_pos, mnp_M, near_idx, interpret=False):
     t = call(mnp, anchor_pl, idx_pl)
     flat = t.reshape(10, w).T
     return flat[:, 0], flat[:, 1:4], flat[:, 4:10]
+
+
+def sorted_insert(d2s, fields, ids, d2, new_fields, j):
+    """One branchless sorted-insertion step into K ascending
+    (d2, *fields, id) slots — THE K-nearest selection primitive, shared
+    by the in-kernel rebuild (engine/pallas_engine.py) and the fused
+    candidate-model kernel below.
+
+    ``d2s`` / ``ids``: K-tuples of planes; ``fields``: tuple of K-tuples
+    (one per payload component, e.g. x/y/z/M); ``d2`` / ``new_fields`` /
+    ``j``: the incoming candidate (j is its identifier — a python int or
+    traced scalar).  Each slot s takes the new value iff the candidate
+    beats slot s but not slot s-1; slots the candidate displaces shift
+    down by one.  Returns updated (d2s, fields, ids).
+    """
+    k = len(d2s)
+    nd2, nids = [], []
+    nf = [[] for _ in fields]
+    for s in range(k):
+        lt_s = d2 < d2s[s]
+        if s == 0:
+            take_new = lt_s
+            take_prev = None
+        else:
+            take_prev = d2 < d2s[s - 1]
+            take_new = lt_s & ~take_prev
+
+        def put(new_val, old, prev):
+            v = jnp.where(take_new, new_val, old)
+            if take_prev is not None:
+                v = jnp.where(take_prev, prev, v)
+            return v
+
+        pi = s - 1
+        nd2.append(put(d2, d2s[s], d2s[pi] if s else None))
+        for fi, (fslots, fnew) in enumerate(zip(fields, new_fields)):
+            nf[fi].append(put(fnew, fslots[s], fslots[pi] if s else None))
+        nids.append(put(j, ids[s], ids[pi] if s else None))
+    return tuple(nd2), tuple(tuple(x) for x in nf), tuple(nids)
+
+
+def excluded_weight(ids, j, dtype):
+    """1.0 where candidate ``j`` is in none of the K id slots (i.e. not
+    selected into the near list), else 0.0 — the exclusion mask of every
+    recandidate kernel's far/mid pass."""
+    far = ids[0] != j
+    for s in range(1, len(ids)):
+        far = far & (ids[s] != j)
+    return far.astype(dtype)
 
 
 @functools.lru_cache(maxsize=32)
@@ -503,7 +519,7 @@ def _make_cand_model_kernel(c: int, k: int, order: int, r_planes: int,
         # phase 1: exact K-nearest selection (sorted insertion; c >= k
         # guarantees every slot is filled with a distinct candidate)
         def insert_one(j, slots):
-            d2s, xs, ys, zs, ms, ids = slots
+            d2s, fields, ids = slots
             x0 = cand[0, j]
             y0 = cand[1, j]
             z0 = cand[2, j]
@@ -512,31 +528,7 @@ def _make_cand_model_kernel(c: int, k: int, order: int, r_planes: int,
             dy = ay - y0
             dz = az - z0
             d2 = dx * dx + dy * dy + dz * dz
-            nd2, nxs, nys, nzs, nms, nids = [], [], [], [], [], []
-            for s in range(k):
-                lt_s = d2 < d2s[s]
-                if s == 0:
-                    take_new = lt_s
-                    take_prev = None
-                else:
-                    take_prev = d2 < d2s[s - 1]
-                    take_new = lt_s & ~take_prev
-
-                def put(new_val, old, prev):
-                    v = jnp.where(take_new, new_val, old)
-                    if take_prev is not None:
-                        v = jnp.where(take_prev, prev, v)
-                    return v
-
-                pi = s - 1
-                nd2.append(put(d2, d2s[s], d2s[pi] if s else None))
-                nxs.append(put(x0, xs[s], xs[pi] if s else None))
-                nys.append(put(y0, ys[s], ys[pi] if s else None))
-                nzs.append(put(z0, zs[s], zs[pi] if s else None))
-                nms.append(put(m0, ms[s], ms[pi] if s else None))
-                nids.append(put(j, ids[s], ids[pi] if s else None))
-            return (tuple(nd2), tuple(nxs), tuple(nys), tuple(nzs),
-                    tuple(nms), tuple(nids))
+            return sorted_insert(d2s, fields, ids, d2, (x0, y0, z0, m0), j)
 
         def sel_block(t, slots):
             j0 = t * unroll
@@ -544,12 +536,13 @@ def _make_cand_model_kernel(c: int, k: int, order: int, r_planes: int,
                 slots = insert_one(j0 + uu, slots)
             return slots
 
-        slots = ((inf,) * k, (zero,) * k, (zero,) * k, (zero,) * k,
-                 (zero,) * k, (neg1,) * k)
+        slots = ((inf,) * k,
+                 ((zero,) * k, (zero,) * k, (zero,) * k, (zero,) * k),
+                 (neg1,) * k)
         slots = jax.lax.fori_loop(0, c // unroll, sel_block, slots)
         for j in range(c - c % unroll, c):
             slots = insert_one(j, slots)
-        _, xs, ys, zs, ms, ids = slots
+        _, (xs, ys, zs, ms), ids = slots
 
         # phase 2: masked mid sums over the non-selected candidates
         def mid_one(j, accs):
@@ -557,35 +550,8 @@ def _make_cand_model_kernel(c: int, k: int, order: int, r_planes: int,
             y0 = cand[1, j]
             z0 = cand[2, j]
             m0 = cand[3, j]
-            dx = ax - x0
-            dy = ay - y0
-            dz = az - z0
-            far = ids[0] != j
-            for s in range(1, k):
-                far = far & (ids[s] != j)
-            r2 = dx * dx + dy * dy + dz * dz
-            # clamp, not select: an excluded dipole can sit at r ~ 0
-            # (walker inside its cell); the mask zeroes the garbage
-            r2 = jnp.maximum(r2, 1e-8)
-            inv_r = jax.lax.rsqrt(r2)
-            inv_r2 = inv_r * inv_r
-            inv_r5 = inv_r2 * inv_r2 * inv_r
-            inv_r7 = inv_r5 * inv_r2
-            dz2 = dz * dz
-            b0 = m0 * (3.0 * dz2 - r2) * inv_r5
-            u = r2 - 5.0 * dz2
-            v = 3.0 * r2 - 5.0 * dz2
-            m3r7 = 3.0 * m0 * inv_r7
-            u_r2 = 7.0 * u * inv_r2
-            parts = (b0,
-                     m3r7 * dx * u, m3r7 * dy * u, m3r7 * dz * v,
-                     m3r7 * (u + dx * dx * (2.0 - u_r2)),
-                     m3r7 * (u + dy * dy * (2.0 - u_r2)),
-                     m3r7 * (v - dz2 * (4.0 + 7.0 * v * inv_r2)),
-                     m3r7 * dx * dy * (2.0 - u_r2),
-                     m3r7 * dx * dz * (-8.0 - u_r2),
-                     m3r7 * dy * dz * (-8.0 - u_r2))
-            w = far.astype(dtype)
+            parts = dipole.bz_taylor_parts(ax - x0, ay - y0, az - z0, m0)
+            w = excluded_weight(ids, j, dtype)
             return tuple(a + p * w for a, p in zip(accs, parts))
 
         def mid_block(t, accs):
@@ -598,53 +564,17 @@ def _make_cand_model_kernel(c: int, k: int, order: int, r_planes: int,
         for j in range(c - c % unroll, c):
             accs = mid_one(j, accs)
 
-        # phase 3: far-table polynomial (value/grad/Hessian), same
-        # monomial bookkeeping as fartable.eval_far_table on planes
-        ex, ey, ez = e[0], e[1], e[2]
-        one = jnp.ones((r_blk, 128), dtype)
-
-        def pows(x):
-            ps = [one]
-            for _ in range(order):
-                ps.append(ps[-1] * x)
-            return ps
-
-        px_l, py_l, pz_l = pows(ex), pows(ey), pows(ez)
-        (b0, gx, gy, gz, hxx, hyy, hzz, hxy, hxz, hyz) = accs
-        for t, (i, j2, k2) in enumerate(mons):
-            cf = coeffs[t]
-            b0 = b0 + cf * px_l[i] * py_l[j2] * pz_l[k2]
-            if i:
-                gx = gx + cf * i * px_l[i - 1] * py_l[j2] * pz_l[k2]
-            if j2:
-                gy = gy + cf * j2 * px_l[i] * py_l[j2 - 1] * pz_l[k2]
-            if k2:
-                gz = gz + cf * k2 * px_l[i] * py_l[j2] * pz_l[k2 - 1]
-            if i > 1:
-                hxx = hxx + cf * (i * (i - 1)) * px_l[i - 2] * py_l[j2] \
-                    * pz_l[k2]
-            if j2 > 1:
-                hyy = hyy + cf * (j2 * (j2 - 1)) * px_l[i] * py_l[j2 - 2] \
-                    * pz_l[k2]
-            if k2 > 1:
-                hzz = hzz + cf * (k2 * (k2 - 1)) * px_l[i] * py_l[j2] \
-                    * pz_l[k2 - 2]
-            if i and j2:
-                hxy = hxy + cf * (i * j2) * px_l[i - 1] * py_l[j2 - 1] \
-                    * pz_l[k2]
-            if i and k2:
-                hxz = hxz + cf * (i * k2) * px_l[i - 1] * py_l[j2] \
-                    * pz_l[k2 - 1]
-            if j2 and k2:
-                hyz = hyz + cf * (j2 * k2) * px_l[i] * py_l[j2 - 1] \
-                    * pz_l[k2 - 1]
+        # phase 3: far-table polynomial (value/grad/Hessian) accumulated
+        # onto the mid sums — the monomial bookkeeping lives once, in
+        # fartable.eval_far_table_parts (plane layout via get_coeff)
+        taylor = fartable.eval_far_table_parts(
+            lambda t: coeffs[t], e[0], e[1], e[2], order, accs=accs)
 
         for s in range(k):
             o_near[0, s] = xs[s]
             o_near[1, s] = ys[s]
             o_near[2, s] = zs[s]
             o_near[3, s] = ms[s]
-        taylor = (b0, gx, gy, gz, hxx, hyy, hzz, hxy, hxz, hyz)
         for i in range(10):
             o_taylor[i] = taylor[i]
 

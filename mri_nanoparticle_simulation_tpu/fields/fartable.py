@@ -134,16 +134,18 @@ def _build_far_table_jit(h: int, bound: float, order: int):
     return f
 
 
-def eval_far_table(coeffs, e, order: int):
-    """Value, gradient and Hessian of the tabulated polynomial at offset
-    ``e`` ([W, 3], walker anchor minus cube center).
+def eval_far_table_parts(get_coeff, ex, ey, ez, order: int, accs=None):
+    """Core polynomial evaluation: value/gradient/Hessian of the
+    tabulated Taylor series at offsets (ex, ey, ez), accumulated into
+    ``accs`` (10-tuple, zeros when None).
 
-    coeffs: [W, n_coeffs(order)] (already gathered per walker).
-    Returns (b0 [W], grad [W, 3], hess [W, 6] in xx,yy,zz,xy,xz,yz order)
-    — the same far-Taylor layout as expansion.NearField.
+    ``get_coeff(t)`` returns coefficient ``t`` broadcastable against the
+    offsets — ``coeffs[..., t]`` on the [W, n_coeffs] layout
+    (:func:`eval_far_table`), ``coeffs[t]`` on the plane layout inside
+    the fused candidate-model Pallas kernel
+    (fields/expansion._make_cand_model_kernel).  One body, two callers —
+    the monomial/derivative bookkeeping exists exactly once.
     """
-    ex, ey, ez = e[..., 0], e[..., 1], e[..., 2]
-
     def pows(x):
         ps = [jnp.ones_like(x)]
         for _ in range(order):
@@ -151,11 +153,12 @@ def eval_far_table(coeffs, e, order: int):
         return ps
 
     px, py, pz = pows(ex), pows(ey), pows(ez)
-    z = jnp.zeros_like(ex)
-    b0, gx, gy, gz = z, z, z, z
-    hxx, hyy, hzz, hxy, hxz, hyz = z, z, z, z, z, z
+    if accs is None:
+        z = jnp.zeros_like(ex)
+        accs = (z,) * 10
+    b0, gx, gy, gz, hxx, hyy, hzz, hxy, hxz, hyz = accs
     for t, (i, j, k) in enumerate(monomials(order)):
-        c = coeffs[..., t]
+        c = get_coeff(t)
         b0 = b0 + c * px[i] * py[j] * pz[k]
         if i:
             gx = gx + c * i * px[i - 1] * py[j] * pz[k]
@@ -175,5 +178,18 @@ def eval_far_table(coeffs, e, order: int):
             hxz = hxz + c * (i * k) * px[i - 1] * py[j] * pz[k - 1]
         if j and k:
             hyz = hyz + c * (j * k) * px[i] * py[j - 1] * pz[k - 1]
-    return (b0, jnp.stack([gx, gy, gz], -1),
-            jnp.stack([hxx, hyy, hzz, hxy, hxz, hyz], -1))
+    return (b0, gx, gy, gz, hxx, hyy, hzz, hxy, hxz, hyz)
+
+
+def eval_far_table(coeffs, e, order: int):
+    """Value, gradient and Hessian of the tabulated polynomial at offset
+    ``e`` ([W, 3], walker anchor minus cube center).
+
+    coeffs: [W, n_coeffs(order)] (already gathered per walker).
+    Returns (b0 [W], grad [W, 3], hess [W, 6] in xx,yy,zz,xy,xz,yz order)
+    — the same far-Taylor layout as expansion.NearField.
+    """
+    parts = eval_far_table_parts(lambda t: coeffs[..., t],
+                                 e[..., 0], e[..., 1], e[..., 2], order)
+    return (parts[0], jnp.stack(parts[1:4], -1),
+            jnp.stack(parts[4:10], -1))

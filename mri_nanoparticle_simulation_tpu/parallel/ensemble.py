@@ -106,10 +106,10 @@ def make_ensemble_pallas_sprint_fn(params: Params, mesh: Mesh,
             mp, mm, key, ps, tc, cr = xs
             # trials are distinguished by their per-trial key (run_seed+i),
             # exactly like single runs — lane_offset stays 0 so each trial
-            # is bitwise-identical to its standalone run.  tcp / cell_r²
+            # is bitwise-identical to its standalone run.  tcp / cell_r
             # ride the kernel's launch scalars (runtime sweep data).
             new_ps, wins = local(mp, mm, key, ps, jnp.uint32(0),
-                                 tcp=tc, cell_r2=cr * cr)
+                                 tcp=tc, cell_r=cr)
             return _, (new_ps, wins)
 
         _, (new_planes, wins) = jax.lax.scan(
@@ -259,6 +259,7 @@ def run_parameter_sweep(base_params: Params, name: str, values,
                         n_trials_each: int = 1, base_seed: int = 0,
                         run_seed: int = 1000, dtype=jnp.float32,
                         max_steps=None, engine: str = "scan",
+                        rng_impl: str = pallas_engine.RNG_THREEFRY,
                         interpret: bool = False):
     """Sweep any Params field (e.g. cell_r, taucp, mmoment) across runs.
 
@@ -281,7 +282,7 @@ def run_parameter_sweep(base_params: Params, name: str, values,
             base_params, n_trials=len(values) * n_trials_each,
             base_seed=base_seed, run_seed=run_seed, **per_trial,
             dtype=dtype, max_steps=max_steps, engine=engine,
-            interpret=interpret)
+            rng_impl=rng_impl, interpret=interpret)
         return times, cos.reshape(len(values), n_trials_each, -1)
 
     curves = []
@@ -291,6 +292,7 @@ def run_parameter_sweep(base_params: Params, name: str, values,
         times, cos, _, _ = run_ensemble(
             p, n_trials=n_trials_each, base_seed=base_seed,
             run_seed=run_seed + i * 10000, dtype=dtype,
-            max_steps=max_steps, engine=engine, interpret=interpret)
+            max_steps=max_steps, engine=engine, rng_impl=rng_impl,
+            interpret=interpret)
         curves.append(cos)
     return times, np.stack(curves)

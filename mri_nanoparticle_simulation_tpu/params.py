@@ -282,6 +282,13 @@ class Params:
         if self.grid_n < 2 or self.grid_max_residents < 1:
             raise ValueError("grid_n must be >= 2 and grid_max_residents "
                              ">= 1")
+        if self.tcp < self.pfreq:
+            # also rejects tcp == 0 (taucp ~ 0), which would reach the
+            # kernels' `end_step % tcp` as an unsigned mod-by-zero
+            raise ValueError(
+                f"taucp ({self.taucp} ms -> tcp={self.tcp} steps) must be "
+                f"at least one output interval (pfreq={self.pfreq} steps); "
+                f"for no Carr-Purcell flips at all, set taucp > totaltime")
         if self.tcp % self.pfreq != 0:
             raise ValueError(
                 f"taucp must align with the output interval: tcp ({self.tcp}"

@@ -208,7 +208,7 @@ class TestRuntimeSweepScalars:
         for _ in range(pv.t // pv.sprint_steps):
             ps, wins = sprint(mnp_pos, mnp_M, key_arr, ps, 0,
                               tcp=jnp.uint32(pv.tcp),
-                              cell_r2=jnp.float32(pv.cell_r ** 2))
+                              cell_r=jnp.float32(pv.cell_r))
             outs.append(wins)
         wins = np.asarray(jnp.concatenate(outs, axis=0))
         st_r = pe.from_planes(ps, sc.waters.shape[0])

@@ -217,3 +217,50 @@ class TestCliSweep:
         with pytest.raises(SystemExit):
             sim.main(["--sweep", "taucp",
                       "--out", str(tmp_path / "x.csv")])
+
+
+class TestValidationGuards:
+    def test_taucp_below_pfreq_rejected(self):
+        """tcp < pfreq (including tcp == 0, which would reach the
+        kernels' `end_step % tcp` as an unsigned mod-by-zero) fails fast
+        at Params.validate."""
+        with pytest.raises(ValueError, match="at least one output"):
+            P.small_test_params(taucp=0.0)
+        with pytest.raises(ValueError, match="at least one output"):
+            P.small_test_params(taucp=0.00005)  # tcp=50 < pfreq=100
+
+    def test_runtime_taucp_zero_rejected(self):
+        """The same floor applies to swept runtime taucps."""
+        from mri_nanoparticle_simulation_tpu.parallel import ensemble
+        p = P.small_test_params(num_water=16, totaltime=0.0002,
+                                sprint_steps=200)
+        with pytest.raises(ValueError, match="at least one output"):
+            ensemble.run_ensemble(p, n_trials=2, base_seed=0, run_seed=1,
+                                  taucps=[0.0, 0.0001])
+
+    def test_pallas_runner_skips_cube_machinery_for_smem_scenes(
+            self, monkeypatch):
+        """A scene small enough for the in-kernel rebuild must not pay
+        for (or be rejected by) the cube-candidate machinery the pallas
+        engine will never consult, even at huge walker counts."""
+        from mri_nanoparticle_simulation_tpu.fields import expansion
+        p = P.small_test_params(num_water=64, totaltime=0.001,
+                                sprint_steps=500)
+        monkeypatch.setattr(expansion, "uses_large_path",
+                            lambda *a: True)
+
+        def boom(*a, **k):
+            raise AssertionError("cube machinery touched")
+
+        monkeypatch.setattr(expansion, "build_cache", boom)
+        monkeypatch.setattr(expansion, "validate_cube_candidates", boom)
+        r = sim.SimulationRunner(p, scene_seed=5, seed=3, engine="pallas",
+                                 interpret=True)
+        assert r._cache is None
+
+    def test_cli_checkpoint_with_ensemble_rejected(self, tmp_path):
+        with pytest.raises(SystemExit):
+            sim.main(["--num-water", "32", "--totaltime", "0.002",
+                      "--engine", "scan", "--ensemble", "2",
+                      "--checkpoint", str(tmp_path / "ck.npz"),
+                      "--out", str(tmp_path / "x.csv")])
