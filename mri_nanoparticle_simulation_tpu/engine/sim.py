@@ -392,6 +392,13 @@ def main(argv=None):
                     help="comma-separated values for --sweep")
     ap.add_argument("--trials-per-value", type=int, default=1,
                     help="independent trials averaged per sweep value")
+    ap.add_argument("--dump-field", default=None, metavar="PATH",
+                    help="write B_z on a uniform lattice over the scene "
+                         "to PATH as x,y,z,Bz rows and exit — the "
+                         "reference's DEBUG_FIELD product "
+                         "(octree.cpp:435-449) as a runtime flag")
+    ap.add_argument("--dump-field-n", type=int, default=32,
+                    help="lattice points per box edge for --dump-field")
     args = ap.parse_args(argv)
 
     params = Params(
@@ -414,6 +421,15 @@ def main(argv=None):
     if args.impermeable:
         params = params.impermeable()
     params.validate()
+
+    if args.dump_field:
+        from ..fields import debug as dbg
+        sc = BacteriaBox(params, seed=args.scene_seed).populate()
+        dbg.dump_field_csv(sc.mnps, params, args.dump_field,
+                           grid_n=args.dump_field_n)
+        print(f"Field dump written: {args.dump_field} "
+              f"({args.dump_field_n}^3 points)", file=sys.stderr)
+        return 0
 
     csv_path = args.out or writer_mod.default_output_path(params)
     print(f"Starting TPU simulation...\nPrinting to: {csv_path}",

@@ -129,6 +129,35 @@ class TestOnHardware:
         assert np.abs(d).max() < 5.0 * np.sqrt(2.0 / p.num_water)
         assert int(st_hw.escapes) == 0
 
+    def test_runtime_sweep_scalars_on_hardware(self):
+        """The sweep launch scalars through real Mosaic (the CP flip is
+        a scalar mod by an SMEM value; cell_r² rides a bitcast vector
+        register): a runtime-override run must be bitwise-equal to the
+        statically-compiled engine."""
+        from mri_nanoparticle_simulation_tpu import rng
+        p = P.small_test_params(num_water=256, totaltime=0.001,
+                                sprint_steps=500)
+        pv = p.replace(taucp=0.0003, cell_r=0.4).validate()
+        sc = BacteriaBox(pv, seed=3).populate()
+        _, c_s, _, st_s = pe.run_simulation(sc, pv, seed=9)
+        sprint = pe.make_sprint_fn(p, sc.waters.shape[0])
+        kk = rng.key_from_seed(9)
+        key_arr = jnp.asarray([np.uint32(kk[0]), np.uint32(kk[1])])
+        ps = pe.to_planes(re.init_state(sc.waters, pv), pv)
+        mp = jnp.asarray(sc.mnps[:, :3], jnp.float32)
+        mM = jnp.asarray(sc.mnps[:, 4], jnp.float32)
+        outs = []
+        for _ in range(pv.t // pv.sprint_steps):
+            ps, wins = sprint(mp, mM, key_arr, ps, 0,
+                              tcp=jnp.uint32(pv.tcp),
+                              cell_r=jnp.float32(pv.cell_r))
+            outs.append(wins)
+        wins = np.asarray(jnp.concatenate(outs, axis=0))
+        st_r = pe.from_planes(ps, sc.waters.shape[0])
+        np.testing.assert_array_equal(np.asarray(st_r.pos),
+                                      np.asarray(st_s.pos))
+        np.testing.assert_array_equal(wins[:, 0], np.asarray(c_s))
+
 
 class TestMultiBlock:
     def test_two_block_grid_matches_scan(self):

@@ -264,3 +264,18 @@ class TestValidationGuards:
                       "--engine", "scan", "--ensemble", "2",
                       "--checkpoint", str(tmp_path / "ck.npz"),
                       "--out", str(tmp_path / "x.csv")])
+
+
+class TestCliFieldDump:
+    def test_dump_field_writes_lattice(self, tmp_path):
+        """--dump-field: the reference's DEBUG_FIELD product
+        (octree.cpp:435-449) as a runtime flag."""
+        out = str(tmp_path / "field.csv")
+        rc = sim.main(["--num-water", "16", "--num-cells", "4",
+                      "--totaltime", "0.002", "--taucp", "0.001",
+                      "--hash-dim", "8", "--dump-field", out,
+                      "--dump-field-n", "8"])
+        assert rc == 0
+        d = np.loadtxt(out, delimiter=",")
+        assert d.shape == (8 ** 3, 4)
+        assert np.isfinite(d).all()
