@@ -129,6 +129,37 @@ class TestOnHardware:
         assert np.abs(d).max() < 5.0 * np.sqrt(2.0 / p.num_water)
         assert int(st_hw.escapes) == 0
 
+    def test_fused_recand_on_hardware(self, monkeypatch):
+        """The fused candidate-model recandidate (big-scene path)
+        compiled for real Mosaic: forced via REBUILD_MAX_MNPS=0 with an
+        all-candidates cache (exact partition — far table identically
+        zero), it must match the scan engine like every other path."""
+        from mri_nanoparticle_simulation_tpu import rng
+        from mri_nanoparticle_simulation_tpu.fields import expansion
+        p = P.small_test_params(num_water=128, totaltime=0.001,
+                                sprint_steps=500, mmoment=3.5e-15,
+                                cube_hash_dim=8, far_table_order=3)
+        sc = BacteriaBox(p, seed=3).populate()
+        mp = jnp.asarray(sc.mnps[:, :3], jnp.float32)
+        mM = jnp.asarray(sc.mnps[:, 4], jnp.float32)
+        assert sc.mnps.shape[0] <= p.cube_candidates
+        cache = expansion.build_cache(mp, mM, p)
+        monkeypatch.setattr(pe, "REBUILD_MAX_MNPS", 0)
+        sprint = pe.make_sprint_fn(p, 128)
+        kk = rng.key_from_seed(9)
+        key_arr = jnp.asarray([np.uint32(kk[0]), np.uint32(kk[1])])
+        ps = pe.to_planes(re.init_state(sc.waters, p), p)
+        outs = []
+        for _ in range(p.t // p.sprint_steps):
+            ps, wins = sprint(mp, mM, key_arr, ps, 0, cache)
+            outs.append(wins)
+        wins = np.asarray(jnp.concatenate(outs, axis=0))
+        st = pe.from_planes(ps, 128)
+        _, c2, _, st2 = re.run_simulation(sc, p, seed=9)
+        np.testing.assert_allclose(np.asarray(st.pos),
+                                   np.asarray(st2.pos), atol=1e-4)
+        np.testing.assert_allclose(wins[:, 0], c2, atol=0.05)
+
     def test_runtime_sweep_scalars_on_hardware(self):
         """The sweep launch scalars through real Mosaic (the CP flip is
         a scalar mod by an SMEM value; cell_r² rides a bitcast vector
