@@ -342,6 +342,12 @@ def main(argv=None):
     ap.add_argument("--impermeable", action="store_true",
                     help="reflectIO = reflectOI = 1")
     ap.add_argument("--engine", default="pallas", choices=ENGINES)
+    ap.add_argument("--rng", default=None,
+                    choices=["hardware", "threefry"],
+                    help="RNG implementation (default: hardware on the "
+                         "pallas engine — the production path; threefry "
+                         "is the bit-reproducible cross-engine "
+                         "validation path)")
     ap.add_argument("--field-mode", default="expansion",
                     choices=["expansion", "exact", "grid"],
                     help="scan-engine field backend (the pallas engine "
@@ -441,8 +447,11 @@ def main(argv=None):
                  "them for --ensemble/--sweep runs")
     # ensembles/sweeps run the same RNG the single-run path would
     # (SimulationRunner defaults to the hardware PRNG on pallas)
-    cli_rng = pallas_engine.RNG_HARDWARE if args.engine == "pallas" \
-        else pallas_engine.RNG_THREEFRY
+    if args.rng is not None:
+        cli_rng = args.rng
+    else:
+        cli_rng = pallas_engine.RNG_HARDWARE if args.engine == "pallas" \
+            else pallas_engine.RNG_THREEFRY
 
     if args.sweep:
         if not args.sweep_values:
@@ -504,7 +513,8 @@ def main(argv=None):
         return 0
 
     runner = SimulationRunner(params, scene_seed=args.scene_seed,
-                              seed=args.seed, engine=args.engine)
+                              seed=args.seed, engine=args.engine,
+                              rng_impl=cli_rng)
     if args.resume:
         runner.resume(args.resume)
 
