@@ -14,16 +14,19 @@ what is being certified):
      statistical equivalence.
   D. field backends: expansion vs grid vs exact in the scan engine on
      the same threefry streams — near-identical trajectories, so
-     differences measure the field-model error directly.  The exact
-     brute-force oracle is HBM-bound at [W, N] per step, so this arm runs
-     1/10 of the axis; arm D4 (expansion vs grid, both fast) covers the
-     full axis.
+     differences measure the field-model error directly, plus the
+     direct expansion-vs-grid cross check.  The exact brute-force
+     oracle is HBM-bound at [W, N] per step and the grid engine pays
+     per-step gathers, so this arm runs 1/10 of the axis (a full-axis
+     grid run is ~5000 s for no additional information).
 
-Writes dossier JSON to ACCURACY_DATA.json; ACCURACY.md is the human
+Writes dossier JSON to ACCURACY_DATA.json, incrementally after each arm
+(a killed run keeps its finished arms); ACCURACY.md is the human
 summary (maintained by hand from these numbers).
 
 Run on the TPU box:  python -u scripts/accuracy_dossier.py [--quick]
-(~15 min full; --quick cuts the time axis 10x for a smoke run.)
+(~55 min full — two full-axis scan-engine arms at ~700 s each;
+--quick cuts the time axis 10x for a smoke run.)
 """
 
 import argparse
@@ -32,6 +35,12 @@ import sys
 import time
 
 import numpy as np
+
+
+def _write(results, out):
+    """Write after every arm: a killed run keeps its finished arms."""
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
 
 
 def stats_vs(a, b, w):
@@ -94,6 +103,7 @@ def main():
         "walkers": pA.num_water,
     }
     log("A:", results["A_kahan_vs_f64_phase"])
+    _write(results, args.out)
 
     # ---- arm B/C: production Pallas engine, hardware + threefry ---------
     # x64 off again: the Pallas kernel is f32-only, and weak-typed python
@@ -129,6 +139,7 @@ def main():
     log("B:", results["B_pallas_hw_vs_scan_threefry"])
     log("C:", results["C_pallas_hw_vs_pallas_threefry"])
     log("B2 (same streams):", results["B2_pallas_tf_vs_scan_tf_same_streams"])
+    _write(results, args.out)
 
     # ---- arm D: field backends vs the exact oracle (1/10 axis) ----------
     pD = Params(num_water=512, totaltime=totaltime, chunk_steps=1000,
@@ -155,27 +166,10 @@ def main():
     results["D_steps"] = d_steps
     log("D exp vs exact:", results["D_expansion_vs_exact"])
     log("D grid vs exact:", results["D_grid_vs_exact"])
+    log("D exp vs grid:", results["D_expansion_vs_grid"])
+    _write(results, args.out)
 
-    # ---- arm D4: expansion vs grid, FULL axis, same streams --------------
-    pD4 = Params(num_water=4032, totaltime=totaltime, chunk_steps=1000,
-                 near_k=5, sprint_steps=20000, scan_unroll=16).validate()
-    scD4 = BacteriaBox(pD4, seed=42).populate()
-    t0 = time.time()
-    _, c4_exp, _, _ = reference_engine.run_simulation(
-        scD4, pD4, seed=7, dtype=jnp.float32)
-    log(f"D4a expansion done in {time.time()-t0:.0f}s")
-    t0 = time.time()
-    _, c4_grid, _, _ = reference_engine.run_simulation(
-        scD4, pD4.replace(field_mode="grid", grid_n=96), seed=7,
-        dtype=jnp.float32)
-    log(f"D4b grid done in {time.time()-t0:.0f}s")
-    results["D4_expansion_vs_grid_full"] = stats_vs(c4_exp, c4_grid,
-                                                    pD4.num_water)
-    log("D4 exp vs grid (full axis):",
-        results["D4_expansion_vs_grid_full"])
-
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=1)
+    _write(results, args.out)
     log(f"wrote {args.out}")
 
 
