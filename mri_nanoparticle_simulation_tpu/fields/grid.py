@@ -36,10 +36,18 @@ from . import dipole
 
 
 class FieldGrid(NamedTuple):
-    corners: jnp.ndarray   # [G, G, G, 8] far-field B_z at voxel corners
-    res_idx: jnp.ndarray   # [G, G, G, K] resident dipole indices, -1 pad
-    mnp_pos: jnp.ndarray   # [N, 3]
-    mnp_M: jnp.ndarray     # [N]
+    corners: jnp.ndarray      # [G, G, G, 8] far-field B_z at voxel corners
+    res_idx: jnp.ndarray      # [G, G, G, K] resident dipole indices, -1 pad
+    #: [G^3, K, 4] denormalized residents (x, y, z, M); padding entries
+    #: sit 1e9 µm away with zero moment.  The query gathers ONE flat row
+    #: per walker instead of K scattered per-dipole gathers — the same
+    #: payload-table pattern as the cube-candidate cache in
+    #: fields/expansion.py.  (End-to-end the scan-engine grid run is
+    #: dispatch/latency-bound, so this is a structural simplification —
+    #: one gather, no validity masking — rather than a measured speedup.)
+    res_payload: jnp.ndarray
+    mnp_pos: jnp.ndarray      # [N, 3]
+    mnp_M: jnp.ndarray        # [N]
     spacing: float
     grid_n: int
 
@@ -121,9 +129,17 @@ def build_grid(mnp_pos, mnp_M, params: Params, grid_n: int = 32,
     corners = jnp.concatenate(all_c)[:n_voxels]
     res_idx = jnp.concatenate(all_i)[:n_voxels]
 
+    valid = res_idx >= 0
+    safe = jnp.clip(res_idx, 0, n - 1)
+    res_pos = jnp.where(valid[..., None], mnp_pos[safe],
+                        dtype(1e9))                      # [V, K, 3]
+    res_M = jnp.where(valid, mnp_M[safe], 0.0)           # [V, K]
+    payload = jnp.concatenate([res_pos, res_M[..., None]], axis=-1)
+
     return FieldGrid(
         corners=corners.reshape(grid_n, grid_n, grid_n, 8),
         res_idx=res_idx.reshape(grid_n, grid_n, grid_n, max_residents),
+        res_payload=payload.astype(dtype),
         mnp_pos=mnp_pos, mnp_M=mnp_M, spacing=float(h), grid_n=grid_n)
 
 
@@ -135,12 +151,14 @@ def query(grid: FieldGrid, pos, cell_r):
     """
     h = grid.spacing
     g = grid.grid_n
-    dtype = grid.corners.dtype
     scaled = pos / h
     v = jnp.clip(jnp.floor(scaled).astype(jnp.int32), 0, g - 1)   # [W, 3]
     frac = jnp.clip(scaled - v, 0.0, 1.0)                         # [W, 3]
+    flat = (v[:, 0] * g + v[:, 1]) * g + v[:, 2]                  # [W]
 
-    corners = grid.corners[v[:, 0], v[:, 1], v[:, 2]]             # [W, 8]
+    # both lookups are flat 2D row gathers (the layout XLA lowers best —
+    # see the measurement note on expansion.build's cube path)
+    corners = grid.corners.reshape(g * g * g, 8)[flat]            # [W, 8]
     wx = jnp.stack([1.0 - frac[:, 0], frac[:, 0]], 1)             # [W, 2]
     wy = jnp.stack([1.0 - frac[:, 1], frac[:, 1]], 1)
     wz = jnp.stack([1.0 - frac[:, 2], frac[:, 2]], 1)
@@ -148,18 +166,19 @@ def query(grid: FieldGrid, pos, cell_r):
                * wz[:, None, None, :]).reshape(-1, 8)
     b_far = jnp.sum(corners * weights, axis=1)
 
-    idx = grid.res_idx[v[:, 0], v[:, 1], v[:, 2]]                 # [W, K]
-    valid = idx >= 0
-    safe = jnp.clip(idx, 0, grid.mnp_pos.shape[0] - 1)
-    rp = grid.mnp_pos[safe]                                       # [W, K, 3]
-    rm = jnp.where(valid, grid.mnp_M[safe], 0.0)
+    k = grid.res_payload.shape[1]
+    payload = grid.res_payload.reshape(g * g * g, k * 4)[flat] \
+        .reshape(-1, k, 4)                                        # [W, K, 4]
+    rp = payload[..., :3]
+    rm = payload[..., 3]
     d = pos[:, None, :] - rp
     b_res = jnp.sum(
         dipole.dipole_bz_masked(d[..., 0], d[..., 1], d[..., 2], rm,
                                 cell_r),
         axis=-1)
 
+    # padding residents sit 1e9 µm away: they can never pass the
+    # containment test, so no validity mask is needed
     d2 = jnp.sum(d * d, axis=-1)
-    d2 = jnp.where(valid, d2, jnp.inf)
     in_cell = jnp.any(d2 < cell_r * cell_r, axis=-1)
     return b_far + b_res, in_cell
