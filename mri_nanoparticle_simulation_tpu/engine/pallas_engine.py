@@ -473,7 +473,19 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                     c = one_step(c, uni(w[3]), uni(w[4]), uni(w[5]), n2,
                                  coin2, kick2)
                     return c
-                carry = jax.lax.fori_loop(0, params.pfreq // 2, body2, carry)
+                if params.pfreq % 4 == 0:
+                    # 2x-unrolled pair loop (4 steps/iteration): pipelines
+                    # the rsqrt/select dependency chains across step pairs
+                    # — measured +3.6% (16.5 -> 17.1e9 walker-steps/s),
+                    # bitwise-identical output.  A 4x version compiles
+                    # pathologically slowly in Mosaic for no further gain.
+                    def body4(i, c):
+                        return body2(i, body2(i, c))
+                    carry = jax.lax.fori_loop(0, params.pfreq // 4,
+                                              body4, carry)
+                else:
+                    carry = jax.lax.fori_loop(0, params.pfreq // 2, body2,
+                                              carry)
                 if params.pfreq % 2:
                     w = hw_bits(5 + extra)
                     n1, _ = rng.fast_normal_pair(w[3], w[4])
