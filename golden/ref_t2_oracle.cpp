@@ -1,0 +1,211 @@
+/**
+ * Golden-parity harness, part 2: the as-written CPU T2 oracle.
+ *
+ * Runs REFERENCE PHYSICS end-to-end on the CPU: the scene, octree and
+ * field come from the reference's own compiled host C++ (BacteriaBox /
+ * Octree, called through their public API); the per-step walker loop is
+ * OUR line-by-line re-expression of the as-written device kernels —
+ * every step below cites the cuda_sim.cu lines it reproduces:
+ *
+ *   rand_displacement        cuda_sim.cu:562-583  (uniform-in-cube
+ *       direction normalized to the unit sphere — NOT uniform on the
+ *       sphere, quirk 4 — magnitude = signed normal x in/out stdev)
+ *   boundary_conditions      cuda_sim.cu:597-601  (per-step fmod wrap)
+ *   updateNearest            cuda_sim.cu:453-485  (hash-cell candidate
+ *       list -> argmin; in_cell = cDist < cell_r^2)
+ *   cell_reflect             cuda_sim.cu:502-509  (coin vs reflectIO/OI
+ *       on membrane crossings; both 0 by default -> transparent, the
+ *       coin is still consumed)
+ *   accumulatePhase          cuda_sim.cu:625-640  (GPU get_field = leaf
+ *       B + masked residents, :269-286 + :107-114; the RANDOM_KICK
+ *       Cauchy term multiplies the operator-precedence-bugged sign
+ *       factor == 0, leaving only the constant chemical-shift kick —
+ *       quirk 1; then B * 2pi * g * tau * 1e-3)
+ *   window reduction + CP    cuda_sim.cu:996-1023 (per-pfreq window:
+ *       phase += window kick sum; row = sum over walkers of cos(phase);
+ *       AFTER the row, flip phase when time % tcp == 0)
+ *
+ * The RNG is std::mt19937_64 per walker (5 uniforms + 1 normal per
+ * step, same distributions as the cuRAND buffers, cuda_sim.cu:54-55);
+ * the comparison arm is STATISTICAL (ensembles over seeds), so RNG
+ * identity is not required — only distribution identity.
+ *
+ * The time axis is configurable (steps / pfreq / tcp / walker subset /
+ * moment scale): those knobs live in the sprint driver the reference
+ * compiled into cuda_sim.cu, which we are re-expressing anyway; the
+ * physics (scene geometry, field, stdevs, kick constants) stays the
+ * reference's compiled truth.  moment_scale multiplies the *field* only
+ * (B is linear in the moment), letting a short oracle run decay as far
+ * as the 40 ms production run without rebuilding the octree.
+ *
+ * Usage: ref_t2_oracle <scene_seed> <rng_seed> <out_csv> [n_water]
+ *                      [steps] [pfreq] [tcp] [moment_scale]
+ */
+
+#include <cmath>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <random>
+#include <string>
+#include <vector>
+
+#include "BacteriaBox.h"
+#include "octree.h"
+#include "parameters.h"
+#include "rand_walk.h"
+#include "xorshift.h"
+
+#include "ref_common.h"
+
+ParameterStruct p(0);
+
+struct Lookup {
+    // dense copy of the nearest-cell lookup table (int** hashDim^3 x
+    // maxNeighbors, -1-terminated; SimulationBox.cpp:262-290)
+    std::vector<int> flat;
+    int dim, cap;
+    const Triple *cells;
+
+    void update_nearest(water_info *w) const {
+        // updateNearest, cuda_sim.cu:453-485
+        double cubeLength = p.bound / p.hashDim;
+        int x_idx = (int)(w->x / cubeLength);
+        int y_idx = (int)(w->y / cubeLength);
+        int z_idx = (int)(w->z / cubeLength);
+        const int *nearest =
+            &flat[(size_t)(z_idx * dim * dim + y_idx * dim + x_idx) * cap];
+        double cDist = p.bound * p.bound * 3;
+        int cIndex = -1;
+        while (*nearest != -1) {
+            double dx = cells[*nearest].x - w->x;
+            double dy = cells[*nearest].y - w->y;
+            double dz = cells[*nearest].z - w->z;
+            double dist = NORMSQ(dx, dy, dz);
+            if (dist < cDist) {
+                cDist = dist;
+                cIndex = *nearest;
+            }
+            nearest++;
+        }
+        w->in_cell = (cDist < p.cell_r * p.cell_r);
+        w->nearest = cIndex;
+    }
+};
+
+int main(int argc, char **argv) {
+    if (argc < 4) {
+        fprintf(stderr,
+                "usage: %s <scene_seed> <rng_seed> <out_csv> [n_water=4032] "
+                "[steps=1000000] [pfreq=1000] [tcp=250000] "
+                "[moment_scale=1]\n",
+                argv[0]);
+        return 2;
+    }
+    uint64_t scene_seed = strtoull(argv[1], nullptr, 10);
+    uint64_t rng_seed = strtoull(argv[2], nullptr, 10);
+    std::string out_csv = argv[3];
+    int n_water = argc > 4 ? atoi(argv[4]) : p.num_water;
+    long steps = argc > 5 ? atol(argv[5]) : 1000000;
+    int pfreq = argc > 6 ? atoi(argv[6]) : 1000;
+    long tcp = argc > 7 ? atol(argv[7]) : 250000;
+    double mscale = argc > 8 ? atof(argv[8]) : 1.0;
+    if (n_water > p.num_water) n_water = p.num_water;
+    long n_windows = steps / pfreq;
+
+    XORShift<> gen(scene_seed);
+    BacteriaBox box(&gen);
+    box.populateSimulation();
+    Octree *tree = box.getOctree();
+
+    Lookup lk;
+    lk.dim = p.hashDim;
+    lk.cap = p.maxNeighbors;
+    lk.cells = box.getCells();
+    int h3 = p.hashDim * p.hashDim * p.hashDim;
+    lk.flat.resize((size_t)h3 * p.maxNeighbors);
+    int **table = box.getLookupTable();
+    for (int i = 0; i < h3; i++)
+        memcpy(&lk.flat[(size_t)i * p.maxNeighbors], table[i],
+               sizeof(int) * p.maxNeighbors);
+
+    const water_info *w0 = box.getWaters();
+    // phase-kick constants, accumulatePhase cuda_sim.cu:630-637
+    const double chem_kick = p.phase_k * 1e-3 * 42.58 * 2 * M_PI * 7 * p.tau;
+    const double b_to_phase = 2 * M_PI * p.g * p.tau * 1e-3;
+
+    std::vector<double> rows(n_windows, 0.0);
+
+#pragma omp parallel
+    {
+        std::vector<double> local(n_windows, 0.0);
+#pragma omp for schedule(dynamic, 8)
+        for (int t = 0; t < n_water; t++) {
+            std::mt19937_64 prng(rng_seed * 1000003ull + (uint64_t)t);
+            std::uniform_real_distribution<double> U(0.0, 1.0);
+            std::normal_distribution<double> N(0.0, 1.0);
+
+            // strided subsample: the waters array is Morton-SORTED
+            // (SimulationBox.cpp:131-147), so taking the first n_water
+            // would cluster the subset in low-Morton space; striding
+            // keeps it spatially stratified
+            int src = (int)((long)t * p.num_water / n_water);
+            water_info w = w0[src];
+            lk.update_nearest(&w);  // cuda_sim.cu:694-695
+            double phase = 0.0, win_sum = 0.0;
+            long win = 0;
+            for (long i = 0; i < steps; i++) {
+                water_info init = w;
+                // rand_displacement, cuda_sim.cu:562-583
+                double dx = U(prng) * 2 - 1.0;
+                double dy = U(prng) * 2 - 1.0;
+                double dz = U(prng) * 2 - 1.0;
+                double norm =
+                    N(prng) * (w.in_cell ? p.in_stdev : p.out_stdev);
+                double nC = norm / sqrt(NORMSQ(dx, dy, dz));
+                w.x += dx * nC;
+                w.y += dy * nC;
+                w.z += dz * nC;
+                // boundary_conditions, cuda_sim.cu:597-601
+                w.x = fmod(w.x + p.bound, p.bound);
+                w.y = fmod(w.y + p.bound, p.bound);
+                w.z = fmod(w.z + p.bound, p.bound);
+                lk.update_nearest(&w);  // cuda_sim.cu:716
+                // cell_reflect, cuda_sim.cu:502-509 + :720
+                double coin = U(prng);
+                bool flip =
+                    (init.in_cell && !w.in_cell && coin < p.reflectIO) ||
+                    (!init.in_cell && w.in_cell && coin < p.reflectOI);
+                if (flip) w = init;
+                // accumulatePhase at the recorded position,
+                // cuda_sim.cu:625-640 (as-written kick: Cauchy term x 0)
+                double nD = U(prng);
+                (void)nD;  // consumed like the reference's 5th stream
+                double B = golden_field_gpu(tree, &w) * mscale;
+                double kick =
+                    (w.in_cell ? chem_kick : 0.0) + B * b_to_phase;
+                win_sum += kick;
+                // window boundary: gemv sum -> performUpdate -> reduce ->
+                // CP flip, cuda_sim.cu:996-1023
+                if ((i + 1) % pfreq == 0) {
+                    phase += win_sum;
+                    win_sum = 0.0;
+                    local[win] += cos(phase);
+                    long time = i + 1;
+                    if (time % tcp == 0) phase = -phase;
+                    win++;
+                }
+            }
+        }
+#pragma omp critical
+        for (long j = 0; j < n_windows; j++) rows[j] += local[j];
+    }
+
+    FILE *f = fopen(out_csv.c_str(), "w");
+    for (long j = 0; j < n_windows; j++)
+        fprintf(f, "%.17g,%.17g\n", (j + 1) * (double)pfreq * p.tau, rows[j]);
+    fclose(f);
+    fprintf(stderr, "oracle done: %d walkers x %ld steps -> %ld rows\n",
+            n_water, steps, n_windows);
+    return 0;
+}

@@ -781,7 +781,16 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                                 jnp.arange(n_chunks, dtype=jnp.uint32))
         return ps, wins.reshape(n_chunks * n_win_chunk, 2)
 
-    return jax.jit(sprint)
+    inner = jax.jit(sprint)
+
+    def guarded(mnp_pos, mnp_M, key_arr, ps, lane_offset,
+                cache=None, tcp=None, cell_r=None):
+        from .reference_engine import _check_dyn_overrides
+        _check_dyn_overrides(tcp, cell_r)
+        return inner(mnp_pos, mnp_M, key_arr, ps, lane_offset,
+                     cache=cache, tcp=tcp, cell_r=cell_r)
+
+    return guarded
 
 
 def run_simulation(scene, params: Params, seed: int = 0, dtype=jnp.float32,

@@ -74,6 +74,21 @@ class WalkerState(NamedTuple):
     escapes: jnp.ndarray     # scalar int32, chunk-anchor escape count
 
 
+def _check_dyn_overrides(tcp, cell_r):
+    """Host-side guard on concrete tcp/cell_r overrides (traced sweep
+    values are validated upstream by run_ensemble/run_parameter_sweep).
+    tcp=0 would reach the kernels' unsigned ``end_step % tcp``."""
+    for name, v in (("tcp", tcp), ("cell_r", cell_r)):
+        if v is None:
+            continue
+        try:
+            vf = float(v)
+        except Exception:       # traced value - validated upstream
+            continue
+        if vf <= 0:
+            raise ValueError(f"{name} override must be > 0; got {vf}")
+
+
 def init_state(waters: np.ndarray, params: Params,
                dtype=jnp.float32, phase_dtype=None) -> WalkerState:
     """``phase_dtype`` (default = dtype) sets the phase-accumulation
@@ -404,9 +419,22 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
         state, wins = jax.lax.scan(chunk_body, state, None, length=n_chunks)
         return state, wins.reshape(n_windows, 2)
 
-    if not window_major:
-        return jax.jit(sprint_chunk_major)
-    return jax.jit(sprint)
+    inner = jax.jit(sprint if window_major else sprint_chunk_major)
+
+    def guarded(mnp_pos, mnp_M, key_arr, state, lane_offset,
+                tcp=None, cell_r=None):
+        if grid_mode and cell_r is not None:
+            # the grid guard must fire on concrete AND traced overrides:
+            # FieldGrid residency reach was baked at build_grid time
+            raise ValueError(
+                "cell_r runtime overrides are not supported in "
+                "field_mode='grid': the grid's resident lists were built "
+                "for the static cell_r — rebuild the grid instead")
+        _check_dyn_overrides(tcp, cell_r)
+        return inner(mnp_pos, mnp_M, key_arr, state, lane_offset,
+                     tcp=tcp, cell_r=cell_r)
+
+    return guarded
 
 
 def run_simulation(scene, params: Params, seed: int = 0, dtype=jnp.float32,

@@ -81,6 +81,7 @@ class SimulationRunner:
         self.seed = seed
         self.scene_seed = scene_seed
         self.engine = engine
+        self.rng_impl = rng_impl if engine == "pallas" else "threefry"
         self.dtype = dtype
         self.mesh = mesh
         grid_mode = params.field_mode == FIELD_GRID
@@ -215,7 +216,8 @@ class SimulationRunner:
 
     def resume(self, path: str):
         state, seed, scene_seed = ckpt_mod.load_checkpoint(
-            path, self.params, self.dtype)
+            path, self.params, self.dtype,
+            engine=self.engine, rng_impl=self.rng_impl)
         if seed != self.seed or scene_seed != self.scene_seed:
             raise ValueError(
                 f"checkpoint seeds (run={seed}, scene={scene_seed}) do not "
@@ -237,11 +239,21 @@ class SimulationRunner:
     def run(self, csv_path: Optional[str] = None, quadrature: bool = False,
             checkpoint_path: Optional[str] = None,
             checkpoint_every_sprints: int = 0, progress: bool = True,
-            max_steps: Optional[int] = None):
+            max_steps: Optional[int] = None, drain_depth: int = 32):
         """Run from the current state to completion, streaming CSV.
+
+        ``drain_depth`` is the durability/throughput tradeoff: sprints
+        are dispatched asynchronously and their window sums are only
+        read back (and their CSV rows flushed) every ``drain_depth``
+        sprints, because each host readback pays a full dispatch round
+        trip (~25 ms through the axon tunnel).  An un-checkpointed crash
+        therefore loses up to ``drain_depth`` sprints of rows; pass 1
+        for per-sprint durability at ~25 ms/sprint extra latency.
 
         Returns (times_ms, sum_cos, sum_sin, stats_dict).
         """
+        if drain_depth < 1:
+            raise ValueError("drain_depth must be >= 1")
         p = self.params
         total = p.t if max_steps is None else min(p.t, max_steps)
         start_step = int(np.asarray(self.state.step))
@@ -259,9 +271,11 @@ class SimulationRunner:
         all_wins = []
         # Drain in deep batches: every host read of device data pays a full
         # dispatch round trip (~25 ms through the axon tunnel), so syncing
-        # per sprint would dominate the run.  A 32-sprint pipeline amortizes
-        # it to <1 ms/sprint while the device runs ahead asynchronously.
-        depth = 32
+        # per sprint would dominate the run.  The default 32-sprint pipeline
+        # amortizes it to <1 ms/sprint while the device runs ahead
+        # asynchronously; see the drain_depth docstring for the crash-loss
+        # contract.
+        depth = drain_depth
         try:
             for i in range(n_sprints):
                 wins = self._run_sprint()
@@ -275,8 +289,10 @@ class SimulationRunner:
                     # ahead of the rows on disk or a crash loses the gap
                     self._drain_batch(pending, writer, all_wins)
                     self._sync_state()
-                    ckpt_mod.save_checkpoint(checkpoint_path, self.state,
-                                             p, self.seed, self.scene_seed)
+                    ckpt_mod.save_checkpoint(
+                        checkpoint_path, self.state, p, self.seed,
+                        self.scene_seed, engine=self.engine,
+                        rng_impl=self.rng_impl)
                 if progress and (i + 1) % max(1, n_sprints // 20) == 0:
                     done = (i + 1) * p.sprint_steps
                     rate = done * p.num_water / (time.perf_counter() - t0)
@@ -290,8 +306,10 @@ class SimulationRunner:
 
         self._sync_state()
         if checkpoint_path:
-            ckpt_mod.save_checkpoint(checkpoint_path, self.state, p,
-                                     self.seed, self.scene_seed)
+            ckpt_mod.save_checkpoint(
+                checkpoint_path, self.state, p, self.seed,
+                self.scene_seed, engine=self.engine,
+                rng_impl=self.rng_impl)
 
         wins = np.concatenate(all_wins, 0) if all_wins else np.zeros((0, 2))
         n = len(wins)
@@ -342,6 +360,10 @@ def main(argv=None):
     ap.add_argument("--impermeable", action="store_true",
                     help="reflectIO = reflectOI = 1")
     ap.add_argument("--engine", default="pallas", choices=ENGINES)
+    ap.add_argument("--drain-depth", type=int, default=32,
+                    help="sprints dispatched between CSV drains; a crash "
+                         "loses up to this many sprints of rows (1 = "
+                         "per-sprint durability at ~25 ms/sprint extra)")
     ap.add_argument("--rng", default=None,
                     choices=["hardware", "threefry"],
                     help="RNG implementation (default: hardware on the "
@@ -351,7 +373,12 @@ def main(argv=None):
     ap.add_argument("--field-mode", default="expansion",
                     choices=["expansion", "exact", "grid"],
                     help="scan-engine field backend (the pallas engine "
-                         "always uses the expansion)")
+                         "always uses the expansion). 'exact' and 'grid' "
+                         "are cross-validation oracles, NOT production "
+                         "engines: 'grid' (the reference octree's direct "
+                         "analogue) is dispatch-bound at ~1000x the "
+                         "production path's runtime — use it to check "
+                         "curves, not to run experiments")
     ap.add_argument("--grid-n", type=int, default=64,
                     help="field-grid resolution (field-mode=grid)")
     ap.add_argument("--chunk-steps", type=int, default=4000,
@@ -463,8 +490,13 @@ def main(argv=None):
             ap.error("--sweep runs --trials-per-value trials per value; "
                      "drop --ensemble")
         name = args.sweep
-        if not hasattr(params, name):
-            ap.error(f"unknown Params knob {name!r}")
+        # real dataclass fields only: hasattr would also accept derived
+        # read-only properties (tcp, t, in_stdev, ...) and then crash
+        # with a raw TypeError inside dataclasses.replace
+        import dataclasses as _dc
+        if name not in {f.name for f in _dc.fields(params)}:
+            ap.error(f"unknown Params knob {name!r} (must be a settable "
+                     f"field, not a derived property)")
         cast = type(getattr(params, name))
         if cast not in (int, float):
             ap.error(f"--sweep only supports numeric knobs; {name!r} "
@@ -521,7 +553,8 @@ def main(argv=None):
     _, _, _, stats = runner.run(
         csv_path=csv_path, quadrature=args.quadrature,
         checkpoint_path=args.checkpoint,
-        checkpoint_every_sprints=args.checkpoint_every)
+        checkpoint_every_sprints=args.checkpoint_every,
+        drain_depth=args.drain_depth)
     print(f"Simulation complete: {stats['steps']} steps in "
           f"{stats['wall_s']:.1f}s "
           f"({stats['walker_steps_per_s']:.3e} walker-steps/s), "

@@ -493,8 +493,15 @@ def _make_cand_model_kernel(c: int, k: int, order: int, r_planes: int,
     — exactly the chunk kernel's near/taylor input format (near_M comes
     out pre-scaled; the engine's pack step must not scale again).
     Selection is exact f32 where the XLA path fuzzes distances to bf16:
-    the near/mid *partition* may differ on ties, the total field cannot
-    (both sides of the partition are evaluated exactly).
+    the near/mid *partition* may differ on ties.  The resulting total
+    field is identical AT THE CHUNK ANCHOR only (there both sides of
+    the partition are evaluated exactly); away from the anchor, near
+    dipoles are re-evaluated exactly every step while mid dipoles stay
+    frozen in the anchor Taylor model, so a near/mid swap of a
+    near-equidistant dipole perturbs the field by that one dipole's
+    Taylor-truncation error over the chunk travel — bounded by the same
+    order-2 remainder as every other mid dipole, i.e. within the
+    engine's existing chunk-model error budget, not exactly zero.
 
     Blocks are 8 sublane rows: the K slots (d2, x, y, z, M, id) are
     ~6K live planes of loop carry, a register-file-sized working set at

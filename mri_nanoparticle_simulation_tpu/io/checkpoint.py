@@ -24,7 +24,7 @@ import numpy as np
 from ..engine.reference_engine import WalkerState
 from ..params import Params
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 
 def params_fingerprint(params: Params) -> str:
@@ -33,7 +33,8 @@ def params_fingerprint(params: Params) -> str:
 
 
 def save_checkpoint(path: str, state: WalkerState, params: Params,
-                    seed: int, scene_seed: int) -> None:
+                    seed: int, scene_seed: int,
+                    engine: str = "", rng_impl: str = "") -> None:
     np.savez_compressed(
         path,
         version=FORMAT_VERSION,
@@ -46,14 +47,23 @@ def save_checkpoint(path: str, state: WalkerState, params: Params,
         seed=seed,
         scene_seed=scene_seed,
         params_fp=params_fingerprint(params),
+        # the RNG implementation and engine are part of the random
+        # sequence's identity: resuming a --rng hardware run under
+        # threefry (or vice versa) continues a DIFFERENT sequence —
+        # exactly the silent divergence the fingerprint exists to stop
+        engine=engine,
+        rng_impl=rng_impl,
     )
 
 
 def load_checkpoint(path: str, params: Params,
-                    dtype=jnp.float32) -> Tuple[WalkerState, int, int]:
-    """Returns (state, seed, scene_seed); raises on params mismatch."""
+                    dtype=jnp.float32, engine: str = "",
+                    rng_impl: str = "") -> Tuple[WalkerState, int, int]:
+    """Returns (state, seed, scene_seed); raises on params mismatch, and
+    on engine / rng_impl mismatch when both sides recorded one (pass the
+    resuming runner's values; empty string skips the check)."""
     z = np.load(path)
-    if int(z["version"]) != FORMAT_VERSION:
+    if int(z["version"]) not in (1, FORMAT_VERSION):
         raise ValueError(f"unknown checkpoint version {z['version']}")
     fp = str(z["params_fp"])
     want = params_fingerprint(params)
@@ -61,6 +71,14 @@ def load_checkpoint(path: str, params: Params,
         raise ValueError(
             f"checkpoint was written with different parameters "
             f"(fingerprint {fp} != {want}); refusing to resume")
+    for name, ours in (("engine", engine), ("rng_impl", rng_impl)):
+        theirs = str(z[name]) if name in z.files else ""
+        if ours and theirs and ours != theirs:
+            raise ValueError(
+                f"checkpoint was written under {name}={theirs!r} but is "
+                f"being resumed under {name}={ours!r}; the random "
+                f"sequence would silently diverge — resume with the "
+                f"original {name}")
     state = WalkerState(
         pos=jnp.asarray(z["pos"], dtype),
         in_cell=jnp.asarray(z["in_cell"], bool),

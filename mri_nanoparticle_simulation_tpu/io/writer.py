@@ -20,8 +20,16 @@ from ..params import Params
 
 
 class T2CsvWriter:
-    """Append-streaming writer; flushes per sprint like the reference
-    flushed per window (``endl``), so a crash loses at most one sprint."""
+    """Append-streaming writer; flushes to disk on every
+    ``append_windows`` call (the reference flushed per window via
+    ``endl``, cuda_sim.cu:1022).  How much a crash can lose is set by
+    the CALLER's drain cadence, not by this class: ``SimulationRunner.run``
+    drains dispatched sprints in batches of ``drain_depth`` (default 32)
+    to amortize the ~25 ms host-device sync, so an un-checkpointed crash
+    loses up to ``drain_depth`` sprints of rows.  Pass
+    ``drain_depth=1`` there for per-sprint durability, or checkpoint
+    (the checkpoint path force-drains first, so a checkpoint is never
+    ahead of the rows on disk)."""
 
     def __init__(self, path: str, params: Params, quadrature: bool = False,
                  append: bool = False):

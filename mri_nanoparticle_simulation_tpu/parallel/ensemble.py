@@ -128,24 +128,40 @@ def make_ensemble_pallas_sprint_fn(params: Params, mesh: Mesh,
 
 
 def _trial_mesh(n_trials: int, mesh: Optional[Mesh]):
-    """Pick a trial mesh; returns (mesh, padded_n_trials).  Trials pad up
-    to a multiple of the device count (the reference resubmitted whole PBS
-    jobs per trial; silently dropping to one device would hide an 8x
-    slowdown)."""
+    """Pick a trial mesh; returns (mesh, padded_n_trials).
+
+    When we choose the mesh, it is right-sized so padding is minimal at
+    the optimal wall-clock: rounds r = ceil(n_trials / n_devices) is the
+    fastest any schedule can finish, and the smallest device count d
+    with r*d >= n_trials keeps that wall-clock while wasting at most
+    r-1 padding trials (a full-width mesh would discard up to
+    n_devices-1 whole simulations — e.g. 2 trials on 8 devices used to
+    burn 6 padding trials; now it runs a 2-device mesh with zero).
+
+    A caller-provided mesh is honored as-is (trials then pad up to a
+    multiple of its trial-axis size, with a warning)."""
     if mesh is not None:
         n_dev = mesh.shape[TRIAL_AXIS]
-    else:
-        devs = jax.devices()
-        n_dev = len(devs)
-        mesh = Mesh(np.asarray(devs), (TRIAL_AXIS,))
-    pad = (-n_trials) % n_dev
+        pad = (-n_trials) % n_dev
+        if pad:
+            warnings.warn(
+                f"n_trials={n_trials} does not divide over the given "
+                f"{n_dev}-device mesh; running {pad} extra padding "
+                f"trial(s) (their results are discarded). Use a multiple "
+                f"of the mesh size, or drop the mesh argument to get a "
+                f"right-sized one.", stacklevel=3)
+        return mesh, n_trials + pad
+    devs = jax.devices()
+    rounds = -(-n_trials // len(devs))
+    d = -(-n_trials // rounds)        # smallest width keeping `rounds`
+    mesh = Mesh(np.asarray(devs[:d]), (TRIAL_AXIS,))
+    pad = rounds * d - n_trials
     if pad:
         warnings.warn(
-            f"n_trials={n_trials} does not divide over {n_dev} devices; "
-            f"running {pad} extra padding trial(s) (their results are "
-            f"discarded). Use a multiple of the device count to avoid "
-            f"the waste.", stacklevel=3)
-    return mesh, n_trials + pad
+            f"n_trials={n_trials} pads to {rounds * d} on a right-sized "
+            f"{d}-device mesh ({pad} discarded padding trial(s) — the "
+            f"minimum at this wall-clock).", stacklevel=3)
+    return mesh, rounds * d
 
 
 def run_ensemble(params: Params, n_trials: int,
@@ -176,6 +192,11 @@ def run_ensemble(params: Params, n_trials: int,
     if taucps is not None:
         for v in taucps:
             params.replace(taucp=float(v)).validate()
+    if cell_rs is not None:
+        # same host-side validation as taucps: a zero/negative radius
+        # would otherwise only fail obscurely inside scene building
+        for v in cell_rs:
+            params.replace(cell_r=float(v)).validate()
     from ..params import FIELD_EXPANSION
     if params.field_mode != FIELD_EXPANSION:
         raise ValueError(

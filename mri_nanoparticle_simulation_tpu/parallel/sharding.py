@@ -230,7 +230,12 @@ def make_sharded_pallas_sprint_fn(params: Params, num_water: int, mesh: Mesh,
         in_specs=(P(), P(), P(), ps_spec, cache_spec),
         out_specs=(ps_spec, P()), check_vma=False)
     cache_dev = jax.device_put(cache, NamedSharding(mesh, P()))
-    return jax.jit(lambda mp, mM, k, ps: sharded(mp, mM, k, ps, cache_dev))
+    # cache rides as a real jit argument (not a closed-over constant):
+    # embedding the multi-MB payload/far-table arrays as jaxpr constants
+    # would inflate the compiled program and defeat executable caching
+    # across scenes — the outer lambda stays un-jitted on purpose.
+    jitted = jax.jit(sharded)
+    return lambda mp, mM, k, ps: jitted(mp, mM, k, ps, cache_dev)
 
 
 def run_simulation_sharded_pallas(scene, params: Params,

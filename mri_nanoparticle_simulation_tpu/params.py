@@ -299,6 +299,11 @@ class Params:
                 f"cuda_sim.cu:1018)")
         if not 0 < self.water_start_bound <= self.bound:
             raise ValueError("water_start_bound must be in (0, bound]")
+        if not 0 < self.cell_r < self.bound:
+            # a zero/negative radius otherwise fails obscurely deep in
+            # scene building (rejection loops) or the residency kernels
+            raise ValueError(
+                f"cell_r ({self.cell_r}) must be in (0, bound)")
         return self
 
     def output_filename(self, timestamp: int) -> str:

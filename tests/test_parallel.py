@@ -214,10 +214,13 @@ class TestEnsemblePallas:
 
 
 class TestEnsemblePadding:
-    def test_indivisible_trials_warn_and_pad(self):
-        """n_trials not divisible by the device count: warn, pad, and
-        still return exactly n_trials results (round 1 silently shrank
-        the mesh to one device)."""
+    """Round-3 behavior (VERDICT r2 weak #6): when we pick the mesh it
+    is right-sized, so indivisible trial counts no longer burn up to
+    n_dev-1 whole padded simulations."""
+
+    def test_indivisible_trials_rightsize_no_padding(self):
+        """3 trials on 8 devices: a 3-device mesh, zero padding, no
+        warning, and exactly n_trials results."""
         import warnings
         p = P.small_test_params(num_water=32, totaltime=0.0005,
                                 sprint_steps=500)
@@ -225,9 +228,40 @@ class TestEnsemblePadding:
             warnings.simplefilter("always")
             _, cos, _, st = ensemble.run_ensemble(p, n_trials=3,
                                                   base_seed=0, run_seed=50)
-        assert any("does not divide" in str(x.message) for x in w)
+        assert not any("padding" in str(x.message) for x in w)
         assert cos.shape[0] == 3
         assert np.asarray(st.pos).shape[0] == 3
+
+    def test_trial_mesh_minimal_padding(self):
+        import jax
+        n_dev = len(jax.devices())
+        assert n_dev == 8  # conftest forces the 8-device CPU mesh
+        mesh, padded = ensemble._trial_mesh(2, None)
+        assert mesh.shape[ensemble.TRIAL_AXIS] == 2 and padded == 2
+        mesh, padded = ensemble._trial_mesh(7, None)
+        assert mesh.shape[ensemble.TRIAL_AXIS] == 7 and padded == 7
+        # 9 trials: optimal wall is 2 rounds; 5 devices x 2 rounds pads
+        # just 1 trial (the old full-width mesh padded 7)
+        import warnings
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            mesh, padded = ensemble._trial_mesh(9, None)
+        assert mesh.shape[ensemble.TRIAL_AXIS] == 5 and padded == 10
+        assert any("padding" in str(x.message) for x in w)
+
+    def test_explicit_mesh_warns_and_pads(self):
+        """A caller-provided mesh is honored as-is: indivisible trials
+        pad up to its size with a warning."""
+        import warnings
+
+        import jax
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(jax.devices()), (ensemble.TRIAL_AXIS,))
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            m2, padded = ensemble._trial_mesh(3, mesh)
+        assert m2 is mesh and padded == 8
+        assert any("does not divide" in str(x.message) for x in w)
 
     def test_divisible_trials_do_not_warn(self):
         import warnings
@@ -237,6 +271,46 @@ class TestEnsemblePadding:
             warnings.simplefilter("always")
             ensemble.run_ensemble(p, n_trials=8, base_seed=0, run_seed=50)
         assert not any("does not divide" in str(x.message) for x in w)
+
+    def test_swept_cell_rs_validated(self):
+        p = P.small_test_params(num_water=32, totaltime=0.0005,
+                                sprint_steps=500)
+        with pytest.raises(ValueError, match="cell_r"):
+            ensemble.run_ensemble(p, n_trials=2, base_seed=0, run_seed=50,
+                                  cell_rs=[0.5, 0.0])
+
+
+class TestDynScalarGuards:
+    """Concrete tcp/cell_r overrides entering the engines must be
+    rejected at the door (ADVICE r2: unsigned end_step % 0)."""
+
+    def test_scan_engine_rejects_tcp_zero(self):
+        p = P.small_test_params(num_water=16, totaltime=0.0005,
+                                sprint_steps=500)
+        sc = BacteriaBox(p, seed=0).populate()
+        fn = re.make_sprint_fn(p)
+        st = re.init_state(sc.waters, p)
+        import jax.numpy as jnp
+        key = jnp.asarray([1, 2], dtype=jnp.uint32)
+        mp = jnp.asarray(sc.mnps[:, :3], jnp.float32)
+        mm = jnp.asarray(sc.mnps[:, 4], jnp.float32)
+        with pytest.raises(ValueError, match="tcp"):
+            fn(mp, mm, key, st, 0, tcp=0)
+
+    def test_grid_mode_rejects_cell_r_override(self):
+        from mri_nanoparticle_simulation_tpu.fields import grid as grid_mod
+        p = P.small_test_params(num_water=16, totaltime=0.0005,
+                                sprint_steps=500, field_mode="grid")
+        sc = BacteriaBox(p, seed=0).populate()
+        import jax.numpy as jnp
+        mp = jnp.asarray(sc.mnps[:, :3], jnp.float32)
+        mm = jnp.asarray(sc.mnps[:, 4], jnp.float32)
+        fg = grid_mod.build_grid(mp, mm, p, grid_n=8, max_residents=8)
+        fn = re.make_sprint_fn(p, field_grid=fg)
+        st = re.init_state(sc.waters, p)
+        key = jnp.asarray([1, 2], dtype=jnp.uint32)
+        with pytest.raises(ValueError, match="grid"):
+            fn(mp, mm, key, st, 0, cell_r=0.7)
 
 
 class TestShardedBigScene:
