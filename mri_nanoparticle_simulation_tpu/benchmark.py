@@ -35,11 +35,15 @@ def main():
     from mri_nanoparticle_simulation_tpu.scene import BacteriaBox
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
-    # chunk=4000/K=5 is the fastest validated-coverage configuration for
-    # this scene (worst-case near count 4 at the 7-sigma travel bound + 1
-    # slack; expansion.validate_near_k).  The recandidate runs inside the
-    # chunk kernel (pallas_engine REBUILD path), so the XLA side is just a
-    # scan over kernel launches.
+    # chunk=4000/K=5 is the fastest DETERMINISTICALLY certified coverage
+    # configuration for this scene (covering-lattice bound = 5 exactly,
+    # expansion.validate_near_k; measured r3: K=5@4000 1.705e10 vs
+    # K=4@2000 1.695e10 vs K=6@4000 1.57e10 walker-steps/s).  Round 2's
+    # probe-sampled check certified K=5 for OTHER scenes where the true
+    # worst case is 6 (seed-0 scene has a 6-dipole pocket 300k probes
+    # miss); the lattice bound closed that hole.  The recandidate runs
+    # inside the chunk kernel (pallas_engine REBUILD path), so the XLA
+    # side is just a scan over kernel launches.
     p = Params(chunk_steps=4000, near_k=5, sprint_steps=20000).validate()
     sc = BacteriaBox(p, seed=42).populate()
     mnp_pos = jnp.asarray(sc.mnps[:, :3], jnp.float32)

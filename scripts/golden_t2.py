@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Golden T2 arm: reference physics end-to-end vs this framework.
+
+The oracle (golden/ref_t2_oracle) runs the AS-WRITTEN reference device
+loop (cuda_sim.cu:688-746, 772-804, 814-838, 996-1023) on the CPU using
+the reference's own compiled scene + octree; this script runs the
+framework's production engine on the same *statistical* experiment
+(matched num_cells / cell_r / moment / taus / kick / CP schedule,
+independent seeds) and tests the two T2 ensembles for equivalence.
+
+The comparison is STATISTICAL by construction: the two sides use
+different RNGs (mt19937 vs Threefry/TPU-PRNG) and different scenes per
+trial — exactly like comparing two independent batches of reference
+runs.  The metric is the normalized magnetization curve
+m(t) = sum cos(phi) / W; we report:
+
+  * per-arm trial means and standard errors over the time axis;
+  * the time-RMS of the mean-curve difference;
+  * that RMS normalized by its own sampling expectation (from the
+    combined per-time stderr): ~1 means indistinguishable at this
+    ensemble size;
+  * the max |z| over time points.
+
+Reduced config (defaults): 1024 walkers x 500k steps (0.5 ms),
+pfreq=1000, tcp=125k (4 Carr-Purcell echoes), moment x6 so the curve
+decays well within the window.  One oracle trial is ~3 min on this
+1-core box; use --oracle-trials/--skip-oracle to manage budget.
+Oracle CSVs are cached in --work-dir and reused.
+
+Usage:
+  python scripts/golden_t2.py --work-dir /tmp/golden_t2 --trials 8
+  python scripts/golden_t2.py --work-dir /tmp/golden_t2 --skip-oracle \
+      --out GOLDEN_T2.json        # framework arm + report only
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GOLDEN = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "golden")
+
+# reduced-config knobs shared by both arms
+N_WATER = 1024
+STEPS = 500_000
+PFREQ = 1000
+TCP = 125_000
+MSCALE = 6.0
+
+
+def oracle_csv(work_dir: str, trial: int) -> str:
+    return os.path.join(work_dir, f"oracle_{trial}.csv")
+
+
+def run_oracle_trials(work_dir: str, n_trials: int):
+    exe = os.path.join(GOLDEN, "build", "ref_t2_oracle")
+    if not os.path.exists(exe):
+        subprocess.run(["bash", os.path.join(GOLDEN, "build.sh")],
+                       check=True, capture_output=True)
+    for t in range(n_trials):
+        path = oracle_csv(work_dir, t)
+        if os.path.exists(path):
+            continue
+        print(f"[oracle] trial {t} ...", file=sys.stderr, flush=True)
+        subprocess.run(
+            [exe, str(5000 + t), str(900 + t), path, str(N_WATER),
+             str(STEPS), str(PFREQ), str(TCP), str(MSCALE)],
+            check=True, capture_output=True)
+
+
+def load_oracle(work_dir: str):
+    curves = []
+    t = 0
+    while os.path.exists(oracle_csv(work_dir, t)):
+        d = np.loadtxt(oracle_csv(work_dir, t), delimiter=",")
+        curves.append(d[:, 1] / N_WATER)
+        t += 1
+    if not curves:
+        raise SystemExit("no oracle CSVs found; run without --skip-oracle")
+    return np.asarray(curves), np.loadtxt(
+        oracle_csv(work_dir, 0), delimiter=",")[:, 0]
+
+
+def run_framework_trials(n_trials: int):
+    """Production engine (pallas, hardware RNG when on TPU), matched
+    params: as-written kick + cube direction + per-window CP schedule —
+    the reference-physics compatibility mode."""
+    from mri_nanoparticle_simulation_tpu import params as P
+    from mri_nanoparticle_simulation_tpu.parallel import ensemble
+    import jax
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    p = P.DEFAULT.replace(
+        num_water=N_WATER,
+        totaltime=STEPS * P.DEFAULT.tau,         # 0.5 ms
+        sprint_steps=STEPS,
+        chunk_steps=4000,
+        print_interval=PFREQ * P.DEFAULT.tau,
+        taucp=TCP * P.DEFAULT.tau,
+        mmoment=P.DEFAULT.mmoment * MSCALE,
+        near_k=10,
+    ).validate()
+    _, cos, _, _ = ensemble.run_ensemble(
+        p, n_trials=n_trials, base_seed=7000, run_seed=8000,
+        engine="pallas",
+        rng_impl="hardware" if on_tpu else "threefry")
+    return np.asarray(cos)[:, :] / N_WATER
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work-dir", default="/tmp/golden_t2")
+    ap.add_argument("--trials", type=int, default=8)
+    ap.add_argument("--skip-oracle", action="store_true",
+                    help="reuse cached oracle CSVs only")
+    ap.add_argument("--out", default="GOLDEN_T2.json")
+    args = ap.parse_args()
+    os.makedirs(args.work_dir, exist_ok=True)
+
+    if not args.skip_oracle:
+        run_oracle_trials(args.work_dir, args.trials)
+    oracle, times = load_oracle(args.work_dir)
+    print(f"[framework] {args.trials} trials ...", file=sys.stderr)
+    ours = run_framework_trials(args.trials)
+    n = min(oracle.shape[1], ours.shape[1])
+    oracle, ours = oracle[:, :n], ours[:, :n]
+
+    mo, so = oracle.mean(0), oracle.std(0, ddof=1) / np.sqrt(len(oracle))
+    mu, su = ours.mean(0), ours.std(0, ddof=1) / np.sqrt(len(ours))
+    diff = mo - mu
+    se = np.sqrt(so ** 2 + su ** 2)
+    z = diff / np.maximum(se, 1e-12)
+    rms = float(np.sqrt(np.mean(diff ** 2)))
+    # expected RMS under H0 (difference is pure sampling noise):
+    # E[diff_t^2] = se_t^2, so E[RMS^2] = mean(se^2)
+    rms_expected = float(np.sqrt(np.mean(se ** 2)))
+    report = {
+        "config": {"n_water": N_WATER, "steps": STEPS, "pfreq": PFREQ,
+                   "tcp": TCP, "moment_scale": MSCALE,
+                   "oracle_trials": int(len(oracle)),
+                   "framework_trials": int(len(ours))},
+        "oracle_final_mean": float(mo[-1]),
+        "framework_final_mean": float(mu[-1]),
+        "oracle_final_stderr": float(so[-1]),
+        "framework_final_stderr": float(su[-1]),
+        "rms_diff": rms,
+        "rms_expected_under_h0": rms_expected,
+        "rms_ratio": float(rms / rms_expected),
+        "max_abs_z": float(np.abs(z).max()),
+        "mean_abs_z": float(np.abs(z).mean()),
+        "curve_decay_span": float(1.0 - min(mo.min(), mu.min())),
+        "times_ms": [float(times[0]), float(times[n - 1])],
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()
