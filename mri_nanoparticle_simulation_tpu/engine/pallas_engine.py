@@ -74,6 +74,7 @@ class PlaneState(NamedTuple):
     phase_comp: jnp.ndarray
     step: jnp.ndarray        # scalar uint32
     escapes: jnp.ndarray     # scalar int32
+    coverage: jnp.ndarray    # scalar int32 (see WalkerState.coverage)
 
 
 def pad_count(num_water: int) -> int:
@@ -108,6 +109,7 @@ def to_planes(state: WalkerState, params: Params) -> PlaneState:
         phase_comp=plane(state.phase_comp, 0),
         step=state.step,
         escapes=state.escapes,
+        coverage=state.coverage,
     )
 
 
@@ -121,6 +123,7 @@ def from_planes(ps: PlaneState, num_water: int) -> WalkerState:
         phase_comp=vec(ps.phase_comp),
         step=ps.step,
         escapes=ps.escapes,
+        coverage=ps.coverage,
     )
 
 
@@ -201,6 +204,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
     two_pi = float(2.0 * np.pi)
     bound_f = float(params.bound)
 
+    travel_f = float(np.sqrt(travel2_f))
     r_blk = min(r_planes, BLOCK_ROWS)
     if r_planes % r_blk != 0:
         raise ValueError(f"r_planes ({r_planes}) must be a multiple of the "
@@ -208,7 +212,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
     n_blocks = r_planes // r_blk
     blk_walkers = r_blk * LANES
 
-    def rebuild_model(mnp, ax_full, ay_full, az_full):
+    def rebuild_model(mnp, ax_full, ay_full, az_full, reach2_full):
         """In-kernel recandidate: exact K-nearest selection + far Taylor.
 
         Selection is a branchless sorted insertion over the SMEM dipole
@@ -223,13 +227,15 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         sub = min(8, r_blk)
         groups = [
             _rebuild_group(mnp, ax_full[g:g + sub], ay_full[g:g + sub],
-                           az_full[g:g + sub], min(sub, r_blk - g))
+                           az_full[g:g + sub], min(sub, r_blk - g),
+                           reach2_full[g:g + sub])
             for g in range(0, r_blk, sub)]
         cat = lambda i: ([jnp.concatenate([grp[i][j] for grp in groups], 0)
                           for j in range(len(groups[0][i]))])
-        return cat(0), cat(1), cat(2), cat(3), cat(4)
+        cnt = jnp.concatenate([grp[5] for grp in groups], 0)
+        return cat(0), cat(1), cat(2), cat(3), cat(4), cnt
 
-    def _rebuild_group(mnp, ax, ay, az, rows):
+    def _rebuild_group(mnp, ax, ay, az, rows, reach2):
         inf = jnp.full((rows, LANES), 1e30, dtype)
         # unfilled slots sit 1e9 um away with zero moment: even if a scene
         # has fewer dipoles than K (rejected at sprint build anyway), the
@@ -267,31 +273,47 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         _, (xs, ys, zs, ms), ids = jax.lax.fori_loop(
             0, n_mnp_pad // 8, sel_block, init)
 
-        def far_body(j, accs):
+        def far_body(j, carry):
+            accs, cnt = carry
             x0 = mnp[0, j]
             y0 = mnp[1, j]
             z0 = mnp[2, j]
             m0 = mnp[3, j]
-            parts = dipole.bz_taylor_parts(ax - x0, ay - y0, az - z0, m0)
+            dx = ax - x0
+            dy = ay - y0
+            dz = az - z0
+            parts = dipole.bz_taylor_parts(dx, dy, dz, m0)
             w = expansion.excluded_weight(ids, j, dtype)
-            return tuple(a + c * w for a, c in zip(accs, parts))
+            # coverage sentinel: count EVERY dipole within reach
+            # (selected or not); > K at this anchor means the near list
+            # provably misses one (see WalkerState.coverage).  Padded
+            # table slots sit 1e6 µm away and never count.
+            d2 = dx * dx + dy * dy + dz * dz
+            cnt = cnt + jnp.where(d2 < reach2, 1.0, 0.0).astype(dtype)
+            return (tuple(a + c * w for a, c in zip(accs, parts)), cnt)
 
-        def far_block(t, accs):
+        def far_block(t, carry):
             j0 = t * 8
             for u in range(8):
-                accs = far_body(j0 + u, accs)
-            return accs
+                carry = far_body(j0 + u, carry)
+            return carry
 
-        accs = jax.lax.fori_loop(
+        accs, cnt = jax.lax.fori_loop(
             0, n_mnp_pad // 8, far_block,
-            (jnp.zeros((rows, LANES), dtype),) * 10)
-        return list(xs), list(ys), list(zs), list(ms), list(accs)
+            ((jnp.zeros((rows, LANES), dtype),) * 10,
+             jnp.zeros((rows, LANES), dtype)))
+        return list(xs), list(ys), list(zs), list(ms), list(accs), cnt
 
     def kernel(scalars, state, *rest):
+        # o_flags packs the per-walker escape plane (row 0) and the
+        # coverage-violation plane (row 1) into ONE output: a fourth
+        # separate (r_blk, LANES) output crashed the Mosaic lowering at
+        # 32-row blocks (limits[i] <= dim(i) in PrepareOutput)
         if rebuild:
-            (mnp,), (o_state, o_esc, o_wins) = rest[:1], rest[1:]
+            (mnp,), (o_state, o_flags, o_wins) = rest[:1], rest[1:]
         else:
-            (near, taylor), (o_state, o_esc, o_wins) = rest[:2], rest[2:]
+            (near, taylor), (o_state, o_flags, o_wins) = \
+                rest[:2], rest[2:]
         step0 = scalars[0]
         key01 = (scalars[1], scalars[2])
         tcp_u = scalars[6]
@@ -535,7 +557,11 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
             ax = jnp.mod(x + bound_f, bound_f)
             ay = jnp.mod(y + bound_f, bound_f)
             az = jnp.mod(z + bound_f, bound_f)
-            nx, ny, nz, nM, tl = rebuild_model(mnp, ax, ay, az)
+            # coverage reach (cell_r + travel)^2 from the runtime cell_r
+            # launch scalar (cell_r2 vector) + the static travel bound
+            reach_v = jnp.sqrt(cell_r2) + travel_f
+            nx, ny, nz, nM, tl, cov_cnt = rebuild_model(
+                mnp, ax, ay, az, reach_v * reach_v)
             model = (ax, ay, az, nx, ny, nz, nM, *tl)
         else:
             ax, ay, az = x, y, z
@@ -555,13 +581,19 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         o_state[3] = incell
         o_state[4] = phase
         o_state[5] = comp
-        o_esc[:] = esc_count
+        o_flags[0] = esc_count
+        if rebuild:
+            o_flags[1] = jnp.where(cov_cnt > float(k), 1.0, 0.0) * valid_v
+        else:
+            # XLA side counts coverage at its own recandidate (it has
+            # the distance matrix); the kernel contributes zero
+            o_flags[1] = jnp.zeros((r_blk, LANES), dtype)
 
     sspec = pl.BlockSpec((8,), lambda b: (0,), memory_space=pltpu.SMEM)
     state_spec = pl.BlockSpec((6, r_blk, LANES), lambda b: (0, b, 0),
                               memory_space=pltpu.VMEM)
-    esc_spec = pl.BlockSpec((r_blk, LANES), lambda b: (b, 0),
-                            memory_space=pltpu.VMEM)
+    flags_spec = pl.BlockSpec((2, r_blk, LANES), lambda b: (0, b, 0),
+                              memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((1, n_win, 2), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM)
     if rebuild:
@@ -581,11 +613,11 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         grid=(n_blocks,),
         out_shape=(
             jax.ShapeDtypeStruct((6, r_planes, LANES), dtype),
-            jax.ShapeDtypeStruct((r_planes, LANES), dtype),
+            jax.ShapeDtypeStruct((2, r_planes, LANES), dtype),
             jax.ShapeDtypeStruct((n_blocks, n_win, 2), dtype),
         ),
         in_specs=in_specs,
-        out_specs=(state_spec, esc_spec, wspec),
+        out_specs=(state_spec, flags_spec, wspec),
         interpret=interpret,
     )
     return call
@@ -663,20 +695,26 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                  else jnp.asarray(tcp, jnp.uint32))
         cr = (jnp.float32(params.cell_r) if cell_r is None
               else jnp.asarray(cell_r, jnp.float32))
-        return tcp_u, jax.lax.bitcast_convert_type(cr * cr, jnp.uint32)
+        return tcp_u, jax.lax.bitcast_convert_type(cr * cr, jnp.uint32), cr
 
-    def advance(ps, state_out, o_esc, steps):
-        # o_esc: per-walker escape-event counts, already validity-masked
-        escapes = ps.escapes + jnp.sum(o_esc).astype(jnp.int32)
+    def advance(ps, state_out, o_flags, steps, cov_extra=None):
+        # o_flags: [2, R, 128] per-walker escape (row 0) / coverage-
+        # violation (row 1) flags for this chunk, already validity-
+        # masked; cov_extra: XLA-side violation count (big-scene
+        # recandidate paths)
+        escapes = ps.escapes + jnp.sum(o_flags[0]).astype(jnp.int32)
+        coverage = ps.coverage + jnp.sum(o_flags[1]).astype(jnp.int32)
+        if cov_extra is not None:
+            coverage = coverage + cov_extra
         return PlaneState(px=state_out[0], py=state_out[1],
                           pz=state_out[2], in_cell=state_out[3],
                           phase=state_out[4], phase_comp=state_out[5],
                           step=ps.step + jnp.uint32(steps),
-                          escapes=escapes)
+                          escapes=escapes, coverage=coverage)
 
     def sprint(mnp_pos, mnp_M, key_arr, ps: PlaneState, lane_offset,
                cache=None, tcp=None, cell_r=None):
-        tcp_u, cr2_bits = dyn_scalars(tcp, cell_r)
+        tcp_u, cr2_bits, cr_dyn = dyn_scalars(tcp, cell_r)
         n_mnp = mnp_pos.shape[0]
         if params.near_k > n_mnp:
             raise ValueError(
@@ -704,10 +742,10 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                 del chunk_idx
                 state_in = jnp.stack([ps.px, ps.py, ps.pz, ps.in_cell,
                                       ps.phase, ps.phase_comp])
-                state_out, o_esc, block_wins = kern(
+                state_out, o_flags, block_wins = kern(
                     make_scalars(ps, lane_offset, key_arr, tcp_u, cr2_bits),
                     state_in, mnp_tbl)
-                return advance(ps, state_out, o_esc, chunk_steps), \
+                return advance(ps, state_out, o_flags, chunk_steps), \
                     jnp.sum(block_wins, axis=0)
 
             ps, wins = jax.lax.scan(chunk_body, ps,
@@ -731,6 +769,15 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
         # otherwise the XLA build() path with the far-sums kernel
         use_fused_recand = (isinstance(cache, expansion.SceneCache)
                             and cache.far_coeffs is not None)
+        # XLA-side coverage sentinel inputs: reach from the runtime
+        # cell_r + static travel bound; padded walker lanes (which sit at
+        # the box center) are masked out of the violation count
+        travel_f = float(expansion.default_travel_bound(params))
+        reach_dyn = (cr_dyn.astype(dtype) + dtype(travel_f))
+        reach2_dyn = reach_dyn * reach_dyn
+        valid_vec = (jnp.arange(wp, dtype=jnp.int32)
+                     < num_water)                          # [wp]
+        valid_pl = valid_vec.reshape(r, LANES)
 
         def chunk_body(ps: PlaneState, chunk_idx):
             del chunk_idx  # ps.step already advances chunk by chunk
@@ -738,15 +785,24 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
             px = jnp.mod(ps.px + bound, bound)
             py = jnp.mod(ps.py + bound, bound)
             pz = jnp.mod(ps.pz + bound, bound)
+            cov_extra = None
             if use_fused_recand:
-                near, taylor = expansion.build_planes(
-                    px, py, pz, params, cache, interpret=interpret)
+                near, taylor, cov_cnt = expansion.build_planes(
+                    px, py, pz, params, cache, interpret=interpret,
+                    reach2=reach2_dyn)
+                cov_extra = jnp.sum(
+                    (cov_cnt > params.near_k) & valid_pl,
+                    dtype=jnp.int32)
             else:
                 pos = jnp.stack([px.reshape(-1), py.reshape(-1),
                                  pz.reshape(-1)], axis=-1)
                 nf = expansion.build(pos, mnp_pos, mnp_M, params,
                                      cache=cache, far_impl="pallas",
-                                     interpret=interpret)
+                                     interpret=interpret,
+                                     reach2=reach2_dyn)
+                cov_extra = jnp.sum(
+                    (nf.n_reach > params.near_k) & valid_vec,
+                    dtype=jnp.int32)
 
                 def slab(a):  # [W, K] -> [K, R, 128]
                     return a.T.reshape(params.near_k, r, LANES)
@@ -771,10 +827,11 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
 
             state_in = jnp.stack(
                 [px, py, pz, ps.in_cell, ps.phase, ps.phase_comp])
-            state_out, o_esc, block_wins = kern(
+            state_out, o_flags, block_wins = kern(
                 make_scalars(ps, lane_offset, key_arr, tcp_u, cr2_bits),
                 state_in, near, taylor)
-            return advance(ps, state_out, o_esc, chunk_steps), \
+            return advance(ps, state_out, o_flags, chunk_steps,
+                           cov_extra=cov_extra), \
                 jnp.sum(block_wins, axis=0)
 
         ps, wins = jax.lax.scan(chunk_body, ps,

@@ -72,6 +72,13 @@ class WalkerState(NamedTuple):
     phase_comp: jnp.ndarray  # [W] Kahan compensation for phase
     step: jnp.ndarray        # scalar uint32, completed global steps
     escapes: jnp.ndarray     # scalar int32, chunk-anchor escape count
+    #: scalar int32: walker-chunks whose anchor had MORE dipoles within
+    #: cell_r + travel than the near list holds (near_k) — each one is a
+    #: potential in-cell misclassification this chunk.  The runtime
+    #: counterpart of the validate_near_k pre-run proof, counted like
+    #: ``escapes`` (the reference's DEBUG_TREE residency asserts,
+    #: octree.cpp:39-41, made always-on and free).
+    coverage: jnp.ndarray
 
 
 def _check_dyn_overrides(tcp, cell_r):
@@ -104,6 +111,7 @@ def init_state(waters: np.ndarray, params: Params,
         phase_comp=jnp.zeros(w, pdt),
         step=jnp.uint32(0),
         escapes=jnp.int32(0),
+        coverage=jnp.int32(0),
     )
 
 
@@ -212,10 +220,25 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
         b = dipole.total_field_masked(pos, mnp_pos, mnp_M, cell_r)
         return b, jnp.any(d2 < cell_r * cell_r, axis=-1)
 
+    travel_f = float(expansion.default_travel_bound(params))
+
     def build_field_model(pos, mnp_pos, mnp_M, cache):
         if grid_mode:
             return _AnchorOnly(anchor=pos)
-        return expansion.build(pos, mnp_pos, mnp_M, params, cache=cache)
+        # coverage sentinel: count dipoles within (cell_r + travel) of
+        # each anchor; > near_k means the near list is provably missing
+        # one (skipped in exact mode, which has no near list to violate)
+        reach2 = None
+        if not exact_mode:
+            reach = dyn_ref[0] + travel_f
+            reach2 = reach * reach
+        return expansion.build(pos, mnp_pos, mnp_M, params, cache=cache,
+                               reach2=reach2)
+
+    def coverage_inc(nf):
+        if getattr(nf, "n_reach", None) is None:
+            return jnp.int32(0)
+        return jnp.sum(nf.n_reach > params.near_k, dtype=jnp.int32)
 
     mnp_pos_ref = [None, None]  # set by each sprint call before tracing
     # [cell_r, tcp]: runtime-sweepable scalars, set per sprint call before
@@ -308,11 +331,12 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
                  else None)
 
         def chunk_body(chunk_carry, chunk_idx):
-            pos, in_cell, acc, step0, escapes = chunk_carry
+            pos, in_cell, acc, step0, escapes, coverage = chunk_carry
             # wrap into the box (boundary_conditions, cuda_sim.cu:597-601,
             # applied at chunk granularity — see module docstring)
             pos = jnp.mod(pos + bound, bound)
             nf = build_field_model(pos, mnp_pos, mnp_M, cache)
+            coverage = coverage + coverage_inc(nf)
             b0, in0 = field_at(nf, pos, mnp_pos, mnp_M)
 
             base = step0 + chunk_idx * jnp.uint32(params.chunk_steps)
@@ -327,14 +351,15 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
                 unroll=params.scan_unroll)
             escapes = escapes + jnp.sum(max_d2 > travel2,
                                         dtype=jnp.int32)
-            return (pos, in_cell, acc, step0, escapes), None
+            return (pos, in_cell, acc, step0, escapes, coverage), None
 
         def window_body(st: WalkerState, win_idx):
             del win_idx  # st.step already advances window by window
             step0 = st.step
-            (pos, in_cell, acc, _, escapes), _ = jax.lax.scan(
+            (pos, in_cell, acc, _, escapes, coverage), _ = jax.lax.scan(
                 chunk_body,
-                (st.pos, st.in_cell, jnp.zeros(w, pdt), step0, st.escapes),
+                (st.pos, st.in_cell, jnp.zeros(w, pdt), step0, st.escapes,
+                 st.coverage),
                 jnp.arange(chunks_per_window, dtype=jnp.uint32))
 
             # performUpdate (cuda_sim.cu:814-828): fold the window's kick
@@ -356,7 +381,7 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
 
             return WalkerState(pos=pos, in_cell=in_cell, phase=phase,
                                phase_comp=comp, step=end_step,
-                               escapes=escapes), out
+                               escapes=escapes, coverage=coverage), out
 
         state, wins = jax.lax.scan(window_body, state,
                                    jnp.arange(n_windows, dtype=jnp.uint32))
@@ -379,6 +404,7 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
         def chunk_body(st: WalkerState, _):
             pos = jnp.mod(st.pos + bound, bound)
             nf = build_field_model(pos, mnp_pos, mnp_M, cache)
+            coverage = st.coverage + coverage_inc(nf)
             b0, in0 = field_at(nf, pos, mnp_pos, mnp_M)
             maxd2_0 = jnp.zeros(w, dtype)
 
@@ -414,7 +440,7 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
             return WalkerState(
                 pos=pos, in_cell=in_cell, phase=phase, phase_comp=comp,
                 step=st.step + jnp.uint32(params.chunk_steps),
-                escapes=escapes), outs
+                escapes=escapes, coverage=coverage), outs
 
         state, wins = jax.lax.scan(chunk_body, state, None, length=n_chunks)
         return state, wins.reshape(n_windows, 2)

@@ -320,6 +320,7 @@ class SimulationRunner:
             "walker_steps_per_s": n_sprints * p.sprint_steps * p.num_water
             / wall if wall > 0 else 0.0,
             "escapes": int(np.asarray(self.state.escapes)),
+            "coverage_violations": int(np.asarray(self.state.coverage)),
             "steps": int(np.asarray(self.state.step)),
         }
         return times, wins[:, 0], wins[:, 1], stats
@@ -558,7 +559,9 @@ def main(argv=None):
     print(f"Simulation complete: {stats['steps']} steps in "
           f"{stats['wall_s']:.1f}s "
           f"({stats['walker_steps_per_s']:.3e} walker-steps/s), "
-          f"{stats['escapes']} chunk escapes", file=sys.stderr)
+          f"{stats['escapes']} chunk escapes, "
+          f"{stats['coverage_violations']} coverage violations",
+          file=sys.stderr)
     return 0
 
 

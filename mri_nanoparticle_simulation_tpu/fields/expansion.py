@@ -70,6 +70,14 @@ class NearField(NamedTuple):
     b0: jnp.ndarray        # [W] far-field B_z at anchor
     grad: jnp.ndarray      # [W, 3] far-field gradient at anchor
     hess: jnp.ndarray      # [W, 6] far-field Hessian (xx,yy,zz,xy,xz,yz)
+    #: [W] count of dipoles within reach of the anchor, or None when the
+    #: caller did not request the coverage sentinel (build(reach2=...)).
+    #: Coverage is violated iff n_reach > K: the near list holds the K
+    #: NEAREST dipoles, so by pigeonhole a count above K means a dipole
+    #: that can matter this chunk is missing from it (the runtime
+    #: analogue of the reference's DEBUG_TREE residency asserts,
+    #: octree.cpp:39-41, 106-109, 141-144).
+    n_reach: jnp.ndarray | None = None
 
 
 def _pairwise_d2(a, b):
@@ -170,7 +178,7 @@ def _build_cache_jit(h: int, c: int, bound: float):
 
 def build(anchor, mnp_pos, mnp_M, params: Params,
           cache=None, far_impl: str = "xla",
-          interpret: bool = False) -> NearField:
+          interpret: bool = False, reach2=None) -> NearField:
     """Select each walker's K nearest dipoles and Taylor-expand the rest.
 
     anchor: [W, 3] walker positions at chunk start.
@@ -184,6 +192,18 @@ def build(anchor, mnp_pos, mnp_M, params: Params,
     kernel (_make_far_sums_kernel) — ~6x faster than the XLA reductions;
     requires W % 128 == 0 (the Pallas engine's padded plane layout).
     Summation order differs from the XLA path by last-ulp rounding only.
+
+    ``reach2`` (optional traced scalar, µm²): squared coverage reach
+    ``(cell_r + travel_bound)²``.  When given, the returned NearField
+    carries ``n_reach`` — the per-walker count of dipoles within reach —
+    so engines can count coverage violations (n_reach > K) at runtime
+    like they count travel-bound escapes.  Costs one compare+sum over
+    the distance matrix the selection already computes.  On the cube
+    path the count runs over the cube candidates, a validated superset
+    of every within-reach dipole (validate_cube_candidates' covering
+    margin), so the count is exact there too; the MXU distance trick's
+    ~2e-4 µm² rounding can flip borderline dipoles either way, which
+    the travel bound's 7-sigma slack dwarfs.
     """
     k = params.near_k
     w = anchor.shape[0]
@@ -221,6 +241,8 @@ def build(anchor, mnp_pos, mnp_M, params: Params,
         cpos = payload[..., :3]
         dc = anchor[:, None, :] - cpos
         d2 = jnp.sum(dc * dc, axis=-1)                  # [W, C]
+        n_reach = (jnp.sum(d2 < reach2, axis=1).astype(jnp.int32)
+                   if reach2 is not None else None)
         # K argmin passes with the winner's payload row extracted by a
         # fused one-hot reduce per pass: XLA lowers take_along_axis on
         # [W, C, 5] to a serial gather that measured 3x the rest of the
@@ -278,9 +300,11 @@ def build(anchor, mnp_pos, mnp_M, params: Params,
                                                   order)
             return NearField(anchor=anchor, near_pos=near_pos,
                              near_M=near_M, b0=b0 + tb0, grad=g + tg,
-                             hess=hs + th)
+                             hess=hs + th, n_reach=n_reach)
     else:
         d2 = _pairwise_d2(anchor, mnp_pos)              # [W, N]
+        n_reach = (jnp.sum(d2 < reach2, axis=1).astype(jnp.int32)
+                   if reach2 is not None else None)
         idx, remaining = _argmin_passes(d2, k)
         near_pos = mnp_pos[idx]                         # [W, K, 3]
         near_M = mnp_M[idx]                             # [W, K]
@@ -321,7 +345,7 @@ def build(anchor, mnp_pos, mnp_M, params: Params,
         b0, g, h = _far_sums_blocked(anchor, mnp_pos, mnp_M, idx)
 
     return NearField(anchor=anchor, near_pos=near_pos, near_M=near_M,
-                     b0=b0, grad=g, hess=h)
+                     b0=b0, grad=g, hess=h, n_reach=n_reach)
 
 
 @functools.lru_cache(maxsize=32)
@@ -485,10 +509,13 @@ def _make_cand_model_kernel(c: int, k: int, order: int, r_planes: int,
          evaluated at the anchor offset, added to the mid accumulators.
 
         f(cand [4, C, r_blk, 128]  (x, y, z, M*FIELD_SCALE),
-          anchor [3, r_blk, 128], e [3, r_blk, 128],
-          coeffs [n_coeffs, r_blk, 128])
+          anchor [4, r_blk, 128]  (x, y, z, reach2),
+          e [3, r_blk, 128], coeffs [n_coeffs, r_blk, 128])
         -> (near [4, K, r_blk, 128]  (x, y, z, M*FIELD_SCALE),
-            taylor [10, r_blk, 128])
+            taylor [10, r_blk, 128],
+            n_reach [r_blk, 128]  coverage-sentinel counts, see
+            NearField.n_reach — counted over the C candidates, a
+            validated superset of every within-reach dipole)
 
     — exactly the chunk kernel's near/taylor input format (near_M comes
     out pre-scaled; the engine's pack step must not scale again).
@@ -517,16 +544,17 @@ def _make_cand_model_kernel(c: int, k: int, order: int, r_planes: int,
     # C=48/K=8 is ~6k ops and takes XLA minutes to compile)
     unroll = 4 if c % 4 == 0 else 1
 
-    def kernel(cand, anchor, e, coeffs, o_near, o_taylor):
-        ax, ay, az = anchor[0], anchor[1], anchor[2]
+    def kernel(cand, anchor, e, coeffs, o_near, o_taylor, o_cov):
+        ax, ay, az, reach2 = anchor[0], anchor[1], anchor[2], anchor[3]
         inf = jnp.full((r_blk, 128), 1e30, dtype)
         zero = jnp.zeros((r_blk, 128), dtype)
         neg1 = jnp.full((r_blk, 128), -1, jnp.int32)
 
         # phase 1: exact K-nearest selection (sorted insertion; c >= k
-        # guarantees every slot is filled with a distinct candidate)
-        def insert_one(j, slots):
-            d2s, fields, ids = slots
+        # guarantees every slot is filled with a distinct candidate),
+        # counting within-reach candidates for the coverage sentinel
+        def insert_one(j, carry):
+            (d2s, fields, ids), cnt = carry
             x0 = cand[0, j]
             y0 = cand[1, j]
             z0 = cand[2, j]
@@ -535,21 +563,24 @@ def _make_cand_model_kernel(c: int, k: int, order: int, r_planes: int,
             dy = ay - y0
             dz = az - z0
             d2 = dx * dx + dy * dy + dz * dz
-            return sorted_insert(d2s, fields, ids, d2, (x0, y0, z0, m0), j)
+            cnt = cnt + jnp.where(d2 < reach2, 1.0, 0.0).astype(dtype)
+            return (sorted_insert(d2s, fields, ids, d2, (x0, y0, z0, m0),
+                                  j), cnt)
 
-        def sel_block(t, slots):
+        def sel_block(t, carry):
             j0 = t * unroll
             for uu in range(unroll):
-                slots = insert_one(j0 + uu, slots)
-            return slots
+                carry = insert_one(j0 + uu, carry)
+            return carry
 
-        slots = ((inf,) * k,
-                 ((zero,) * k, (zero,) * k, (zero,) * k, (zero,) * k),
-                 (neg1,) * k)
-        slots = jax.lax.fori_loop(0, c // unroll, sel_block, slots)
+        carry = (((inf,) * k,
+                  ((zero,) * k, (zero,) * k, (zero,) * k, (zero,) * k),
+                  (neg1,) * k), zero)
+        carry = jax.lax.fori_loop(0, c // unroll, sel_block, carry)
         for j in range(c - c % unroll, c):
-            slots = insert_one(j, slots)
-        _, (xs, ys, zs, ms), ids = slots
+            carry = insert_one(j, carry)
+        (_, (xs, ys, zs, ms), ids), cov_cnt = carry
+        o_cov[:] = cov_cnt
 
         # phase 2: masked mid sums over the non-selected candidates
         def mid_one(j, accs):
@@ -588,6 +619,8 @@ def _make_cand_model_kernel(c: int, k: int, order: int, r_planes: int,
     nc = len(mons)
     cand_spec = pl.BlockSpec((4, c, r_blk, 128), lambda b: (0, 0, b, 0),
                              memory_space=pltpu.VMEM)
+    vec4_spec = pl.BlockSpec((4, r_blk, 128), lambda b: (0, b, 0),
+                             memory_space=pltpu.VMEM)
     vec3_spec = pl.BlockSpec((3, r_blk, 128), lambda b: (0, b, 0),
                              memory_space=pltpu.VMEM)
     coeff_spec = pl.BlockSpec((nc, r_blk, 128), lambda b: (0, b, 0),
@@ -596,18 +629,22 @@ def _make_cand_model_kernel(c: int, k: int, order: int, r_planes: int,
                              memory_space=pltpu.VMEM)
     taylor_spec = pl.BlockSpec((10, r_blk, 128), lambda b: (0, b, 0),
                                memory_space=pltpu.VMEM)
+    cov_spec = pl.BlockSpec((r_blk, 128), lambda b: (b, 0),
+                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel, grid=(n_blocks,),
         out_shape=(
             jax.ShapeDtypeStruct((4, k, r_planes, 128), dtype),
             jax.ShapeDtypeStruct((10, r_planes, 128), dtype),
+            jax.ShapeDtypeStruct((r_planes, 128), dtype),
         ),
-        in_specs=[cand_spec, vec3_spec, vec3_spec, coeff_spec],
-        out_specs=(near_spec, taylor_spec), interpret=interpret)
+        in_specs=[cand_spec, vec4_spec, vec3_spec, coeff_spec],
+        out_specs=(near_spec, taylor_spec, cov_spec),
+        interpret=interpret)
 
 
 def build_planes(px, py, pz, params: Params, cache: SceneCache,
-                 interpret: bool = False):
+                 interpret: bool = False, reach2=None):
     """Plane-native chunk rebuild for the Pallas engine's large-scene
     path: gathers the per-walker cube payload + far-table coefficients
     (XLA row gathers) and runs the fused candidate-model kernel.
@@ -615,8 +652,9 @@ def build_planes(px, py, pz, params: Params, cache: SceneCache,
     px, py, pz: [R, 128] wrapped anchor planes (the engine's layout).
     Requires a cache built with the far table (``far_table_order > 0``).
     Returns (near [4, K, R, 128] slabs with M pre-scaled by FIELD_SCALE,
-    taylor [10, R, 128]) — the chunk kernel's input format, no [W]-vector
-    detour.  Replaces build() + slab packing on this path: measured 3x
+    taylor [10, R, 128], n_reach [R, 128] coverage-sentinel counts at
+    radius sqrt(reach2) — all-zero when reach2 is None) — the chunk
+    kernel's input format, no [W]-vector detour.  Replaces build() + slab packing on this path: measured 3x
     faster at the 100k-walker scale-up (the XLA path's 15-odd fusions
     re-read the candidate payload from HBM per pass)."""
     k = params.near_k
@@ -653,7 +691,9 @@ def build_planes(px, py, pz, params: Params, cache: SceneCache,
         [pc[:3], pc[3:4] * dtype.type(dipole.FIELD_SCALE)],
         axis=0).reshape(4, c, r, lanes)
     coeffs = coeffs_t[flat].T.reshape(-1, r, lanes).astype(dtype)
-    anchor = jnp.stack([px, py, pz])
+    r2pl = (jnp.zeros_like(px) if reach2 is None
+            else jnp.broadcast_to(jnp.asarray(reach2, dtype), px.shape))
+    anchor = jnp.stack([px, py, pz, r2pl])
     half = dtype.type(0.5)
     e = jnp.stack([px - (cix.astype(dtype) + half) * dtype.type(cube),
                    py - (ciy.astype(dtype) + half) * dtype.type(cube),

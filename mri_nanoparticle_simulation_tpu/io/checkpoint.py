@@ -44,6 +44,7 @@ def save_checkpoint(path: str, state: WalkerState, params: Params,
         phase_comp=np.asarray(state.phase_comp),
         step=np.asarray(state.step),
         escapes=np.asarray(state.escapes),
+        coverage=np.asarray(getattr(state, "coverage", 0)),
         seed=seed,
         scene_seed=scene_seed,
         params_fp=params_fingerprint(params),
@@ -86,5 +87,7 @@ def load_checkpoint(path: str, params: Params,
         phase_comp=jnp.asarray(z["phase_comp"], dtype),
         step=jnp.uint32(z["step"]),
         escapes=jnp.int32(z["escapes"]),
+        coverage=jnp.int32(z["coverage"]) if "coverage" in z.files
+        else jnp.int32(0),
     )
     return state, int(z["seed"]), int(z["scene_seed"])

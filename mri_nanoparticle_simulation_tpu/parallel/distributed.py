@@ -1,0 +1,217 @@
+"""Multi-host (multi-process) execution over DCN.
+
+The reference is a single-process, single-GPU program; its "multi-node"
+story was resubmitting PBS jobs (SURVEY §5).  Here the DCN story is
+first-class: ``jax.distributed`` connects N processes (one per host) into
+one JAX runtime whose global device list spans all hosts, and the
+existing walker-sharding / ensemble machinery runs unchanged on a GLOBAL
+mesh — shard_map + psum lower to ICI collectives within a host and DCN
+transfers across hosts, scheduled by XLA.
+
+Layout guidance (How-to-Scale-Your-Model recipe): walkers within a trial
+shard over the fast axis (ICI; the per-window psum is 8 bytes, so even
+DCN is fine), while *trials* (ensembles / parameter sweeps) are
+embarrassingly parallel and should map across hosts — each trial's
+entire computation stays on one host's devices and only the final [T, n]
+curves cross DCN, once.
+
+Usage (one process per host, same program):
+
+    from mri_nanoparticle_simulation_tpu.parallel import distributed
+    distributed.initialize()          # env-driven (JAX_COORDINATOR_...)
+    mesh = distributed.global_walker_mesh()
+    runner = SimulationRunner(params, mesh=mesh)   # sharded across hosts
+
+Verification without multi-host hardware: ``python -m
+mri_nanoparticle_simulation_tpu.parallel.distributed --num-processes 2
+--process-id I --coordinator localhost:P`` runs one process of a
+2-process x 4-virtual-CPU-device dry run; tests/test_distributed.py
+spawns both and asserts cross-process equality with the single-device
+run (the same contract the single-process dryrun proves on 8 devices).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Idempotent ``jax.distributed.initialize`` wrapper.
+
+    With no arguments, defers to jax's own env/cluster autodetection
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or
+    the TPU pod metadata when running on one).  Single-process callers
+    (num_processes in (None, 0, 1) and no coordinator) are a no-op so
+    the same program runs unmodified on one host.
+    """
+    import jax
+    if coordinator_address is None and num_processes in (None, 0, 1) \
+            and "JAX_COORDINATOR_ADDRESS" not in os.environ:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    except RuntimeError as e:
+        if "already initialized" not in str(e):
+            raise
+
+
+def global_walker_mesh():
+    """Walker mesh over ALL global devices (every process must call this
+    with the same jax.distributed world)."""
+    from . import sharding
+    import jax
+    return sharding.make_walker_mesh(jax.devices())
+
+
+def put_global(mesh, spec, host_array):
+    """Place an identical-on-every-host numpy array as a global jax.Array
+    with the given PartitionSpec on a (possibly multi-process) mesh."""
+    import jax
+    from jax.sharding import NamedSharding
+    sharding = NamedSharding(mesh, spec)
+    arr = np.asarray(host_array)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
+def run_simulation_multihost(scene, params, mesh=None, seed: int = 0,
+                             dtype=None, max_steps=None):
+    """Walker-sharded full run on a global (multi-host) mesh.
+
+    Identical physics contract to sharding.run_simulation_sharded (global
+    Threefry lanes -> bitwise-equal to the single-device run), but all
+    inputs are constructed as global arrays via make_array_from_callback
+    so the same code runs under 1 or N processes.  Returns (times,
+    sum_cos, sum_sin, state); `state` leaves are global jax.Arrays —
+    inspect local shards via ``.addressable_shards`` (a host only holds
+    its own walkers).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from .. import rng as rng_mod
+    from ..engine import reference_engine
+    from . import sharding
+
+    dtype = dtype or jnp.float32
+    mesh = mesh or global_walker_mesh()
+    sprint_fn = sharding.make_sharded_sprint_fn(params, mesh, dtype)
+
+    np_dtype = np.dtype(dtype)
+    mnp_pos = put_global(mesh, P(), np.asarray(scene.mnps[:, :3], np_dtype))
+    mnp_M = put_global(mesh, P(), np.asarray(scene.mnps[:, 4], np_dtype))
+    k = rng_mod.key_from_seed(seed)
+    key_arr = put_global(mesh, P(),
+                         np.asarray([np.uint32(k[0]), np.uint32(k[1])]))
+
+    host_state = reference_engine.WalkerState(
+        pos=np.asarray(scene.waters, np_dtype),
+        in_cell=np.zeros(len(scene.waters), bool),
+        phase=np.zeros(len(scene.waters), np_dtype),
+        phase_comp=np.zeros(len(scene.waters), np_dtype),
+        step=np.uint32(0), escapes=np.int32(0), coverage=np.int32(0))
+    row = P(sharding.WALKER_AXIS)
+    state_spec = reference_engine.WalkerState(
+        pos=row, in_cell=row, phase=row, phase_comp=row,
+        step=P(), escapes=P(), coverage=P())
+    state = jax.tree.map(lambda x, s: put_global(mesh, s, x),
+                         host_state, state_spec)
+
+    total = params.t if max_steps is None else min(params.t, max_steps)
+    outs = []
+    for _ in range(total // params.sprint_steps):
+        state, wins = sprint_fn(mnp_pos, mnp_M, key_arr, state)
+        outs.append(np.asarray(wins))       # replicated: host-readable
+    wins = np.concatenate(outs, 0) if outs else np.zeros((0, 2))
+    times = (np.arange(1, len(wins) + 1) * params.pfreq) * params.tau
+    return times, wins[:, 0], wins[:, 1], state
+
+
+def _dryrun(num_processes: int, process_id: int, coordinator: str,
+            devices_per_process: int) -> None:
+    """One process of the multi-host dry run: 2 x 4 virtual CPU devices
+    -> 8-device global mesh; asserts this process's local state shards
+    are bitwise-identical to the corresponding slice of a single-device
+    oracle run (which each process computes independently)."""
+    # NOTE: importing this module already imported jax (package
+    # __init__), so platform/device-count env vars must be set by the
+    # LAUNCHER (see tests/test_distributed.py); these lines only help
+    # when the module is exec'd before any jax import
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    if "--xla_force_host_platform_device_count" not in \
+            os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count="
+            f"{devices_per_process}").strip()
+    import jax
+    # the axon TPU plugin presets JAX_PLATFORMS and ignores the env
+    # override; the config API wins while backends are uninitialized
+    # (same dance as tests/conftest.py and __graft_entry__)
+    jax.config.update("jax_platforms", "cpu")
+    initialize(coordinator, num_processes, process_id)
+    assert jax.process_count() == num_processes
+    n_global = len(jax.devices())
+    assert n_global == num_processes * devices_per_process
+
+    from ..engine import reference_engine
+    from ..params import small_test_params
+    from ..scene import BacteriaBox
+    p = small_test_params(num_water=256, num_cells=8, sprint_steps=200,
+                          totaltime=0.0002, chunk_steps=100,
+                          print_interval=0.0001, taucp=0.0001)
+    sc = BacteriaBox(p, seed=1).populate()
+
+    t, cos, sin, st = run_simulation_multihost(
+        sc, p, seed=0, max_steps=p.sprint_steps)
+
+    # single-device oracle on this process's own first device
+    with jax.default_device(jax.local_devices()[0]):
+        t1, cos1, sin1, st1 = reference_engine.run_simulation(
+            sc, p, seed=0, max_steps=p.sprint_steps)
+
+    np.testing.assert_allclose(cos, cos1, atol=1e-3)
+    np.testing.assert_allclose(sin, sin1, atol=1e-3)
+    ref_pos = np.asarray(st1.pos)
+    ref_phase = np.asarray(st1.phase)
+    checked = 0
+    for shard_pos, shard_phase in zip(st.pos.addressable_shards,
+                                      st.phase.addressable_shards):
+        sl = shard_pos.index[0]
+        np.testing.assert_array_equal(np.asarray(shard_pos.data),
+                                      ref_pos[sl])
+        np.testing.assert_array_equal(np.asarray(shard_phase.data),
+                                      ref_phase[sl])
+        checked += np.asarray(shard_pos.data).shape[0]
+    assert checked == p.num_water // num_processes
+    assert int(np.asarray(st.escapes)) == int(st1.escapes)
+    assert int(np.asarray(st.coverage)) == int(st1.coverage)
+    print(f"multihost dryrun OK: process {process_id}/{num_processes} "
+          f"verified {checked} local walkers bitwise vs single-device "
+          f"(global devices: {n_global})", flush=True)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="One process of the multi-host CPU dry run")
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--coordinator", required=True,
+                    help="host:port of process 0")
+    ap.add_argument("--devices-per-process", type=int, default=4)
+    args = ap.parse_args(argv)
+    _dryrun(args.num_processes, args.process_id, args.coordinator,
+            args.devices_per_process)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

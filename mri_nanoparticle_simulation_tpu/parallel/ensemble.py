@@ -76,7 +76,7 @@ def make_ensemble_sprint_fn(params: Params, mesh: Mesh, dtype=jnp.float32):
     tspec = P(TRIAL_AXIS)
     state_spec = reference_engine.WalkerState(
         pos=tspec, in_cell=tspec, phase=tspec, phase_comp=tspec,
-        step=tspec, escapes=tspec)
+        step=tspec, escapes=tspec, coverage=tspec)
     sharded = jax.shard_map(
         vm, mesh=mesh,
         in_specs=(tspec, tspec, tspec, state_spec, tspec, tspec),
@@ -119,7 +119,7 @@ def make_ensemble_pallas_sprint_fn(params: Params, mesh: Mesh,
     tspec = P(TRIAL_AXIS)
     planes_spec = pallas_engine.PlaneState(
         px=tspec, py=tspec, pz=tspec, in_cell=tspec, phase=tspec,
-        phase_comp=tspec, step=tspec, escapes=tspec)
+        phase_comp=tspec, step=tspec, escapes=tspec, coverage=tspec)
     sharded = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(tspec, tspec, tspec, planes_spec, tspec, tspec),

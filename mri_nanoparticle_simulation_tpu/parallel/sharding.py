@@ -62,15 +62,17 @@ def make_sharded_sprint_fn(params: Params, mesh: Mesh, dtype=jnp.float32):
         idx = jax.lax.axis_index(WALKER_AXIS)
         lane_offset = (idx * local_w).astype(jnp.uint32)
         esc0 = state.escapes
+        cov0 = state.coverage
         new_state, wins = local_sprint(mnp_pos, mnp_M, key_arr, state,
                                        lane_offset)
         wins = jax.lax.psum(wins, WALKER_AXIS)
         esc = jax.lax.psum(new_state.escapes - esc0, WALKER_AXIS) + esc0
-        return new_state._replace(escapes=esc), wins
+        cov = jax.lax.psum(new_state.coverage - cov0, WALKER_AXIS) + cov0
+        return new_state._replace(escapes=esc, coverage=cov), wins
 
     state_spec = reference_engine.WalkerState(
         pos=P(WALKER_AXIS), in_cell=P(WALKER_AXIS), phase=P(WALKER_AXIS),
-        phase_comp=P(WALKER_AXIS), step=P(), escapes=P())
+        phase_comp=P(WALKER_AXIS), step=P(), escapes=P(), coverage=P())
 
     sharded = jax.shard_map(
         shard_fn, mesh=mesh,
@@ -105,7 +107,7 @@ def run_simulation_sharded(scene, params: Params, mesh: Optional[Mesh] = None,
         state = reference_engine.init_state(scene.waters, params, dtype)
     state_spec = reference_engine.WalkerState(
         pos=P(WALKER_AXIS), in_cell=P(WALKER_AXIS), phase=P(WALKER_AXIS),
-        phase_comp=P(WALKER_AXIS), step=P(), escapes=P())
+        phase_comp=P(WALKER_AXIS), step=P(), escapes=P(), coverage=P())
     state = jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         state, state_spec)
@@ -151,7 +153,7 @@ def to_planes_sharded(state: reference_engine.WalkerState, params: Params,
     return pallas_engine.PlaneState(
         px=cat("px"), py=cat("py"), pz=cat("pz"), in_cell=cat("in_cell"),
         phase=cat("phase"), phase_comp=cat("phase_comp"),
-        step=state.step, escapes=state.escapes)
+        step=state.step, escapes=state.escapes, coverage=state.coverage)
 
 
 def from_planes_sharded(ps: pallas_engine.PlaneState, num_water: int,
@@ -167,12 +169,13 @@ def from_planes_sharded(ps: pallas_engine.PlaneState, num_water: int,
             in_cell=ps.in_cell[s * r_local:(s + 1) * r_local],
             phase=ps.phase[s * r_local:(s + 1) * r_local],
             phase_comp=ps.phase_comp[s * r_local:(s + 1) * r_local],
-            step=ps.step, escapes=ps.escapes)
+            step=ps.step, escapes=ps.escapes, coverage=ps.coverage)
         parts.append(pallas_engine.from_planes(local, local_w))
     cat = lambda f: jnp.concatenate([getattr(p, f) for p in parts], axis=0)
     return reference_engine.WalkerState(
         pos=cat("pos"), in_cell=cat("in_cell"), phase=cat("phase"),
-        phase_comp=cat("phase_comp"), step=ps.step, escapes=ps.escapes)
+        phase_comp=cat("phase_comp"), step=ps.step, escapes=ps.escapes,
+        coverage=ps.coverage)
 
 
 def make_sharded_pallas_sprint_fn(params: Params, num_water: int, mesh: Mesh,
@@ -207,17 +210,19 @@ def make_sharded_pallas_sprint_fn(params: Params, num_water: int, mesh: Mesh,
         # -> s*local_w + j, exactly the single-chip lane assignment
         lane_offset = (idx * local_w).astype(jnp.uint32)
         esc0 = ps.escapes
+        cov0 = ps.coverage
         new_ps, wins = local_sprint(mnp_pos, mnp_M, key_arr, ps,
                                     lane_offset,
                                     cache_args[0] if cache_args else None)
         wins = jax.lax.psum(wins, WALKER_AXIS)
         esc = jax.lax.psum(new_ps.escapes - esc0, WALKER_AXIS) + esc0
-        return new_ps._replace(escapes=esc), wins
+        cov = jax.lax.psum(new_ps.coverage - cov0, WALKER_AXIS) + cov0
+        return new_ps._replace(escapes=esc, coverage=cov), wins
 
     row = P(WALKER_AXIS)
     ps_spec = pallas_engine.PlaneState(
         px=row, py=row, pz=row, in_cell=row, phase=row, phase_comp=row,
-        step=P(), escapes=P())
+        step=P(), escapes=P(), coverage=P())
     if cache is None:
         sharded = jax.shard_map(
             shard_fn, mesh=mesh,
@@ -262,7 +267,7 @@ def run_simulation_sharded_pallas(scene, params: Params,
     row = P(WALKER_AXIS)
     ps_spec = pallas_engine.PlaneState(
         px=row, py=row, pz=row, in_cell=row, phase=row, phase_comp=row,
-        step=P(), escapes=P())
+        step=P(), escapes=P(), coverage=P())
     ps = jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), ps, ps_spec)
 

@@ -175,3 +175,55 @@ class TestDeterministicBound:
                               totaltime=0.001, sprint_steps=1000)
         with pytest.raises(ValueError, match="near_k"):
             SimulationRunner(p, scene_seed=0, engine="scan")
+
+
+class TestCoverageSentinel:
+    """Round-3: the runtime (in-run) coverage counter — the analogue of
+    the reference's DEBUG_TREE residency asserts (octree.cpp:39-41),
+    counted like ``escapes`` so violations are observable, not silent."""
+
+    def _dense_params(self, near_k):
+        return clustered_params(near_k=near_k, chunk_steps=200,
+                                num_cells=20, cell_r=0.9, bound=8.0,
+                                water_start_bound=7.0)
+
+    def test_undersized_k_counts_violations_scan(self):
+        p = self._dense_params(near_k=1)
+        sc = BacteriaBox(p, seed=2).populate()
+        need = expansion.validate_near_k(sc.mnps[:, :3], p)
+        assert need > 1          # the guard would reject this config
+        _, _, _, st = re.run_simulation(sc, p, seed=3)
+        assert int(st.coverage) > 0
+
+    def test_validated_k_counts_zero_scan(self):
+        p = self._dense_params(near_k=1)
+        sc = BacteriaBox(p, seed=2).populate()
+        need = expansion.validate_near_k(sc.mnps[:, :3], p)
+        p_ok = p.replace(near_k=int(need))
+        _, _, _, st = re.run_simulation(sc, p_ok, seed=3)
+        assert int(st.coverage) == 0
+        assert int(st.escapes) == 0
+
+    def test_pallas_sentinel_matches_scan(self):
+        """Interpret-mode kernel counts the same violations the scan
+        engine counts (same scene, same undersized K, same trajectories
+        via shared Threefry streams)."""
+        from mri_nanoparticle_simulation_tpu.engine import pallas_engine
+        p = self._dense_params(near_k=1)
+        sc = BacteriaBox(p, seed=2).populate()
+        _, _, _, st_s = re.run_simulation(sc, p, seed=3)
+        _, _, _, st_p = pallas_engine.run_simulation(
+            sc, p, seed=3, interpret=True)
+        assert int(st_p.coverage) > 0
+        assert int(st_p.coverage) == int(st_s.coverage)
+
+    def test_checkpoint_roundtrips_coverage(self, tmp_path):
+        from mri_nanoparticle_simulation_tpu.io import checkpoint as ck
+        import jax.numpy as jnp
+        p = clustered_params(near_k=6)
+        sc = BacteriaBox(p, seed=1).populate()
+        st = re.init_state(sc.waters, p)._replace(coverage=jnp.int32(7))
+        path = str(tmp_path / "c.npz")
+        ck.save_checkpoint(path, st, p, 1, 1)
+        st2, _, _ = ck.load_checkpoint(path, p)
+        assert int(st2.coverage) == 7

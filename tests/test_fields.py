@@ -398,7 +398,7 @@ class TestFusedCandModel:
         pz = anchors[:, 2].reshape(r, 128)
         # jit the call as the engine does (the unrolled kernel is ~6k ops;
         # eager interpret-mode dispatch of that is minutes on one core)
-        near, taylor = jax.jit(
+        near, taylor, _ = jax.jit(
             lambda a, b, c: expansion.build_planes(a, b, c, p, cache,
                                                    interpret=True))(
             px, py, pz)
