@@ -154,8 +154,8 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
           state  [6, R, 128]  (px, py, pz, in_cell, phase, comp),
           near   [4, K, R, 128]  (x, y, z, M),
           taylor [10, R, 128]  (b0, gx, gy, gz, hxx, hyy, hzz, hxy, hxz, hyz))
-        -> (state' [6, R, 128], max_d2 [R, 128],
-            wins [n_blocks, n_win, 2])
+        -> (state' [6, R, 128], escapes [R, 128],
+            coverage [n_blocks, 1] SMEM, wins [n_blocks, n_win, 2])
 
     scalars = [step0, key_hi, key_lo, chunk_seed, lane_offset, num_water,
     tcp, cell_r2_bits].  The chunk anchor IS the input position (positions
@@ -212,7 +212,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
     n_blocks = r_planes // r_blk
     blk_walkers = r_blk * LANES
 
-    def rebuild_model(mnp, ax_full, ay_full, az_full, reach2_full):
+    def rebuild_model(mnp, ax_full, ay_full, az_full, scalars):
         """In-kernel recandidate: exact K-nearest selection + far Taylor.
 
         Selection is a branchless sorted insertion over the SMEM dipole
@@ -228,14 +228,20 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         groups = [
             _rebuild_group(mnp, ax_full[g:g + sub], ay_full[g:g + sub],
                            az_full[g:g + sub], min(sub, r_blk - g),
-                           reach2_full[g:g + sub])
+                           g, scalars)
             for g in range(0, r_blk, sub)]
         cat = lambda i: ([jnp.concatenate([grp[i][j] for grp in groups], 0)
                           for j in range(len(groups[0][i]))])
-        cnt = jnp.concatenate([grp[5] for grp in groups], 0)
-        return cat(0), cat(1), cat(2), cat(3), cat(4), cnt
+        # coverage violations leave each sub-group as ONE scalar already
+        # (a count plane routed through the vector outputs crashed the
+        # Mosaic lowering at 32-row blocks: limits[i] <= dim(i)); the
+        # summed scalar leaves the kernel through SMEM like the windows
+        cov = jnp.zeros((), dtype)
+        for grp in groups:
+            cov = cov + grp[5]
+        return cat(0), cat(1), cat(2), cat(3), cat(4), cov
 
-    def _rebuild_group(mnp, ax, ay, az, rows, reach2):
+    def _rebuild_group(mnp, ax, ay, az, rows, g0, scalars):
         inf = jnp.full((rows, LANES), 1e30, dtype)
         # unfilled slots sit 1e9 um away with zero moment: even if a scene
         # has fewer dipoles than K (rejected at sprint build anyway), the
@@ -243,13 +249,29 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         farpos = jnp.full((rows, LANES), 1e9, dtype)
         zero = jnp.zeros((rows, LANES), dtype)
         neg1 = jnp.full((rows, LANES), -1, jnp.int32)
-        # slots: (d2, (x, y, z, m), idx) ascending by d2
+        # coverage reach (cell_r + travel)^2, rebuilt HERE at sub-group
+        # shape from the cell_r launch scalar: row-slicing the
+        # kernel-level broadcast planes crashed the Mosaic lowering
+        # (limits[i] <= dim(i)) at 32-row blocks
+        cr2_g = jax.lax.bitcast_convert_type(
+            jnp.full((rows, LANES), scalars[7]), jnp.float32).astype(dtype)
+        reach_g = jnp.sqrt(cr2_g) + travel_f
+        reach2 = reach_g * reach_g
+        # slots: (d2, (x, y, z, m), idx) ascending by d2, plus the
+        # coverage-sentinel count: EVERY dipole within reach (selected
+        # or not) — > K at this anchor means the near list provably
+        # misses one (see WalkerState.coverage).  It rides the selection
+        # loop, which already has d2 in hand (a separate counting pass
+        # sent the Mosaic compile time from ~15 s to >400 s; so did
+        # folding it into the far loop's carry).  Padded table slots sit
+        # 1e6 µm away and never count.
         init = ((inf,) * k,
                 ((farpos,) * k, (farpos,) * k, (farpos,) * k, (zero,) * k),
-                (neg1,) * k)
+                (neg1,) * k,
+                jnp.zeros((rows, LANES), dtype))
 
-        def sel_body(j, slots):
-            d2s, fields, ids = slots
+        def sel_body(j, carry):
+            d2s, fields, ids, cnt = carry
             x0 = mnp[0, j]
             y0 = mnp[1, j]
             z0 = mnp[2, j]
@@ -258,8 +280,9 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
             dy = ay - y0
             dz = az - z0
             d2 = dx * dx + dy * dy + dz * dz
-            return expansion.sorted_insert(d2s, fields, ids, d2,
-                                           (x0, y0, z0, m0), j)
+            cnt = cnt + jnp.where(d2 < reach2, 1.0, 0.0).astype(dtype)
+            return (*expansion.sorted_insert(d2s, fields, ids, d2,
+                                             (x0, y0, z0, m0), j), cnt)
 
         # 8-wide unroll: batches the SMEM scalar loads so their latency
         # pipelines behind the vector work (the 1-dipole body measured
@@ -270,49 +293,49 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                 slots = sel_body(j0 + u, slots)
             return slots
 
-        _, (xs, ys, zs, ms), ids = jax.lax.fori_loop(
+        _, (xs, ys, zs, ms), ids, cnt = jax.lax.fori_loop(
             0, n_mnp_pad // 8, sel_block, init)
 
-        def far_body(j, carry):
-            accs, cnt = carry
+        def far_body(j, accs):
             x0 = mnp[0, j]
             y0 = mnp[1, j]
             z0 = mnp[2, j]
             m0 = mnp[3, j]
-            dx = ax - x0
-            dy = ay - y0
-            dz = az - z0
-            parts = dipole.bz_taylor_parts(dx, dy, dz, m0)
+            parts = dipole.bz_taylor_parts(ax - x0, ay - y0, az - z0, m0)
             w = expansion.excluded_weight(ids, j, dtype)
-            # coverage sentinel: count EVERY dipole within reach
-            # (selected or not); > K at this anchor means the near list
-            # provably misses one (see WalkerState.coverage).  Padded
-            # table slots sit 1e6 µm away and never count.
-            d2 = dx * dx + dy * dy + dz * dz
-            cnt = cnt + jnp.where(d2 < reach2, 1.0, 0.0).astype(dtype)
-            return (tuple(a + c * w for a, c in zip(accs, parts)), cnt)
+            return tuple(a + c * w for a, c in zip(accs, parts))
 
-        def far_block(t, carry):
+        def far_block(t, accs):
             j0 = t * 8
             for u in range(8):
-                carry = far_body(j0 + u, carry)
-            return carry
+                accs = far_body(j0 + u, accs)
+            return accs
 
-        accs, cnt = jax.lax.fori_loop(
+        accs = jax.lax.fori_loop(
             0, n_mnp_pad // 8, far_block,
-            ((jnp.zeros((rows, LANES), dtype),) * 10,
-             jnp.zeros((rows, LANES), dtype)))
-        return list(xs), list(ys), list(zs), list(ms), list(accs), cnt
+            (jnp.zeros((rows, LANES), dtype),) * 10)
+
+        # per-walker validity at sub-group shape (padded lanes sit at
+        # the box center and must not count), then ONE scalar out
+        local_g = ((jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+                    + g0) * LANES
+                   + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+                   + pl.program_id(0) * blk_walkers)
+        valid_g = (jax.lax.bitcast_convert_type(local_g, jnp.uint32)
+                   < scalars[5]).astype(dtype)
+        ind = jnp.where(cnt > float(k), 1.0, 0.0).astype(dtype)
+        cov = jnp.sum(ind * valid_g)
+        return list(xs), list(ys), list(zs), list(ms), list(accs), cov
 
     def kernel(scalars, state, *rest):
-        # o_flags packs the per-walker escape plane (row 0) and the
-        # coverage-violation plane (row 1) into ONE output: a fourth
-        # separate (r_blk, LANES) output crashed the Mosaic lowering at
-        # 32-row blocks (limits[i] <= dim(i) in PrepareOutput)
+        # outputs: state planes, per-walker escape plane (VMEM), ONE
+        # coverage-violation scalar (SMEM — any extra vector output or
+        # 2-row flags packing crashed the Mosaic lowering at 32-row
+        # blocks: limits[i] <= dim(i)), and the SMEM window sums
         if rebuild:
-            (mnp,), (o_state, o_flags, o_wins) = rest[:1], rest[1:]
+            (mnp,), (o_state, o_esc, o_cov, o_wins) = rest[:1], rest[1:]
         else:
-            (near, taylor), (o_state, o_flags, o_wins) = \
+            (near, taylor), (o_state, o_esc, o_cov, o_wins) = \
                 rest[:2], rest[2:]
         step0 = scalars[0]
         key01 = (scalars[1], scalars[2])
@@ -557,11 +580,10 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
             ax = jnp.mod(x + bound_f, bound_f)
             ay = jnp.mod(y + bound_f, bound_f)
             az = jnp.mod(z + bound_f, bound_f)
-            # coverage reach (cell_r + travel)^2 from the runtime cell_r
-            # launch scalar (cell_r2 vector) + the static travel bound
-            reach_v = jnp.sqrt(cell_r2) + travel_f
-            nx, ny, nz, nM, tl, cov_cnt = rebuild_model(
-                mnp, ax, ay, az, reach_v * reach_v)
+            # coverage reach (cell_r + travel)^2 is rebuilt inside each
+            # sub-group from the cell_r launch scalar + static travel
+            nx, ny, nz, nM, tl, cov_scalar = rebuild_model(
+                mnp, ax, ay, az, scalars)
             model = (ax, ay, az, nx, ny, nz, nM, *tl)
         else:
             ax, ay, az = x, y, z
@@ -581,19 +603,21 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         o_state[3] = incell
         o_state[4] = phase
         o_state[5] = comp
-        o_flags[0] = esc_count
+        o_esc[:] = esc_count
         if rebuild:
-            o_flags[1] = jnp.where(cov_cnt > float(k), 1.0, 0.0) * valid_v
+            o_cov[0, 0] = cov_scalar
         else:
             # XLA side counts coverage at its own recandidate (it has
             # the distance matrix); the kernel contributes zero
-            o_flags[1] = jnp.zeros((r_blk, LANES), dtype)
+            o_cov[0, 0] = jnp.zeros((), dtype)
 
     sspec = pl.BlockSpec((8,), lambda b: (0,), memory_space=pltpu.SMEM)
     state_spec = pl.BlockSpec((6, r_blk, LANES), lambda b: (0, b, 0),
                               memory_space=pltpu.VMEM)
-    flags_spec = pl.BlockSpec((2, r_blk, LANES), lambda b: (0, b, 0),
-                              memory_space=pltpu.VMEM)
+    esc_spec = pl.BlockSpec((r_blk, LANES), lambda b: (b, 0),
+                            memory_space=pltpu.VMEM)
+    cov_spec = pl.BlockSpec((1, 1), lambda b: (b, 0),
+                            memory_space=pltpu.SMEM)
     wspec = pl.BlockSpec((1, n_win, 2), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM)
     if rebuild:
@@ -613,11 +637,12 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         grid=(n_blocks,),
         out_shape=(
             jax.ShapeDtypeStruct((6, r_planes, LANES), dtype),
-            jax.ShapeDtypeStruct((2, r_planes, LANES), dtype),
+            jax.ShapeDtypeStruct((r_planes, LANES), dtype),
+            jax.ShapeDtypeStruct((n_blocks, 1), dtype),
             jax.ShapeDtypeStruct((n_blocks, n_win, 2), dtype),
         ),
         in_specs=in_specs,
-        out_specs=(state_spec, flags_spec, wspec),
+        out_specs=(state_spec, esc_spec, cov_spec, wspec),
         interpret=interpret,
     )
     return call
@@ -697,13 +722,13 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
               else jnp.asarray(cell_r, jnp.float32))
         return tcp_u, jax.lax.bitcast_convert_type(cr * cr, jnp.uint32), cr
 
-    def advance(ps, state_out, o_flags, steps, cov_extra=None):
-        # o_flags: [2, R, 128] per-walker escape (row 0) / coverage-
-        # violation (row 1) flags for this chunk, already validity-
-        # masked; cov_extra: XLA-side violation count (big-scene
-        # recandidate paths)
-        escapes = ps.escapes + jnp.sum(o_flags[0]).astype(jnp.int32)
-        coverage = ps.coverage + jnp.sum(o_flags[1]).astype(jnp.int32)
+    def advance(ps, state_out, o_esc, o_cov, steps, cov_extra=None):
+        # o_esc: [R, 128] per-walker escape counts, o_cov: [n_blocks, 1]
+        # per-block coverage-violation counts, both already validity-
+        # masked in-kernel; cov_extra: XLA-side violation count
+        # (big-scene recandidate paths)
+        escapes = ps.escapes + jnp.sum(o_esc).astype(jnp.int32)
+        coverage = ps.coverage + jnp.sum(o_cov).astype(jnp.int32)
         if cov_extra is not None:
             coverage = coverage + cov_extra
         return PlaneState(px=state_out[0], py=state_out[1],
@@ -742,10 +767,10 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                 del chunk_idx
                 state_in = jnp.stack([ps.px, ps.py, ps.pz, ps.in_cell,
                                       ps.phase, ps.phase_comp])
-                state_out, o_flags, block_wins = kern(
+                state_out, o_esc, o_cov, block_wins = kern(
                     make_scalars(ps, lane_offset, key_arr, tcp_u, cr2_bits),
                     state_in, mnp_tbl)
-                return advance(ps, state_out, o_flags, chunk_steps), \
+                return advance(ps, state_out, o_esc, o_cov, chunk_steps), \
                     jnp.sum(block_wins, axis=0)
 
             ps, wins = jax.lax.scan(chunk_body, ps,
@@ -827,10 +852,10 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
 
             state_in = jnp.stack(
                 [px, py, pz, ps.in_cell, ps.phase, ps.phase_comp])
-            state_out, o_flags, block_wins = kern(
+            state_out, o_esc, o_cov, block_wins = kern(
                 make_scalars(ps, lane_offset, key_arr, tcp_u, cr2_bits),
                 state_in, near, taylor)
-            return advance(ps, state_out, o_flags, chunk_steps,
+            return advance(ps, state_out, o_esc, o_cov, chunk_steps,
                            cov_extra=cov_extra), \
                 jnp.sum(block_wins, axis=0)
 
