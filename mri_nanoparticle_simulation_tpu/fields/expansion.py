@@ -46,6 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..params import Params
+from ..utils import cache as cache_mod
 from . import dipole, fartable
 
 
@@ -795,14 +796,22 @@ def validate_cube_candidates(dipole_pos: np.ndarray, params: Params,
     h = params.cube_hash_dim
     cube = params.bound / h
     crit = params.cell_r + travel_bound + np.sqrt(3.0) * cube / 2.0
+    pos = np.asarray(dipole_pos, np.float64)
+    key = pos.tobytes() + np.float64(crit).tobytes() + \
+        np.int64(h).tobytes() + b"cube_cand.v1"
+    cached = cache_mod.certificate_get("cubec", key)
+    if cached is not None:
+        return cached
     ax = (np.arange(h) + 0.5) * cube
     centers = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"),
                        -1).reshape(-1, 3)
     counts = np.zeros(len(centers), np.int64)
-    for c in dipole_pos:
+    for c in pos:
         d2 = np.sum((centers - c) ** 2, axis=1)
         counts += d2 < crit * crit
-    return int(counts.max())
+    worst = int(counts.max())
+    cache_mod.certificate_put("cubec", key, worst)
+    return worst
 
 
 def validate_near_k(dipole_pos: np.ndarray, params: Params,
@@ -843,8 +852,14 @@ def validate_near_k(dipole_pos: np.ndarray, params: Params,
     if travel_bound is None:
         travel_bound = default_travel_bound(params)
     reach = params.cell_r + travel_bound
-    return _max_count_bound(np.asarray(dipole_pos, np.float64), reach,
-                            params.bound)
+    pos = np.asarray(dipole_pos, np.float64)
+    key = pos.tobytes() + np.float64(reach).tobytes() + b"near_k.v1"
+    cached = cache_mod.certificate_get("neark", key)
+    if cached is not None:
+        return cached
+    worst = _max_count_bound(pos, reach, params.bound)
+    cache_mod.certificate_put("neark", key, worst)
+    return worst
 
 
 def _counts_at(points: np.ndarray, dipole_pos: np.ndarray,

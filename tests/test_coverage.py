@@ -166,6 +166,32 @@ class TestDeterministicBound:
         assert n_at_witness == 6          # the probe check missed this
         assert expansion.validate_near_k(dip, p) >= 6
 
+    def test_certificate_cache_round_trip(self, tmp_path, monkeypatch):
+        """The covering-lattice proof is cached on disk keyed by (dipole
+        set, reach): the second validate_near_k call must hit the cache
+        (observable as no recompute via a counter shim) and return the
+        identical certified bound.  A different reach must miss."""
+        monkeypatch.setenv("MRI_TPU_COMPILE_CACHE", str(tmp_path))
+        rng = np.random.default_rng(3)
+        dip = rng.random((40, 3)) * 9.0
+        p = P.DEFAULT.replace(chunk_steps=1000)
+        calls = []
+        real = expansion._max_count_bound
+
+        def counted(*a, **k):
+            calls.append(1)
+            return real(*a, **k)
+
+        monkeypatch.setattr(expansion, "_max_count_bound", counted)
+        w1 = expansion.validate_near_k(dip, p)
+        w2 = expansion.validate_near_k(dip, p)
+        assert w1 == w2 and len(calls) == 1         # second call cached
+        p2 = p.replace(chunk_steps=4000)            # larger reach: miss
+        expansion.validate_near_k(dip, p2)
+        assert len(calls) == 2
+        certs = list((tmp_path / "certs").iterdir())
+        assert len(certs) == 2
+
     def test_runner_uses_deterministic_guard(self):
         """SimulationRunner must now reject near_k=5 on the seed-0 scene
         at chunk 4000 (round 2 accepted it)."""
