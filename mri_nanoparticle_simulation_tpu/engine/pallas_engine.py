@@ -395,9 +395,12 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                     dz = pz - nz[j]
                     dz2 = dz * dz
                     d2 = dx * dx + dy * dy + dz2
-                    # d2 == 0 only if a walker sits exactly on a dipole
-                    # (measure zero, but inf * 0 = nan poisons the run)
-                    rs = jax.lax.rsqrt(jnp.maximum(d2, 1e-12))
+                    # d2 == 0 (walker exactly on a dipole) sends rsqrt to
+                    # inf and contrib to nan — but d2 = 0 < cell_r2 always
+                    # lands in the masked (in-cell) arm of the select, so
+                    # the nan never escapes and no epsilon clamp is needed
+                    # (cell_r > 0 is enforced by Params.validate)
+                    rs = jax.lax.rsqrt(d2)
                     rs2 = rs * rs
                     inv_r5 = rs2 * rs2 * rs
                     # 2dz^2 - dx^2 - dy^2 == 3dz^2 - d2 (one op cheaper);
@@ -405,9 +408,11 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                     contrib = nM[j] * (3.0 * dz2 - d2) * inv_r5
                     b_near = b_near + jnp.where(d2 > cell_r2, contrib, 0.0)
                     min_d2 = jnp.minimum(min_d2, d2)
-                # one containment decision from the running min instead of
-                # a per-k mask chain
-                inside = jnp.where(min_d2 < cell_r2, 1.0, 0.0).astype(dtype)
+                # the raw running-min distance is returned instead of a
+                # containment mask: the carry must stay f32 (Mosaic cannot
+                # legalize vector<i1> scf.for carries), and carrying
+                # min_d2 lets each step derive the bool with ONE compare
+                # where the float-0/1 scheme cost compare+select+compare
                 ex = px - anchor_x
                 ey = py - anchor_y
                 ez = pz - anchor_z
@@ -415,18 +420,28 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                          + 0.5 * (thxx * ex * ex + thyy * ey * ey
                                   + thzz * ez * ez)
                          + thxy * ex * ey + thxz * ex * ez + thyz * ey * ez)
-                return b_near + b_far, inside
+                return b_near + b_far, min_d2
 
             def one_step(carry, u0, u1, u2, nrm, u_coin, u_kick,
-                         track_maxd2=True):
+                         track_maxd2=True, dirs=None):
                 """The physics of one timestep given its random inputs
                 (simulateDiffusion body, cuda_sim.cu:708-732, fused with
                 the phase kick).  ``track_maxd2=False`` skips the
                 anchor-escape sampling for this step (the hardware-RNG
-                path samples every second step; the bound's 7-sigma margin
-                dwarfs one step's 5.8-sigma travel cap)."""
-                (x, y, z, incell, bprev, acc, maxd2) = carry
-                if params.direction_mode == DIRECTION_CUBE:
+                path samples sparsely; the bound's 7-sigma margin dwarfs
+                the 5.8-sigma single-step travel cap times the sampling
+                stride).  ``dirs`` (hardware cube path): raw direction
+                components already mapped to [-1, 1), bypassing the
+                uniform inputs."""
+                (x, y, z, mind2, bprev, acc, maxd2) = carry
+                # containment bool derived from the carried nearest-dipole
+                # distance (see eval_field: f32 carry, one compare here)
+                incell = mind2 < cell_r2
+                if dirs is not None:
+                    dx, dy, dz = dirs
+                    inv_norm = jax.lax.rsqrt(
+                        jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-12))
+                elif params.direction_mode == DIRECTION_CUBE:
                     dx = 2.0 * u0 - 1.0
                     dy = 2.0 * u1 - 1.0
                     dz = 2.0 * u2 - 1.0
@@ -441,30 +456,34 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                     dz = cos_t
                     inv_norm = 1.0
                 # exact select (bitwise-equal to the scan engine's
-                # jnp.where), one op cheaper than the two-mul blend
-                stdev = jnp.where(incell > 0.5, in_stdev, out_stdev)
+                # jnp.where), one op cheaper than the two-mul blend;
+                # incell is a bool plane so the mask feeds straight in
+                stdev = jnp.where(incell, in_stdev, out_stdev)
                 mag = nrm * stdev * inv_norm
                 x2 = x + dx * mag
                 y2 = y + dy * mag
                 z2 = z + dz * mag
 
-                b, in_new = eval_field(x2, y2, z2)
+                b, mind2_new = eval_field(x2, y2, z2)
+                in_new = mind2_new < cell_r2
 
                 if use_reflection:
-                    cross_out = incell * (1.0 - in_new)
-                    cross_in = (1.0 - incell) * in_new
-                    flip = (cross_out * (u_coin < float(params.reflect_io))
-                            + cross_in * (u_coin < float(params.reflect_oi)))
-                    keep = 1.0 - flip
-                    x2 = keep * x2 + flip * x
-                    y2 = keep * y2 + flip * y
-                    z2 = keep * z2 + flip * z
-                    b = keep * b + flip * bprev
-                    in_new = keep * in_new + flip * incell
+                    # pure boolean crossing logic + selects — value-
+                    # identical to the scan engine's float blend (its
+                    # flip factor is exactly 0 or 1)
+                    flip = ((incell & jnp.logical_not(in_new)
+                             & (u_coin < float(params.reflect_io)))
+                            | (jnp.logical_not(incell) & in_new
+                               & (u_coin < float(params.reflect_oi))))
+                    x2 = jnp.where(flip, x, x2)
+                    y2 = jnp.where(flip, y, y2)
+                    z2 = jnp.where(flip, z, z2)
+                    b = jnp.where(flip, bprev, b)
+                    in_new = jnp.where(flip, incell, in_new)
+                    mind2_new = jnp.where(flip, mind2, mind2_new)
 
                 kick = b * phase_per_tesla
-                intra = intracellular_kick(params, u_kick, in_new > 0.5,
-                                           dtype)
+                intra = intracellular_kick(params, u_kick, in_new, dtype)
                 if intra is not None:
                     kick = kick + intra
                 acc = acc + kick
@@ -475,7 +494,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                     ddz = z2 - anchor_z
                     maxd2 = jnp.maximum(maxd2,
                                         ddx * ddx + ddy * ddy + ddz * ddz)
-                return (x2, y2, z2, in_new, b, acc, maxd2)
+                return (x2, y2, z2, mind2_new, b, acc, maxd2)
 
             def run_window(win_step0, carry):
                 if rng_impl == RNG_THREEFRY:
@@ -501,31 +520,67 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                 extra = (1 if use_reflection else 0) + \
                     (1 if use_kick_u else 0)
 
-                def body2(i, c):
+                pack_dirs = params.direction_mode == DIRECTION_CUBE
+
+                def unpack_pm1(word):
+                    """Two [-1, 1) floats from one uint32: 16-bit halves,
+                    each converted with a single fused multiply-add.
+                    16-bit direction resolution quantizes the step by
+                    ~7e-8 um — four orders below the f32 position ulp at
+                    box scale; the normal magnitude keeps full 24-bit
+                    resolution (its tail cap is a travel-bound input)."""
+                    hi = jax.lax.bitcast_convert_type(
+                        word >> jnp.uint32(16), jnp.int32)
+                    lo = jax.lax.bitcast_convert_type(
+                        word & jnp.uint32(0xFFFF), jnp.int32)
+                    scale = dtype(2.0 ** -15)
+                    return (hi.astype(dtype) * scale - 1.0,
+                            lo.astype(dtype) * scale - 1.0)
+
+                def body2(i, c, track2=True):
                     del i
-                    w = hw_bits(8 + 2 * extra)
                     # polynomial Box-Muller (rng.fast_normal_pair): ~4x
                     # cheaper than library log/cos/sin, ~1e-5-sigma accurate
-                    n1, n2 = rng.fast_normal_pair(w[6], w[7])
-                    nw = 8
+                    if pack_dirs:
+                        # direction components ride 16-bit word halves:
+                        # 5 draws per step pair instead of 8 (each
+                        # prng_random_bits costs ~6 VPU-ops — measured
+                        # 17.0 -> 18.9e9 steps/s with all 7 extra draws
+                        # removed)
+                        w = hw_bits(5 + 2 * extra)
+                        n1, n2 = rng.fast_normal_pair(w[3], w[4])
+                        dx1, dy1 = unpack_pm1(w[0])
+                        dz1, dx2 = unpack_pm1(w[1])
+                        dy2, dz2 = unpack_pm1(w[2])
+                        d1, d2_ = (dx1, dy1, dz1), (dx2, dy2, dz2)
+                        u = (None,) * 6
+                        nw = 5
+                    else:
+                        w = hw_bits(8 + 2 * extra)
+                        n1, n2 = rng.fast_normal_pair(w[6], w[7])
+                        d1 = d2_ = None
+                        u = tuple(uni(w[j]) for j in range(6))
+                        nw = 8
                     coin1 = uni(w[nw]) if use_reflection else None
                     coin2 = uni(w[nw + 1]) if use_reflection else None
                     nw += 2 if use_reflection else 0
                     kick1 = uni(w[nw]) if use_kick_u else None
                     kick2 = uni(w[nw + 1]) if use_kick_u else None
-                    c = one_step(c, uni(w[0]), uni(w[1]), uni(w[2]), n1,
-                                 coin1, kick1, track_maxd2=False)
-                    c = one_step(c, uni(w[3]), uni(w[4]), uni(w[5]), n2,
-                                 coin2, kick2)
-                    return c
+                    c = one_step(c, u[0], u[1], u[2], n1,
+                                 coin1, kick1, track_maxd2=False, dirs=d1)
+                    return one_step(c, u[3], u[4], u[5], n2,
+                                    coin2, kick2, track_maxd2=track2,
+                                    dirs=d2_)
                 if params.pfreq % 4 == 0:
                     # 2x-unrolled pair loop (4 steps/iteration): pipelines
                     # the rsqrt/select dependency chains across step pairs
                     # — measured +3.6% (16.5 -> 17.1e9 walker-steps/s),
                     # bitwise-identical output.  A 4x version compiles
                     # pathologically slowly in Mosaic for no further gain.
+                    # Escape sampling runs once per 4-step body (the
+                    # 7-sigma travel margin dwarfs the <=3-step lag).
                     def body4(i, c):
-                        return body2(i, body2(i, c))
+                        return body2(i, body2(i, c, track2=False))
                     carry = jax.lax.fori_loop(0, params.pfreq // 4,
                                               body4, carry)
                 else:
@@ -543,15 +598,16 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                 return carry
 
             # chunk-start state (anchor == wrapped input position)
-            b_start, in_start = eval_field(x, y, z)
+            b_start, mind2_start = eval_field(x, y, z)
             maxd2 = jnp.zeros_like(x)
-            carry = (x, y, z, in_start, b_start, jnp.zeros_like(x), maxd2)
+            carry = (x, y, z, mind2_start, b_start, jnp.zeros_like(x),
+                     maxd2)
             for w_idx in range(n_win):
                 win_step0 = chunk_step0 + jnp.uint32(w_idx * params.pfreq)
-                x, y, z, incell, bprev, _, maxd2 = carry
-                carry = (x, y, z, incell, bprev, jnp.zeros_like(x), maxd2)
+                x, y, z, mind2, bprev, _, maxd2 = carry
+                carry = (x, y, z, mind2, bprev, jnp.zeros_like(x), maxd2)
                 carry = run_window(win_step0, carry)
-                (x, y, z, incell, bprev, acc, maxd2) = carry
+                (x, y, z, mind2, bprev, acc, maxd2) = carry
 
                 # Kahan fold (performUpdate, cuda_sim.cu:814-828)
                 ky = acc - comp
@@ -569,8 +625,8 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                 phase = phase * sign
                 comp = comp * sign
 
-            (x, y, z, incell, _, _, maxd2) = carry
-            return x, y, z, incell, phase, comp, maxd2
+            (x, y, z, mind2, _, _, maxd2) = carry
+            return x, y, z, mind2 < cell_r2, phase, comp, maxd2
 
         x, y, z = state[0], state[1], state[2]
         incell, phase, comp = state[3], state[4], state[5]
@@ -600,7 +656,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         o_state[0] = x
         o_state[1] = y
         o_state[2] = z
-        o_state[3] = incell
+        o_state[3] = incell.astype(dtype)  # bool plane -> f32 0/1 state row
         o_state[4] = phase
         o_state[5] = comp
         o_esc[:] = esc_count
