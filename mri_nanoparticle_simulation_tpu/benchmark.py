@@ -46,8 +46,8 @@ def main():
     # side is just a scan over kernel launches.
     p = Params(chunk_steps=4000, near_k=5, sprint_steps=20000).validate()
     sc = BacteriaBox(p, seed=42).populate()
-    mnp_pos = jnp.asarray(sc.mnps[:, :3], jnp.float32)
-    mnp_M = jnp.asarray(sc.mnps[:, 4], jnp.float32)
+    mnp_pos = jnp.asarray(np.asarray(sc.mnps[:, :3], np.float32))
+    mnp_M = jnp.asarray(np.asarray(sc.mnps[:, 4], np.float32))
     k = rng.key_from_seed(7)
     key_arr = jnp.asarray([np.uint32(k[0]), np.uint32(k[1])])
     state = reference_engine.init_state(sc.waters, p, jnp.float32)

@@ -90,16 +90,22 @@ def pad_count(num_water: int) -> int:
 def to_planes(state: WalkerState, params: Params) -> PlaneState:
     """[W]-vector state -> padded [R, 128] planes.  Dummy lanes (beyond
     num_water) start at the box center and simply diffuse; the `valid`
-    mask (built in make_sprint_fn) excludes them from magnetization sums."""
+    mask (built in make_sprint_fn) excludes them from magnetization sums.
+
+    Host-NumPy inputs (the init_state/checkpoint form) stay NumPy: the
+    result is consumed as a jitted-sprint argument (pure transfer),
+    whereas jnp padding ops here cost ~6 small device compiles of CLI
+    startup through the axon tunnel."""
+    xp = np if isinstance(state.pos, np.ndarray) else jnp
     w = state.pos.shape[0]
     wp = pad_count(w)
     r = wp // LANES
 
     def plane(x, fill):
-        return jnp.concatenate(
-            [x, jnp.full((wp - w,), fill, x.dtype)]).reshape(r, LANES)
+        return xp.concatenate(
+            [x, xp.full((wp - w,), fill, x.dtype)]).reshape(r, LANES)
 
-    half = jnp.asarray(params.bound / 2, state.pos.dtype)
+    half = xp.asarray(params.bound / 2, state.pos.dtype)
     return PlaneState(
         px=plane(state.pos[:, 0], half),
         py=plane(state.pos[:, 1], half),
@@ -928,6 +934,7 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
         return inner(mnp_pos, mnp_M, key_arr, ps, lane_offset,
                      cache=cache, tcp=tcp, cell_r=cell_r)
 
+    guarded.inner = inner   # AOT warm-start hooks .lower() (engine/aot.py)
     return guarded
 
 

@@ -101,17 +101,22 @@ def init_state(waters: np.ndarray, params: Params,
     """``phase_dtype`` (default = dtype) sets the phase-accumulation
     precision independently of the trajectory precision — positions never
     depend on phase, so f32 trajectories with f64 phase isolate the
-    accumulation drift exactly (the accuracy dossier's precision arm)."""
+    accumulation drift exactly (the accuracy dossier's precision arm).
+
+    Built as host NumPy arrays on purpose: the state is only ever
+    consumed as a jitted-function argument (a pure transfer), while
+    building it with jnp ops dispatched ~6 tiny device compiles at ~0.4 s
+    each through the axon tunnel — pure CLI-startup tax (measured r3)."""
     w = waters.shape[0]
     pdt = phase_dtype or dtype
     return WalkerState(
-        pos=jnp.asarray(waters, dtype),
-        in_cell=jnp.zeros(w, jnp.bool_),   # refreshed at first chunk start
-        phase=jnp.zeros(w, pdt),
-        phase_comp=jnp.zeros(w, pdt),
-        step=jnp.uint32(0),
-        escapes=jnp.int32(0),
-        coverage=jnp.int32(0),
+        pos=np.asarray(waters, dtype),
+        in_cell=np.zeros(w, np.bool_),   # refreshed at first chunk start
+        phase=np.zeros(w, pdt),
+        phase_comp=np.zeros(w, pdt),
+        step=np.uint32(0),
+        escapes=np.int32(0),
+        coverage=np.int32(0),
     )
 
 

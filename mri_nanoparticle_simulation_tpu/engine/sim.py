@@ -124,8 +124,12 @@ class SimulationRunner:
                         f"(configured {params.cube_candidates}); raise it "
                         f"or shrink cube_hash_dim cubes")
 
-        self.mnp_pos = jnp.asarray(self.scene.mnps[:, :3], dtype)
-        self.mnp_M = jnp.asarray(self.scene.mnps[:, 4], dtype)
+        # cast in NumPy, transfer uncast: jnp.asarray(f64_array, f32)
+        # compiles a device convert_element_type (~0.4 s of startup
+        # through the axon tunnel); np.ascontiguousarray+transfer doesn't
+        self.mnp_pos = jnp.asarray(np.asarray(self.scene.mnps[:, :3],
+                                              dtype))
+        self.mnp_M = jnp.asarray(np.asarray(self.scene.mnps[:, 4], dtype))
         k = rng.key_from_seed(seed)
         self.key_arr = jnp.asarray([np.uint32(k[0]), np.uint32(k[1])])
 
@@ -150,6 +154,9 @@ class SimulationRunner:
             self._cache = expansion.build_cache(
                 self.mnp_pos, self.mnp_M, params)
 
+        self.state = reference_engine.init_state(
+            self.scene.waters, params, dtype)
+
         if mesh is not None:
             from ..parallel import sharding
             if engine == "pallas":
@@ -164,14 +171,38 @@ class SimulationRunner:
                 self._sprint = sharding.make_sharded_sprint_fn(
                     params, mesh, dtype)
         elif engine == "pallas":
-            self._sprint = pallas_engine.make_sprint_fn(
-                params, params.num_water, dtype, rng_impl, interpret)
+            self._sprint = self._make_pallas_sprint(interpret)
         else:
             self._sprint = reference_engine.make_sprint_fn(
                 params, dtype, field_grid=self._field_grid)
 
-        self.state = reference_engine.init_state(
-            self.scene.waters, params, dtype)
+    def _make_pallas_sprint(self, interpret: bool):
+        """Single-device pallas sprint, AOT-warm-started when possible.
+
+        A repeat CLI run deserializes the cached compiled executable
+        directly (engine/aot.py), skipping ~3.5 s of client-side tracing
+        + Mosaic lowering (measured r3).  Scenes needing the cube cache,
+        interpret mode, and every load/serialize failure fall back to
+        the ordinary jit path."""
+        from . import aot
+        params = self.params
+        if interpret or self._cache is not None:
+            return pallas_engine.make_sprint_fn(
+                params, params.num_water, self.dtype, self.rng_impl,
+                interpret)
+        n_mnp = int(self.mnp_pos.shape[0])
+        fn = aot.load_sprint(params, params.num_water, n_mnp, self.dtype,
+                             self.rng_impl)
+        if fn is not None:
+            return fn
+        base = pallas_engine.make_sprint_fn(
+            params, params.num_water, self.dtype, self.rng_impl,
+            interpret)
+        example = (self.mnp_pos, self.mnp_M, self.key_arr,
+                   pallas_engine.to_planes(self.state, params), 0)
+        fn = aot.compile_and_save(base.inner, params, params.num_water,
+                                  example, self.dtype, self.rng_impl)
+        return fn if fn is not None else base
 
     # -- state plumbing ------------------------------------------------------
 

@@ -31,7 +31,11 @@ def enable_compile_cache(path: str | None = None) -> str:
     path = path or _default_dir()
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Persist EVERYTHING: through the axon tunnel even a trivial
+    # convert_element_type/reshape costs ~0.4 s of compile RPC, and a CLI
+    # startup dispatches a dozen of them — with the default 1 s threshold
+    # none were ever cached, so every process re-paid ~5 s (measured r3)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     return path
 
 

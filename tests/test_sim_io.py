@@ -363,3 +363,44 @@ class TestSweepKnobValidation:
                       "--taucp", "0.001", "--hash-dim", "8",
                       "--sweep", "tcp", "--sweep-values", "500,1000",
                       "--out", str(tmp_path / "x.csv")])
+
+
+class TestAotWarmStart:
+    """engine/aot.py: the executable cache is an accelerator, never a
+    correctness dependency — every miss/corruption must fall back."""
+
+    def test_key_stability_and_source_sensitivity(self):
+        from mri_nanoparticle_simulation_tpu.engine import aot
+        import jax.numpy as jnp
+        p = P.small_test_params(num_water=64)
+        k1 = aot._cache_key(p, 64, 100, jnp.float32, "hardware")
+        k2 = aot._cache_key(p, 64, 100, jnp.float32, "hardware")
+        assert k1 == k2
+        assert k1 != aot._cache_key(p, 64, 100, jnp.float32, "threefry")
+        assert k1 != aot._cache_key(p, 128, 100, jnp.float32, "hardware")
+        assert k1 != aot._cache_key(p.replace(near_k=p.near_k + 1), 64,
+                                    100, jnp.float32, "hardware")
+
+    def test_missing_and_corrupt_entries_fall_back(self, tmp_path,
+                                                   monkeypatch):
+        from mri_nanoparticle_simulation_tpu.engine import aot
+        from mri_nanoparticle_simulation_tpu.utils import cache as cm
+        import jax.numpy as jnp
+        monkeypatch.setenv("MRI_TPU_COMPILE_CACHE", str(tmp_path))
+        p = P.small_test_params(num_water=64)
+        assert aot.load_sprint(p, 64, 100, jnp.float32, "hardware") is None
+        key = aot._cache_key(p, 64, 100, jnp.float32, "hardware")
+        import os
+        os.makedirs(os.path.dirname(aot._path(key)), exist_ok=True)
+        with open(aot._path(key), "wb") as f:
+            f.write(b"not a pickle")
+        assert aot.load_sprint(p, 64, 100, jnp.float32, "hardware") is None
+
+    def test_runner_falls_back_on_cpu(self, p):
+        """On backends whose executables can't be serialized (CPU),
+        SimulationRunner must still run via the jit path."""
+        r = SimulationRunner(p, scene_seed=1, seed=2, engine="pallas",
+                             rng_impl="threefry", interpret=True)
+        _, cos, _, stats = r.run()
+        assert stats["steps"] == p.t
+        assert np.isfinite(cos).all()
