@@ -44,7 +44,12 @@ def main():
     # miss); the lattice bound closed that hole.  The recandidate runs
     # inside the chunk kernel (pallas_engine REBUILD path), so the XLA
     # side is just a scan over kernel launches.
-    p = Params(chunk_steps=4000, near_k=5, sprint_steps=20000).validate()
+    # sprint_steps is host-dispatch batching only (no physics/output
+    # effect); 2e6 is the production CLI batching — 20k-step sprints
+    # measure ~5% slower purely from 100x more dispatch round trips
+    # through the axon tunnel (1.79e10 vs 1.89e10, measured r3)
+    p = Params(chunk_steps=4000, near_k=5,
+               sprint_steps=2_000_000).validate()
     sc = BacteriaBox(p, seed=42).populate()
     mnp_pos = jnp.asarray(np.asarray(sc.mnps[:, :3], np.float32))
     mnp_M = jnp.asarray(np.asarray(sc.mnps[:, 4], np.float32))
@@ -57,10 +62,10 @@ def main():
             p, p.num_water, jnp.float32,
             rng_impl=pallas_engine.RNG_HARDWARE)
         ps = pallas_engine.to_planes(state, p)
-        # 200 sprints ~ 1.1 s of device time: amortizes the one final
+        # 10 sprints ~ 4.3 s of device time: amortizes the one final
         # host sync (~26 ms through the axon tunnel, which a smaller N
         # would book as fake per-sprint cost)
-        n_sprints = 200
+        n_sprints = 10
 
         def run_one(ps):
             return sprint(mnp_pos, mnp_M, key_arr, ps, 0)

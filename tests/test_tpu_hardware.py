@@ -1,0 +1,217 @@
+"""Hardware-executed breadth tests (VERDICT r2 item 6).
+
+Everything here runs ONLY under ``MRI_TPU_TESTS=1`` on a real chip
+(conftest skips otherwise): interpret-mode equivalence is good, but it is
+not the Mosaic compiler, and these are the paths users actually run —
+checkpoint/resume round trips, pallas ensembles, the sweep/ensemble CLI,
+the grid oracle backend, the big-scene fused recandidate with a live far
+table, the runtime coverage sentinel, and the AOT warm-start cache.
+Configs are kept tiny so each compile through the axon service stays
+small; physics assertions mirror the CPU suite's.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mri_nanoparticle_simulation_tpu import params as P
+from mri_nanoparticle_simulation_tpu import rng
+from mri_nanoparticle_simulation_tpu.engine import pallas_engine as pe
+from mri_nanoparticle_simulation_tpu.engine import reference_engine as re
+from mri_nanoparticle_simulation_tpu.engine import sim
+from mri_nanoparticle_simulation_tpu.engine.sim import SimulationRunner
+from mri_nanoparticle_simulation_tpu.fields import expansion
+from mri_nanoparticle_simulation_tpu.io import writer as wr
+from mri_nanoparticle_simulation_tpu.scene import BacteriaBox
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module")
+def p():
+    return P.small_test_params(num_water=128, totaltime=0.002,
+                               sprint_steps=500)
+
+
+class TestCheckpointResumeHardware:
+    def test_pallas_resume_matches_uninterrupted(self, p, tmp_path):
+        """Checkpoint at sprint 2 of 4 under the production engine +
+        hardware PRNG, resume in a fresh runner: final walker state must
+        be bitwise identical (the hardware PRNG reseeds per (chunk, key),
+        so a resume replays the exact stream)."""
+        ckpt = str(tmp_path / "hw.npz")
+        full = SimulationRunner(p, scene_seed=3, seed=4, engine="pallas")
+        _, cos_full, _, _ = full.run()
+
+        first = SimulationRunner(p, scene_seed=3, seed=4, engine="pallas")
+        first.run(max_steps=2 * p.sprint_steps, checkpoint_path=ckpt)
+
+        second = SimulationRunner(p, scene_seed=3, seed=4, engine="pallas")
+        second.resume(ckpt)
+        _, cos_rest, _, _ = second.run()
+
+        np.testing.assert_array_equal(np.asarray(second.state.pos),
+                                      np.asarray(full.state.pos))
+        np.testing.assert_array_equal(np.asarray(second.state.phase),
+                                      np.asarray(full.state.phase))
+        n_rest = len(cos_rest)
+        np.testing.assert_allclose(cos_full[-n_rest:], cos_rest,
+                                   atol=1e-4)
+
+
+class TestEnsembleHardware:
+    def test_pallas_ensemble_matches_scan(self, p):
+        """run_ensemble on the production pallas engine vs the scan
+        engine under the shared Threefry streams: identical trials."""
+        from mri_nanoparticle_simulation_tpu.parallel import ensemble
+        _, cos_p, _, st_p = ensemble.run_ensemble(
+            p, n_trials=2, base_seed=0, run_seed=50, engine="pallas",
+            rng_impl="threefry")
+        _, cos_s, _, st_s = ensemble.run_ensemble(
+            p, n_trials=2, base_seed=0, run_seed=50, engine="scan")
+        np.testing.assert_allclose(np.asarray(st_p.pos),
+                                   np.asarray(st_s.pos), atol=1e-4)
+        np.testing.assert_allclose(cos_p, cos_s, atol=0.05)
+
+    def test_ensemble_cli_smoke(self, p, tmp_path):
+        """--ensemble through main() end-to-end on the chip."""
+        out = str(tmp_path / "ens.csv")
+        rc = sim.main(["--num-water", "128", "--num-cells", "12",
+                       "--totaltime", "0.002", "--sprint-steps", "1000",
+                       "--chunk-steps", "1000", "--near-k", "6",
+                       "--taucp", "0.001", "--hash-dim", "8",
+                       "--ensemble", "2", "--out", out])
+        assert rc == 0
+        t, c = wr.read_t2_csv(out)   # CLI default pfreq=1000 -> 2 rows
+        assert len(t) == 2 and np.isfinite(c).all()
+
+
+class TestSweepCliHardware:
+    def test_sweep_cli_smoke(self, p, tmp_path):
+        """--sweep mmoment through main(): one compiled program, one CSV
+        per value, finite physics in each."""
+        import os
+        out = str(tmp_path / "sw.csv")
+        rc = sim.main(["--num-water", "128", "--num-cells", "12",
+                       "--totaltime", "0.002", "--sprint-steps", "1000",
+                       "--chunk-steps", "1000", "--near-k", "6",
+                       "--taucp", "0.001", "--hash-dim", "8",
+                       "--sweep", "mmoment",
+                       "--sweep-values", "0,3.5e-16", "--out", out])
+        assert rc == 0
+        stem = str(tmp_path / "sw")
+        paths = [f"{stem}_mmoment=0.csv", f"{stem}_mmoment=3.5e-16.csv"]
+        assert all(os.path.exists(q) for q in paths)
+        _, c0 = wr.read_t2_csv(paths[0])
+        _, c1 = wr.read_t2_csv(paths[1])
+        # mmoment=0: no dipole field, phase stays at the kick-only value
+        assert np.abs(c1 - 128.0).max() >= np.abs(c0 - 128.0).max()
+
+
+class TestGridOracleHardware:
+    def test_grid_backend_curve_matches_exact(self, p):
+        """The FIELD_GRID oracle (the reference octree's direct
+        analogue) vs the exact brute-force field, both on the chip."""
+        pv = p.replace(num_water=64, mmoment=3.5e-15)
+        sc = BacteriaBox(pv, seed=5).populate()
+        _, ce, _, ste = re.run_simulation(
+            sc, pv.replace(field_mode=P.FIELD_EXACT), seed=3)
+        _, cg, _, stg = re.run_simulation(
+            sc, pv.replace(field_mode=P.FIELD_GRID, grid_n=64), seed=3)
+        d = np.abs(np.mod(np.asarray(ste.pos), pv.bound)
+                   - np.asarray(stg.pos))
+        d = np.minimum(d, pv.bound - d)
+        np.testing.assert_allclose(d, 0.0, atol=1e-4)
+        err = np.abs(np.asarray(ce) - np.asarray(cg)) / pv.num_water
+        assert np.sqrt((err ** 2).mean()) < 2e-3
+
+
+class TestBigScenePathHardware:
+    def test_fused_recand_with_live_far_table(self, monkeypatch):
+        """The fused candidate-model recandidate under real Mosaic with a
+        NON-trivial far table (the production big-scene configuration;
+        the existing hardware test pins the far table to zero via an
+        exact partition).  Tolerance = the far-table truncation bound
+        measured in tests/test_fields.py::TestFarTable."""
+        pv = P.small_test_params(num_water=128, totaltime=0.001,
+                                 sprint_steps=500, mmoment=3.5e-15,
+                                 cube_hash_dim=4, cube_candidates=48,
+                                 far_table_order=5)
+        sc = BacteriaBox(pv, seed=3).populate()
+        need = expansion.validate_cube_candidates(sc.mnps[:, :3], pv)
+        assert need <= pv.cube_candidates
+        mp = jnp.asarray(np.asarray(sc.mnps[:, :3], np.float32))
+        mM = jnp.asarray(np.asarray(sc.mnps[:, 4], np.float32))
+        cache = expansion.build_cache(mp, mM, pv)
+        assert cache.far_coeffs is not None
+        monkeypatch.setattr(pe, "REBUILD_MAX_MNPS", 0)
+        sprint = pe.make_sprint_fn(pv, 128)
+        kk = rng.key_from_seed(9)
+        key_arr = jnp.asarray([np.uint32(kk[0]), np.uint32(kk[1])])
+        ps = pe.to_planes(re.init_state(sc.waters, pv), pv)
+        outs = []
+        for _ in range(pv.t // pv.sprint_steps):
+            ps, wins = sprint(mp, mM, key_arr, ps, 0, cache)
+            outs.append(wins)
+        wins = np.asarray(jnp.concatenate(outs, axis=0))
+        st = pe.from_planes(ps, 128)
+        _, c2, _, st2 = re.run_simulation(sc, pv, seed=9)
+        np.testing.assert_allclose(np.asarray(st.pos),
+                                   np.asarray(st2.pos), atol=1e-3)
+        np.testing.assert_allclose(wins[:, 0], c2, atol=0.1)
+
+
+class TestCoverageSentinelHardware:
+    """The runtime residency counter (reference DEBUG_TREE asserts,
+    octree.cpp:39-41) through real Mosaic — both kernel modes."""
+
+    def _dense(self, near_k):
+        return P.small_test_params(near_k=near_k, chunk_steps=200,
+                                   num_cells=20, cell_r=0.9, bound=8.0,
+                                   water_start_bound=7.0,
+                                   totaltime=0.001, sprint_steps=1000,
+                                   taucp=0.0002)
+
+    def test_undersized_k_counts_violations(self):
+        p = self._dense(near_k=1)
+        sc = BacteriaBox(p, seed=2).populate()
+        assert expansion.validate_near_k(sc.mnps[:, :3], p) > 1
+        _, _, _, st = pe.run_simulation(sc, p, seed=3)
+        assert int(np.asarray(st.coverage)) > 0
+
+    def test_validated_k_counts_zero(self):
+        p = self._dense(near_k=1)
+        sc = BacteriaBox(p, seed=2).populate()
+        need = expansion.validate_near_k(sc.mnps[:, :3], p)
+        _, _, _, st = pe.run_simulation(sc, p.replace(near_k=need),
+                                        seed=3)
+        assert int(np.asarray(st.coverage)) == 0
+
+
+class TestAotWarmStartHardware:
+    def test_aot_roundtrip_bitwise(self, p, tmp_path, monkeypatch):
+        """serialize -> fresh deserialize -> identical windows, and the
+        executable cache round-trips through disk on the real backend."""
+        from mri_nanoparticle_simulation_tpu.engine import aot
+        monkeypatch.setenv("MRI_TPU_COMPILE_CACHE", str(tmp_path))
+        sc = BacteriaBox(p, seed=3).populate()
+        mp = jnp.asarray(np.asarray(sc.mnps[:, :3], np.float32))
+        mM = jnp.asarray(np.asarray(sc.mnps[:, 4], np.float32))
+        kk = rng.key_from_seed(5)
+        key_arr = jnp.asarray([np.uint32(kk[0]), np.uint32(kk[1])])
+        ps0 = pe.to_planes(re.init_state(sc.waters, p), p)
+
+        base = pe.make_sprint_fn(p, p.num_water)
+        saved = aot.compile_and_save(
+            base.inner, p, p.num_water,
+            (mp, mM, key_arr, ps0, 0), jnp.float32, "hardware")
+        assert saved is not None, "axon backend refused serialization"
+        loaded = aot.load_sprint(p, p.num_water, int(mp.shape[0]),
+                                 jnp.float32, "hardware")
+        assert loaded is not None
+
+        _, w_jit = base(mp, mM, key_arr, ps0, 0)
+        _, w_aot = loaded(mp, mM, key_arr, ps0, 0)
+        np.testing.assert_array_equal(np.asarray(w_jit),
+                                      np.asarray(w_aot))
