@@ -392,6 +392,11 @@ def main(argv=None):
     ap.add_argument("--impermeable", action="store_true",
                     help="reflectIO = reflectOI = 1")
     ap.add_argument("--engine", default="pallas", choices=ENGINES)
+    ap.add_argument("--shard-walkers", action="store_true",
+                    help="shard walkers over ALL local devices "
+                         "(jax.sharding.Mesh; window sums psum over "
+                         "ICI) — bitwise-identical to the single-device "
+                         "run, for multi-chip hosts")
     ap.add_argument("--drain-depth", type=int, default=32,
                     help="sprints dispatched between CSV drains; a crash "
                          "loses up to this many sprints of rows (1 = "
@@ -504,6 +509,10 @@ def main(argv=None):
             (args.checkpoint or args.resume or args.checkpoint_every):
         ap.error("--checkpoint/--resume are single-run features; drop "
                  "them for --ensemble/--sweep runs")
+    if args.shard_walkers and (args.sweep or args.ensemble > 1):
+        ap.error("--shard-walkers shards ONE population; ensembles/"
+                 "sweeps already parallelize over the device mesh "
+                 "per trial — drop one of the flags")
     # ensembles/sweeps run the same RNG the single-run path would
     # (SimulationRunner defaults to the hardware PRNG on pallas)
     if args.rng is not None:
@@ -576,9 +585,15 @@ def main(argv=None):
               file=sys.stderr)
         return 0
 
+    mesh = None
+    if args.shard_walkers:
+        from ..parallel import sharding
+        mesh = sharding.make_walker_mesh()
+        print(f"Sharding walkers over {mesh.shape[sharding.WALKER_AXIS]} "
+              f"device(s)", file=sys.stderr)
     runner = SimulationRunner(params, scene_seed=args.scene_seed,
                               seed=args.seed, engine=args.engine,
-                              rng_impl=cli_rng)
+                              rng_impl=cli_rng, mesh=mesh)
     if args.resume:
         runner.resume(args.resume)
 

@@ -404,3 +404,27 @@ class TestAotWarmStart:
         _, cos, _, stats = r.run()
         assert stats["steps"] == p.t
         assert np.isfinite(cos).all()
+
+
+class TestShardWalkersCli:
+    def test_sharded_csv_matches_unsharded(self, tmp_path):
+        """--shard-walkers over the 8-device virtual mesh must reproduce
+        the single-device CSV exactly (threefry streams are lane-keyed,
+        so sharding has no physical footprint)."""
+        base = ["--num-water", "64", "--num-cells", "12",
+                "--totaltime", "0.002", "--sprint-steps", "1000",
+                "--chunk-steps", "1000", "--near-k", "6",
+                "--taucp", "0.001", "--hash-dim", "8",
+                "--engine", "scan"]
+        a = str(tmp_path / "plain.csv")
+        b = str(tmp_path / "sharded.csv")
+        assert sim.main(base + ["--out", a]) == 0
+        assert sim.main(base + ["--shard-walkers", "--out", b]) == 0
+        ta, ca = wr.read_t2_csv(a)
+        tb, cb = wr.read_t2_csv(b)
+        np.testing.assert_array_equal(ca, cb)
+
+    def test_rejected_with_ensemble(self, tmp_path):
+        with pytest.raises(SystemExit):
+            sim.main(["--shard-walkers", "--ensemble", "2",
+                      "--out", str(tmp_path / "x.csv")])
