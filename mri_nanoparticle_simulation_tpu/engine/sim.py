@@ -270,7 +270,8 @@ class SimulationRunner:
     def run(self, csv_path: Optional[str] = None, quadrature: bool = False,
             checkpoint_path: Optional[str] = None,
             checkpoint_every_sprints: int = 0, progress: bool = True,
-            max_steps: Optional[int] = None, drain_depth: int = 32):
+            max_steps: Optional[int] = None, drain_depth: int = 32,
+            fault_hook=None, drain_timeout_s: Optional[float] = None):
         """Run from the current state to completion, streaming CSV.
 
         ``drain_depth`` is the durability/throughput tradeoff: sprints
@@ -281,10 +282,21 @@ class SimulationRunner:
         therefore loses up to ``drain_depth`` sprints of rows; pass 1
         for per-sprint durability at ~25 ms/sprint extra latency.
 
+        ``fault_hook``: optional callable invoked with the absolute
+        sprint index before each dispatch — the chaos-testing seam for
+        the elastic-recovery layer (engine/resilience.py); anything it
+        raises is handled exactly like a device failure.
+
+        ``drain_timeout_s``: watchdog deadline on every device readback;
+        a drain that exceeds it raises ``resilience.WatchdogTimeout``
+        instead of blocking forever (the reference's only watchdog was
+        the PBS job walltime, SURVEY §5).
+
         Returns (times_ms, sum_cos, sum_sin, stats_dict).
         """
         if drain_depth < 1:
             raise ValueError("drain_depth must be >= 1")
+        self._drain_timeout_s = drain_timeout_s
         p = self.params
         total = p.t if max_steps is None else min(p.t, max_steps)
         start_step = int(np.asarray(self.state.step))
@@ -309,6 +321,8 @@ class SimulationRunner:
         depth = drain_depth
         try:
             for i in range(n_sprints):
+                if fault_hook is not None:
+                    fault_hook(start_step // p.sprint_steps + i)
                 wins = self._run_sprint()
                 pending.append((start_step // p.pfreq + i * win_per_sprint,
                                 wins))
@@ -356,16 +370,27 @@ class SimulationRunner:
         }
         return times, wins[:, 0], wins[:, 1], stats
 
-    @staticmethod
-    def _drain_batch(pending, writer, all_wins):
-        """Fetch all pending sprints' window sums in ONE device->host
-        transfer (each np.asarray pays a full dispatch round trip, so
-        fetching sprint by sprint would cost more than the physics)."""
+    def _fetch_pending(self, pending):
+        """The one blocking device->host transfer: all pending sprints'
+        window sums in ONE fetch (each np.asarray pays a full dispatch
+        round trip, so fetching sprint by sprint would cost more than
+        the physics).  Split out so the watchdog can bound it and tests
+        can inject hangs."""
+        import jax.numpy as jnp
+        return np.asarray(jnp.concatenate([w for _, w in pending], axis=0))
+
+    def _drain_batch(self, pending, writer, all_wins):
         if not pending:
             return
-        import jax.numpy as jnp
         first_idx = pending[0][0]
-        wins = np.asarray(jnp.concatenate([w for _, w in pending], axis=0))
+        timeout = getattr(self, "_drain_timeout_s", None)
+        if timeout is not None:
+            from . import resilience
+            wins = resilience.watchdog_call(
+                lambda: self._fetch_pending(pending), timeout,
+                what=f"drain of {len(pending)} pending sprint(s)")
+        else:
+            wins = self._fetch_pending(pending)
         pending.clear()
         all_wins.append(wins)
         if writer is not None:
@@ -438,6 +463,22 @@ def main(argv=None):
                          "divide the total step count)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--scene-seed", type=int, default=0)
+    ap.add_argument("--scene-family", default="bacteria",
+                    choices=["bacteria", "clustered", "fcc"],
+                    help="cell geometry: 'bacteria' = uniform random "
+                         "throws (BacteriaBox.cpp:49-72), 'clustered' = "
+                         "Gaussian clumps (octree-adaptivity stress "
+                         "family), 'fcc' = deterministic face-centered-"
+                         "cubic lattice (the reference lineage's "
+                         "fcc_diffusion.h geometry, octree_test.cpp:14)")
+    ap.add_argument("--n-clusters", type=int, default=8,
+                    help="cluster count for --scene-family clustered")
+    ap.add_argument("--cluster-sigma", type=float, default=1.5,
+                    help="cluster spread (µm) for clustered scenes")
+    ap.add_argument("--lattice-a", type=float, default=None,
+                    help="FCC cubic lattice constant (µm); default "
+                         "sizes the lattice to host num_cells centered "
+                         "sites")
     ap.add_argument("--out", default=None,
                     help="CSV path (default: reference-style filename)")
     ap.add_argument("--quadrature", action="store_true",
@@ -446,6 +487,19 @@ def main(argv=None):
     ap.add_argument("--checkpoint-every", type=int, default=0,
                     help="sprints between checkpoints")
     ap.add_argument("--resume", default=None)
+    ap.add_argument("--max-retries", type=int, default=0, metavar="N",
+                    help="elastic recovery: on a device failure, rebuild "
+                         "the runner, resume from --checkpoint (trimming "
+                         "CSV rows past it) and retry, up to N "
+                         "consecutive failures without progress; "
+                         "requires --checkpoint and --checkpoint-every. "
+                         "The reference aborted on any CUDA error "
+                         "(HANDLE_ERROR, cuda_sim.cu:407)")
+    ap.add_argument("--drain-timeout", type=float, default=None,
+                    metavar="SECONDS",
+                    help="watchdog deadline on each device readback; a "
+                         "hung drain raises (and, with --max-retries, "
+                         "recovers) instead of blocking forever")
     ap.add_argument("--ensemble", type=int, default=1, metavar="N",
                     help="run N independent trials (scenes seeded "
                          "scene-seed..scene-seed+N-1) and write the "
@@ -492,9 +546,24 @@ def main(argv=None):
         params = params.impermeable()
     params.validate()
 
+    def build_scene():
+        """The --scene-family geometry (None = the runner's default
+        BacteriaBox, so the production path is untouched)."""
+        if args.scene_family == "clustered":
+            from ..scene import ClusteredBacteriaBox
+            return ClusteredBacteriaBox(
+                params, seed=args.scene_seed, n_clusters=args.n_clusters,
+                cluster_sigma=args.cluster_sigma).populate()
+        if args.scene_family == "fcc":
+            from ..scene import FCCLatticeBox
+            return FCCLatticeBox(params, seed=args.scene_seed,
+                                 lattice_a=args.lattice_a).populate()
+        return None
+
     if args.dump_field:
         from ..fields import debug as dbg
-        sc = BacteriaBox(params, seed=args.scene_seed).populate()
+        sc = build_scene() or BacteriaBox(params,
+                                          seed=args.scene_seed).populate()
         dbg.dump_field_csv(sc.mnps, params, args.dump_field,
                            grid_n=args.dump_field_n)
         print(f"Field dump written: {args.dump_field} "
@@ -506,13 +575,27 @@ def main(argv=None):
           file=sys.stderr)
 
     if (args.sweep or args.ensemble > 1) and \
-            (args.checkpoint or args.resume or args.checkpoint_every):
-        ap.error("--checkpoint/--resume are single-run features; drop "
-                 "them for --ensemble/--sweep runs")
+            (args.checkpoint or args.resume or args.checkpoint_every
+             or args.max_retries):
+        ap.error("--checkpoint/--resume/--max-retries are single-run "
+                 "features; drop them for --ensemble/--sweep runs")
+    if args.max_retries:
+        if not (args.checkpoint and args.checkpoint_every >= 1):
+            ap.error("--max-retries needs --checkpoint PATH and "
+                     "--checkpoint-every N>=1 (recovery resumes from "
+                     "the last checkpoint)")
+        if args.resume:
+            ap.error("--max-retries auto-resumes from --checkpoint when "
+                     "it exists; drop --resume")
     if args.shard_walkers and (args.sweep or args.ensemble > 1):
         ap.error("--shard-walkers shards ONE population; ensembles/"
                  "sweeps already parallelize over the device mesh "
                  "per trial — drop one of the flags")
+    if args.scene_family != "bacteria" and (args.sweep or
+                                            args.ensemble > 1):
+        ap.error("--scene-family is a single-run feature (ensembles/"
+                 "sweeps build their per-trial BacteriaBox scenes "
+                 "internally)")
     # ensembles/sweeps run the same RNG the single-run path would
     # (SimulationRunner defaults to the hardware PRNG on pallas)
     if args.rng is not None:
@@ -591,17 +674,38 @@ def main(argv=None):
         mesh = sharding.make_walker_mesh()
         print(f"Sharding walkers over {mesh.shape[sharding.WALKER_AXIS]} "
               f"device(s)", file=sys.stderr)
-    runner = SimulationRunner(params, scene_seed=args.scene_seed,
-                              seed=args.seed, engine=args.engine,
-                              rng_impl=cli_rng, mesh=mesh)
-    if args.resume:
-        runner.resume(args.resume)
+    if args.max_retries:
+        from . import resilience
 
-    _, _, _, stats = runner.run(
-        csv_path=csv_path, quadrature=args.quadrature,
-        checkpoint_path=args.checkpoint,
-        checkpoint_every_sprints=args.checkpoint_every,
-        drain_depth=args.drain_depth)
+        def make_runner():
+            return SimulationRunner(
+                params, scene_seed=args.scene_seed, seed=args.seed,
+                engine=args.engine, rng_impl=cli_rng, mesh=mesh,
+                scene=build_scene())
+
+        _, _, _, stats = resilience.run_resilient(
+            make_runner, csv_path=csv_path, quadrature=args.quadrature,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every_sprints=args.checkpoint_every,
+            drain_depth=args.drain_depth, max_retries=args.max_retries,
+            drain_timeout_s=args.drain_timeout)
+        if stats.get("recovery_attempts"):
+            print(f"Recovered from {stats['recovery_attempts']} "
+                  f"failure(s)", file=sys.stderr)
+    else:
+        runner = SimulationRunner(params, scene_seed=args.scene_seed,
+                                  seed=args.seed, engine=args.engine,
+                                  rng_impl=cli_rng, mesh=mesh,
+                                  scene=build_scene())
+        if args.resume:
+            runner.resume(args.resume)
+
+        _, _, _, stats = runner.run(
+            csv_path=csv_path, quadrature=args.quadrature,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every_sprints=args.checkpoint_every,
+            drain_depth=args.drain_depth,
+            drain_timeout_s=args.drain_timeout)
     print(f"Simulation complete: {stats['steps']} steps in "
           f"{stats['wall_s']:.1f}s "
           f"({stats['walker_steps_per_s']:.3e} walker-steps/s), "

@@ -1,11 +1,13 @@
-from .box import BacteriaBox, Scene, SimulationBox
+from .box import (BacteriaBox, ClusteredBacteriaBox, FCCLatticeBox, Scene,
+                  SimulationBox)
 from .images import apply_bcs_on_mnps
 from .lookup import build_lookup_table, nearest_cell
 from .morton import morton_argsort, morton_code_positions, morton_encode
 from .nprng import CounterRNG, threefry2x32_np
 
 __all__ = [
-    "BacteriaBox", "Scene", "SimulationBox", "apply_bcs_on_mnps",
+    "BacteriaBox", "ClusteredBacteriaBox", "FCCLatticeBox", "Scene",
+    "SimulationBox", "apply_bcs_on_mnps",
     "build_lookup_table", "nearest_cell", "morton_argsort",
     "morton_code_positions", "morton_encode", "CounterRNG",
     "threefry2x32_np",

@@ -220,6 +220,70 @@ class BacteriaBox(SimulationBox):
         return waters
 
 
+class FCCLatticeBox(BacteriaBox):
+    """Cells at face-centered-cubic lattice sites — the reference
+    lineage's ordered scene family: its stale octree benchmark driver
+    still builds an ``FCC`` lattice from ``fcc_diffusion.h``
+    (octree_test.cpp:14,24-25), a geometry removed from the tree but
+    predating BacteriaBox.  FCC is the densest packing of equal
+    spheres, making this the ordered/dense counterpart to BacteriaBox's
+    uniform random throws and ClusteredBacteriaBox's Gaussian clumps.
+
+    Cell placement is deterministic (no RNG): all FCC sites with cubic
+    lattice constant ``lattice_a`` inside the admissible cube
+    ``[cell_r, bound-cell_r]^3`` are generated, and the ``num_cells``
+    sites nearest the box center are kept (stable tie-break by site
+    order).  Waters and the dipole-per-cell layout are inherited from
+    BacteriaBox unchanged, so only the cell geometry differs.
+
+    ``lattice_a``: cubic lattice constant in µm.  Default sizes the
+    lattice so the admissible cube holds ~1.5x num_cells sites (4 sites
+    per cubic cell), leaving a centered margin.  The FCC
+    nearest-neighbor distance is a/√2; a lattice_a below 2√2·cell_r
+    would overlap cells and is rejected.
+    """
+
+    def __init__(self, params: Params, seed: int = 0,
+                 lattice_a: Optional[float] = None):
+        # cells are lattice-generated; the native builder's rejection
+        # throw does not apply (waters still use the NumPy path so the
+        # scene is identical with or without the C++ extension)
+        super().__init__(params, seed, prefer_native=False)
+        self.lattice_a = lattice_a
+
+    def init_cells(self) -> np.ndarray:
+        p = self.params
+        lo, hi = p.cell_r, p.bound - p.cell_r
+        span = hi - lo
+        if span <= 0:
+            raise ValueError("bound too small for cell_r")
+        a = self.lattice_a
+        if a is None:
+            a = (4.0 * span ** 3 / (1.5 * p.num_cells)) ** (1.0 / 3.0)
+        if a / np.sqrt(2.0) < 2.0 * p.cell_r:
+            raise ValueError(
+                f"lattice_a={a:g} gives FCC nearest-neighbor distance "
+                f"{a / np.sqrt(2.0):g} < cell diameter "
+                f"{2 * p.cell_r:g}; cells would overlap")
+        basis = np.array([[0.0, 0.0, 0.0], [0.0, 0.5, 0.5],
+                          [0.5, 0.0, 0.5], [0.5, 0.5, 0.0]])
+        n = int(np.floor(span / a)) + 1
+        ii = np.arange(n, dtype=np.float64)
+        grid = np.stack(np.meshgrid(ii, ii, ii, indexing="ij"),
+                        axis=-1).reshape(-1, 1, 3)
+        sites = ((grid + basis) * a + lo).reshape(-1, 3)
+        sites = sites[np.all(sites <= hi + 1e-9, axis=1)]
+        if len(sites) < p.num_cells:
+            raise ValueError(
+                f"FCC lattice with a={a:g} hosts only {len(sites)} sites "
+                f"in the admissible cube (need num_cells={p.num_cells}); "
+                f"shrink lattice_a or num_cells")
+        center = p.bound / 2.0
+        d2 = np.sum((sites - center) ** 2, axis=1)
+        order = np.argsort(d2, kind="stable")
+        return sites[order[: p.num_cells]]
+
+
 class ClusteredBacteriaBox(BacteriaBox):
     """BacteriaBox variant with cells thrown in Gaussian clumps — the
     scene family where the reference's octree *adaptivity* mattered

@@ -1,0 +1,219 @@
+"""Failure detection / elastic recovery (engine/resilience.py).
+
+The contract under test: a run that dies mid-flight — injected faults or
+hung drains — and recovers through checkpoints produces a CSV
+*bitwise-identical* to an uninterrupted run (counter-based RNG makes the
+resumed sequence exactly the one the crash interrupted).  The reference
+had no recovery at all: HANDLE_ERROR aborted and the PBS walltime was
+the only watchdog (SURVEY §5).
+"""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from mri_nanoparticle_simulation_tpu import params as P
+from mri_nanoparticle_simulation_tpu.engine import resilience
+from mri_nanoparticle_simulation_tpu.engine.sim import SimulationRunner
+from mri_nanoparticle_simulation_tpu.io import writer as writer_mod
+
+
+def tiny_params(**kw):
+    # 2000 steps at sprint_steps=200 -> 10 sprints, pfreq=100 windows
+    base = dict(sprint_steps=200)
+    base.update(kw)
+    return P.small_test_params(**base)
+
+
+def make_factory(p):
+    def make_runner():
+        return SimulationRunner(p, scene_seed=3, seed=4, engine="scan")
+    return make_runner
+
+
+def read_lines(path):
+    with open(path) as f:
+        return f.readlines()
+
+
+class TestWatchdog:
+    def test_passes_result_through(self):
+        assert resilience.watchdog_call(lambda: 41 + 1, 5.0) == 42
+
+    def test_times_out(self):
+        with pytest.raises(resilience.WatchdogTimeout, match="deadline"):
+            resilience.watchdog_call(lambda: time.sleep(2.0), 0.1)
+
+    def test_propagates_exceptions(self):
+        def boom():
+            raise ValueError("inner")
+        with pytest.raises(ValueError, match="inner"):
+            resilience.watchdog_call(boom, 5.0)
+
+
+class TestFaultInjector:
+    def test_fires_then_clears(self):
+        inj = resilience.FaultInjector({2: 1})
+        inj(0)
+        inj(1)
+        with pytest.raises(RuntimeError, match="sprint 2"):
+            inj(2)
+        inj(2)  # budget spent: the transient fault does not recur
+        assert inj.faults_fired == 1
+
+
+class TestTruncateRows:
+    def test_trims_overhang(self, tmp_path):
+        path = str(tmp_path / "t.csv")
+        with open(path, "w") as f:
+            f.writelines(f"{i},{i}\n" for i in range(10))
+        assert writer_mod.truncate_rows(path, 7) == 3
+        assert len(read_lines(path)) == 7
+
+    def test_noop_when_short_or_missing(self, tmp_path):
+        path = str(tmp_path / "t.csv")
+        assert writer_mod.truncate_rows(path, 5) == 0
+        with open(path, "w") as f:
+            f.write("a\nb\n")
+        assert writer_mod.truncate_rows(path, 5) == 0
+        assert len(read_lines(path)) == 2
+
+
+class TestElasticRecovery:
+    def test_recovered_csv_bitwise_equals_uninterrupted(self, tmp_path):
+        p = tiny_params()
+        base_csv = str(tmp_path / "base.csv")
+        SimulationRunner(p, scene_seed=3, seed=4, engine="scan").run(
+            csv_path=base_csv, progress=False)
+
+        rec_csv = str(tmp_path / "rec.csv")
+        inj = resilience.FaultInjector({3: 1, 7: 1})
+        _, cos, _, stats = resilience.run_resilient(
+            make_factory(p), csv_path=rec_csv,
+            checkpoint_path=str(tmp_path / "ck.npz"),
+            checkpoint_every_sprints=2, drain_depth=1,
+            max_retries=3, fault_hook=inj, progress=False)
+        assert inj.faults_fired == 2
+        assert stats["recovery_attempts"] == 2
+        assert read_lines(rec_csv) == read_lines(base_csv)
+        # the re-read curve matches the file
+        t, c = writer_mod.read_t2_csv(rec_csv)
+        np.testing.assert_array_equal(cos, c)
+
+    def test_csv_overhang_past_checkpoint_is_not_duplicated(self, tmp_path):
+        # drain_depth=1 flushes every sprint but checkpoints only every
+        # 4: the fault at sprint 6 leaves 6 sprints of rows on disk with
+        # a checkpoint at sprint 4 — the 2-sprint overhang must be
+        # re-produced, not appended twice
+        p = tiny_params()
+        base_csv = str(tmp_path / "base.csv")
+        SimulationRunner(p, scene_seed=3, seed=4, engine="scan").run(
+            csv_path=base_csv, progress=False)
+
+        rec_csv = str(tmp_path / "rec.csv")
+        _, _, _, stats = resilience.run_resilient(
+            make_factory(p), csv_path=rec_csv,
+            checkpoint_path=str(tmp_path / "ck.npz"),
+            checkpoint_every_sprints=4, drain_depth=1,
+            max_retries=1, fault_hook=resilience.FaultInjector({6: 1}),
+            progress=False)
+        assert stats["recovery_attempts"] == 1
+        lines = read_lines(rec_csv)
+        assert lines == read_lines(base_csv)
+        times = np.array([float(l.split(",")[0]) for l in lines])
+        assert np.all(np.diff(times) > 0)   # no duplicated windows
+
+    def test_failure_before_any_checkpoint_restarts_clean(self, tmp_path):
+        p = tiny_params()
+        base_csv = str(tmp_path / "base.csv")
+        SimulationRunner(p, scene_seed=3, seed=4, engine="scan").run(
+            csv_path=base_csv, progress=False)
+
+        rec_csv = str(tmp_path / "rec.csv")
+        _, _, _, stats = resilience.run_resilient(
+            make_factory(p), csv_path=rec_csv,
+            checkpoint_path=str(tmp_path / "ck.npz"),
+            checkpoint_every_sprints=2, drain_depth=1,
+            max_retries=1, fault_hook=resilience.FaultInjector({0: 1}),
+            progress=False)
+        assert stats["recovery_attempts"] == 1
+        assert read_lines(rec_csv) == read_lines(base_csv)
+
+    def test_gives_up_after_retries_without_progress(self, tmp_path):
+        p = tiny_params()
+        calls = []
+
+        def counting_factory():
+            calls.append(1)
+            return SimulationRunner(p, scene_seed=3, seed=4,
+                                    engine="scan")
+
+        with pytest.raises(RuntimeError, match="injected fault"):
+            resilience.run_resilient(
+                counting_factory, csv_path=str(tmp_path / "r.csv"),
+                checkpoint_path=str(tmp_path / "ck.npz"),
+                checkpoint_every_sprints=1, max_retries=2,
+                fault_hook=resilience.FaultInjector({0: 99}),
+                progress=False)
+        # initial attempt + max_retries retries, then give up
+        assert len(calls) == 3
+
+    def test_progress_refills_retry_budget(self, tmp_path):
+        # three transient faults with progress between them survive a
+        # max_retries=1 budget because each recovery advanced the
+        # checkpoint — the budget bounds consecutive stuck failures,
+        # not total faults over a long run
+        p = tiny_params()
+        _, _, _, stats = resilience.run_resilient(
+            make_factory(p), csv_path=str(tmp_path / "r.csv"),
+            checkpoint_path=str(tmp_path / "ck.npz"),
+            checkpoint_every_sprints=1, drain_depth=1, max_retries=1,
+            fault_hook=resilience.FaultInjector({2: 1, 4: 1, 6: 1}),
+            progress=False)
+        assert stats["recovery_attempts"] == 3
+        assert stats["steps"] == p.t
+
+    def test_requires_checkpointing(self):
+        with pytest.raises(ValueError, match="checkpoint_path"):
+            resilience.run_resilient(lambda: None, max_retries=1)
+        with pytest.raises(ValueError, match="checkpoint_every"):
+            resilience.run_resilient(lambda: None, checkpoint_path="x",
+                                     checkpoint_every_sprints=0)
+
+    def test_hung_drain_detected_and_recovered(self, tmp_path):
+        # first attempt's runner hangs on its first drain; the watchdog
+        # turns the hang into a failure and the rebuilt runner finishes
+        p = tiny_params()
+        base_csv = str(tmp_path / "base.csv")
+        SimulationRunner(p, scene_seed=3, seed=4, engine="scan").run(
+            csv_path=base_csv, progress=False)
+
+        built = []
+
+        def factory():
+            r = SimulationRunner(p, scene_seed=3, seed=4, engine="scan")
+            if not built:
+                orig = r._fetch_pending
+                r._fetch_pending = \
+                    lambda pending: (time.sleep(3.0), orig(pending))[1]
+            built.append(r)
+            return r
+
+        rec_csv = str(tmp_path / "rec.csv")
+        _, _, _, stats = resilience.run_resilient(
+            factory, csv_path=rec_csv,
+            checkpoint_path=str(tmp_path / "ck.npz"),
+            checkpoint_every_sprints=2, drain_depth=1, max_retries=1,
+            drain_timeout_s=0.5, progress=False)
+        assert stats["recovery_attempts"] == 1
+        assert len(built) == 2
+        assert read_lines(rec_csv) == read_lines(base_csv)
+
+
+class TestCliValidation:
+    def test_max_retries_requires_checkpoint(self):
+        from mri_nanoparticle_simulation_tpu.engine import sim
+        with pytest.raises(SystemExit):
+            sim.main(["--max-retries", "2", "--num-water", "64"])

@@ -169,3 +169,70 @@ class TestStats:
         sc.write_stats(str(path))
         text = path.read_text()
         assert "Number of MNPs" in text and "Number of Cells" in text
+
+
+class TestFCCLatticeBox:
+    """FCC lattice scene family (the reference lineage's fcc_diffusion.h
+    geometry, octree_test.cpp:14,24-25)."""
+
+    def params(self, **kw):
+        return P.small_test_params(**kw)
+
+    def test_count_bounds_and_no_overlap(self):
+        p = self.params()
+        sc = S.FCCLatticeBox(p, seed=1).populate()
+        assert sc.cells.shape == (p.num_cells, 3)
+        assert (sc.cells >= p.cell_r - 1e-9).all()
+        assert (sc.cells <= p.bound - p.cell_r + 1e-9).all()
+        d2 = np.sum((sc.cells[:, None] - sc.cells[None, :]) ** 2, axis=2)
+        np.fill_diagonal(d2, np.inf)
+        assert d2.min() >= 4 * p.cell_r ** 2
+
+    def test_lattice_geometry(self):
+        # with an explicit lattice constant, every nearest-neighbor
+        # distance in the kept set is a/sqrt(2) (the FCC signature)
+        p = self.params(num_cells=16)
+        a = 3.0
+        sc = S.FCCLatticeBox(p, lattice_a=a).populate()
+        d2 = np.sum((sc.cells[:, None] - sc.cells[None, :]) ** 2, axis=2)
+        np.fill_diagonal(d2, np.inf)
+        nn = np.sqrt(d2.min(axis=1))
+        np.testing.assert_allclose(nn, a / np.sqrt(2.0), rtol=1e-12)
+
+    def test_cells_deterministic_waters_seeded(self):
+        p = self.params()
+        a = S.FCCLatticeBox(p, seed=1).populate()
+        b = S.FCCLatticeBox(p, seed=2).populate()
+        np.testing.assert_array_equal(a.cells, b.cells)  # no RNG in cells
+        assert not np.array_equal(a.waters, b.waters)    # waters seeded
+        c = S.FCCLatticeBox(p, seed=1).populate()
+        np.testing.assert_array_equal(a.waters, c.waters)
+
+    def test_reference_scale_default_a(self):
+        # the default lattice constant hosts the reference's 270 cells
+        p = P.Params(num_water=64, num_cells=270).validate()
+        cells = S.FCCLatticeBox(p).init_cells()
+        assert cells.shape == (270, 3)
+        d2 = np.sum((cells[:, None] - cells[None, :]) ** 2, axis=2)
+        np.fill_diagonal(d2, np.inf)
+        assert d2.min() >= 4 * p.cell_r ** 2
+
+    def test_overlapping_lattice_rejected(self):
+        p = self.params()
+        with pytest.raises(ValueError, match="overlap"):
+            S.FCCLatticeBox(p, lattice_a=1.0).init_cells()
+
+    def test_too_few_sites_rejected(self):
+        p = self.params(num_cells=64)
+        with pytest.raises(ValueError, match="sites"):
+            S.FCCLatticeBox(p, lattice_a=5.0).init_cells()
+
+    def test_runs_through_the_engine(self):
+        from mri_nanoparticle_simulation_tpu.engine.sim import \
+            SimulationRunner
+        p = self.params(num_water=32, totaltime=0.0005, sprint_steps=500)
+        sc = S.FCCLatticeBox(p, seed=1).populate()
+        r = SimulationRunner(p, seed=2, engine="scan", scene=sc)
+        _, cos, _, stats = r.run(progress=False)
+        assert stats["steps"] == p.t
+        assert np.all(np.abs(cos) <= p.num_water)
