@@ -106,6 +106,27 @@ class SimulationRunner:
                               n_mnp))
         else:
             uses_cubes = expansion.uses_large_path(params.num_water, n_mnp)
+        # kick off the AOT executable-cache load NOW so its ~2.7 s axon
+        # RPC overlaps the coverage validation and scene transfers below
+        # (the cache key needs n_mnp, so this is the earliest possible
+        # start); _make_pallas_sprint joins the thread
+        self._aot_early = None
+        if engine == "pallas" and mesh is None and not interpret \
+                and not uses_cubes:
+            import threading
+            from . import aot
+            box: dict = {}
+
+            def _load(p=self.params, n=n_mnp, dt=dtype, ri=self.rng_impl):
+                try:
+                    box["fn"] = aot.load_sprint(p, p.num_water, n, dt, ri)
+                except Exception:
+                    box["fn"] = None
+
+            th = threading.Thread(target=_load, daemon=True)
+            th.start()
+            self._aot_early = (th, box)
+
         if check_coverage and not grid_mode:
             worst = expansion.validate_near_k(
                 self.scene.mnps[:, :3], params, n_probe=50_000)
@@ -191,8 +212,13 @@ class SimulationRunner:
                 params, params.num_water, self.dtype, self.rng_impl,
                 interpret)
         n_mnp = int(self.mnp_pos.shape[0])
-        fn = aot.load_sprint(params, params.num_water, n_mnp, self.dtype,
-                             self.rng_impl)
+        if self._aot_early is not None:
+            th, box = self._aot_early
+            th.join()
+            fn = box.get("fn")
+        else:
+            fn = aot.load_sprint(params, params.num_water, n_mnp,
+                                 self.dtype, self.rng_impl)
         if fn is not None:
             return fn
         base = pallas_engine.make_sprint_fn(

@@ -11,9 +11,12 @@ transfers across hosts, scheduled by XLA.
 Layout guidance (How-to-Scale-Your-Model recipe): walkers within a trial
 shard over the fast axis (ICI; the per-window psum is 8 bytes, so even
 DCN is fine), while *trials* (ensembles / parameter sweeps) are
-embarrassingly parallel and should map across hosts — each trial's
-entire computation stays on one host's devices and only the final [T, n]
-curves cross DCN, once.
+embarrassingly parallel and map across hosts — each trial's entire
+computation stays on one host's devices and only the final [T, n]
+curves cross DCN, once.  Both layouts are implemented here:
+``run_simulation_multihost`` (walkers over the global mesh) and
+``run_ensemble_multihost`` (contiguous trial blocks per process, one
+curve allgather at the end).
 
 Usage (one process per host, same program):
 
@@ -135,6 +138,77 @@ def run_simulation_multihost(scene, params, mesh=None, seed: int = 0,
     return times, wins[:, 0], wins[:, 1], state
 
 
+def local_trial_mesh(n_trials: int):
+    """Right-sized trial mesh over THIS process's local devices (the
+    cross-host ensemble layout: a trial's whole computation stays on one
+    host's devices; only final curves cross DCN).  Same right-sizing rule
+    as ensemble._trial_mesh, restricted to local devices."""
+    import jax
+    from jax.sharding import Mesh
+    from . import ensemble
+    devs = jax.local_devices()
+    rounds = -(-n_trials // len(devs))
+    d = -(-n_trials // rounds)
+    return Mesh(np.asarray(devs[:d]), (ensemble.TRIAL_AXIS,))
+
+
+def run_ensemble_multihost(params, n_trials: int, base_seed: int = 0,
+                           run_seed: int = 1000, engine: str = "scan",
+                           rng_impl: str = "threefry", dtype=None,
+                           max_steps=None):
+    """Multi-trial ensemble partitioned across hosts over DCN.
+
+    Trials [0, n_trials) are split into contiguous blocks, one per
+    process; each process runs its block entirely on its *local* devices
+    through :func:`ensemble.run_ensemble` (trial i keeps scene seed
+    ``base_seed + i`` and run seed ``run_seed + i``, so the partition is
+    invisible in the physics — the same curves as a single-process run,
+    in the same trial order).  The only cross-host traffic is ONE
+    allgather of the [T, n_windows] curves at the end — the
+    embarrassingly-parallel layout SURVEY §5 prescribes for ensembles
+    (the reference's PBS-resubmission workflow, T2_GPU_sim.cu:45, as one
+    SPMD program).
+
+    Every process returns the same (times_ms, sum_cos [n_trials, n],
+    sum_sin [n_trials, n]).
+    """
+    import jax
+    import jax.numpy as jnp
+    from . import ensemble
+
+    dtype = dtype or jnp.float32
+    pid, n_proc = jax.process_index(), jax.process_count()
+    counts = [n_trials // n_proc + (i < n_trials % n_proc)
+              for i in range(n_proc)]
+    lo = sum(counts[:pid])
+    mine = counts[pid]
+
+    total = params.t if max_steps is None else min(params.t, max_steps)
+    n_windows = (total // params.sprint_steps) * \
+        (params.sprint_steps // params.pfreq)
+    max_count = max(counts)
+    local = np.zeros((max_count, n_windows, 2), np.dtype(dtype))
+    if mine:
+        times, cos, sin, _ = ensemble.run_ensemble(
+            params, mine, mesh=local_trial_mesh(mine),
+            base_seed=base_seed + lo, run_seed=run_seed + lo,
+            engine=engine, rng_impl=rng_impl, dtype=dtype,
+            max_steps=max_steps)
+        local[:mine, :, 0] = cos
+        local[:mine, :, 1] = sin
+    times = (np.arange(1, n_windows + 1) * params.pfreq) * params.tau
+
+    if n_proc > 1:
+        from jax.experimental import multihost_utils
+        gathered = np.asarray(
+            multihost_utils.process_allgather(local))  # [P, max_count, n, 2]
+        rows = [gathered[i, :counts[i]] for i in range(n_proc)]
+        allw = np.concatenate(rows, axis=0)
+    else:
+        allw = local[:mine]
+    return times, allw[..., 0], allw[..., 1]
+
+
 def _dryrun(num_processes: int, process_id: int, coordinator: str,
             devices_per_process: int) -> None:
     """One process of the multi-host dry run: 2 x 4 virtual CPU devices
@@ -194,8 +268,30 @@ def _dryrun(num_processes: int, process_id: int, coordinator: str,
     assert checked == p.num_water // num_processes
     assert int(np.asarray(st.escapes)) == int(st1.escapes)
     assert int(np.asarray(st.coverage)) == int(st1.coverage)
+
+    # ensemble partitioning over DCN: 3 trials split 2+1 across the two
+    # processes must reproduce the same per-trial curves (same seeds) as
+    # one process running all 3 trials on a single local device
+    n_tr = 3
+    _, cos_mh, sin_mh = run_ensemble_multihost(
+        p, n_tr, base_seed=11, run_seed=7, max_steps=p.sprint_steps)
+    from jax.sharding import Mesh
+    from . import ensemble
+    mesh1 = Mesh(np.asarray(jax.local_devices()[:1]),
+                 (ensemble.TRIAL_AXIS,))
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")   # 3 trials on 1 device: no padding
+        _, cos_1p, sin_1p, _ = ensemble.run_ensemble(
+            p, n_tr, mesh=mesh1, base_seed=11, run_seed=7,
+            max_steps=p.sprint_steps)
+    np.testing.assert_allclose(cos_mh, cos_1p, atol=1e-3)
+    np.testing.assert_allclose(sin_mh, sin_1p, atol=1e-3)
+
     print(f"multihost dryrun OK: process {process_id}/{num_processes} "
-          f"verified {checked} local walkers bitwise vs single-device "
+          f"verified {checked} local walkers bitwise vs single-device; "
+          f"ensemble partition {n_tr} trials over {num_processes} "
+          f"processes matches single-process curves "
           f"(global devices: {n_global})", flush=True)
 
 

@@ -215,3 +215,39 @@ class TestAotWarmStartHardware:
         _, w_aot = loaded(mp, mM, key_arr, ps0, 0)
         np.testing.assert_array_equal(np.asarray(w_jit),
                                       np.asarray(w_aot))
+
+
+class TestResilienceHardware:
+    def test_recovery_bitwise_on_chip(self, p, tmp_path):
+        """Two injected faults under the production engine on the real
+        chip: the recovered CSV must be bitwise-identical to an
+        uninterrupted run (counter RNG resumes the exact sequence)."""
+        from mri_nanoparticle_simulation_tpu.engine import resilience
+
+        def mk():
+            return SimulationRunner(p, scene_seed=3, seed=4,
+                                    engine="pallas", rng_impl="threefry")
+
+        base_csv = str(tmp_path / "base.csv")
+        mk().run(csv_path=base_csv, progress=False)
+        rec_csv = str(tmp_path / "rec.csv")
+        inj = resilience.FaultInjector({1: 1, 3: 1})
+        _, _, _, stats = resilience.run_resilient(
+            mk, csv_path=rec_csv, checkpoint_path=str(tmp_path / "c.npz"),
+            checkpoint_every_sprints=1, drain_depth=1, max_retries=2,
+            fault_hook=inj, progress=False)
+        assert stats["recovery_attempts"] == 2
+        assert open(rec_csv).read() == open(base_csv).read()
+
+
+class TestSceneFamiliesHardware:
+    def test_fcc_scene_through_pallas(self, p):
+        """FCC lattice scene family end-to-end on the production
+        engine: full step count, clean coverage sentinel."""
+        from mri_nanoparticle_simulation_tpu.scene import FCCLatticeBox
+        sc = FCCLatticeBox(p, seed=1).populate()
+        r = SimulationRunner(p, seed=2, engine="pallas", scene=sc)
+        _, cos, _, stats = r.run(progress=False)
+        assert stats["steps"] == p.t
+        assert stats["coverage_violations"] == 0
+        assert np.all(np.abs(cos) <= p.num_water)
