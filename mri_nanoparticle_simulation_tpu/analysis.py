@@ -1,0 +1,167 @@
+"""T2 extraction from simulated decay curves.
+
+The reference's data product ends at the raw CSV (``time_ms, sum_cos_phi``
+rows, cuda_sim.cu:1022); extracting the T2 relaxation time — the quantity
+the whole simulation exists to predict — happened offline in ad-hoc
+scripts.  This module closes that workflow gap: load a curve (ours or the
+reference's), optionally sample it at the Carr-Purcell echo peaks, and fit
+a mono-exponential ``M(t) = A * exp(-t / T2)``.
+
+Fitting strategy (dependency-free, NumPy only):
+
+* **Log-linear weighted least squares**: ln M = ln A − t/T2 is linear;
+  weighting each row by M² makes the log-domain fit equivalent to an
+  unweighted fit in the signal domain to first order (the standard
+  Guggenheim weighting), so late noisy near-zero rows don't dominate.
+  Rows where the magnetization has decayed below ``floor`` (default 2%
+  of M₀) or gone non-positive are excluded — by then the signal is
+  sampling noise, not decay.
+* **Gauss-Newton refinement** of (A, T2) in the signal domain (a few
+  explicit iterations; the problem is 2-parameter and well-conditioned
+  after the log-linear start).
+
+Echo sampling: with Carr-Purcell flips every ``taucp`` (phase negated at
+t = k·taucp, cuda_sim.cu:1015-1020), spin echoes re-focus at
+t = 2k·taucp; ``echo_times``/``at_echoes`` pick the rows nearest those
+times so the fit sees the echo envelope rather than the intra-echo
+dephasing ripple.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+
+class T2Fit(NamedTuple):
+    t2_ms: float          #: fitted relaxation time
+    amplitude: float      #: fitted M(0)
+    r_squared: float      #: coefficient of determination in signal domain
+    n_used: int           #: rows that entered the fit
+    rms_residual: float   #: signal-domain RMS residual over used rows
+
+
+def echo_times(taucp_ms: float, total_ms: float) -> np.ndarray:
+    """Spin-echo centers t = 2k·taucp in (0, total]."""
+    n = int(np.floor(total_ms / (2.0 * taucp_ms)))
+    return np.arange(1, n + 1) * (2.0 * taucp_ms)
+
+
+def sample_at_echoes(times_ms, signal, taucp_ms: float):
+    """(times, signal) rows nearest each echo center (one row per echo)."""
+    times_ms = np.asarray(times_ms, np.float64)
+    signal = np.asarray(signal, np.float64)
+    centers = echo_times(taucp_ms, float(times_ms[-1]))
+    idx = np.searchsorted(times_ms, centers)
+    idx = np.clip(idx, 0, len(times_ms) - 1)
+    # searchsorted gives the right neighbor; take whichever side is closer
+    left = np.maximum(idx - 1, 0)
+    pick = np.where(
+        np.abs(times_ms[left] - centers) <= np.abs(times_ms[idx] - centers),
+        left, idx)
+    pick = np.unique(pick)
+    return times_ms[pick], signal[pick]
+
+
+def fit_t2(times_ms, signal, floor: float = 0.02,
+           gn_iters: int = 8) -> T2Fit:
+    """Fit M(t) = A exp(-t/T2) to a decay curve.
+
+    ``signal`` is the magnetization (e.g. the CSV's Σcos φ column; scale
+    does not matter).  ``floor``: rows below this fraction of the initial
+    signal are excluded (decayed-to-noise tail).  Raises ValueError when
+    fewer than 3 usable rows remain or the curve does not decay.
+    """
+    t = np.asarray(times_ms, np.float64)
+    m = np.asarray(signal, np.float64)
+    if t.shape != m.shape or t.ndim != 1:
+        raise ValueError("times and signal must be equal-length 1D arrays")
+    m0 = np.max(np.abs(m[: max(1, len(m) // 20)]))  # early-curve scale
+    keep = m > floor * m0
+    if keep.sum() < 3:
+        raise ValueError(
+            f"only {int(keep.sum())} rows above the noise floor "
+            f"({floor:g} of M0={m0:g}); cannot fit")
+    tk, mk = t[keep], m[keep]
+
+    # Guggenheim-weighted log-linear start: minimize sum m^2 (ln m - (a - t/T2))^2
+    w = mk * mk
+    ln = np.log(mk)
+    sw = w.sum()
+    tbar = (w * tk).sum() / sw
+    lbar = (w * ln).sum() / sw
+    stt = (w * (tk - tbar) ** 2).sum()
+    slope = (w * (tk - tbar) * (ln - lbar)).sum() / stt
+    if slope >= 0:
+        raise ValueError("curve does not decay (non-negative log slope)")
+    t2 = -1.0 / slope
+    amp = float(np.exp(lbar - slope * tbar))
+
+    # Gauss-Newton in the signal domain on (A, T2)
+    for _ in range(gn_iters):
+        e = np.exp(-tk / t2)
+        model = amp * e
+        r = mk - model
+        # Jacobian columns: d/dA = e; d/dT2 = A t e / T2^2
+        j2 = amp * tk * e / (t2 * t2)
+        a11 = (e * e).sum()
+        a12 = (e * j2).sum()
+        a22 = (j2 * j2).sum()
+        b1 = (e * r).sum()
+        b2 = (j2 * r).sum()
+        det = a11 * a22 - a12 * a12
+        if det <= 0:
+            break
+        da = (a22 * b1 - a12 * b2) / det
+        dt = (a11 * b2 - a12 * b1) / det
+        amp += da
+        t2 += dt
+        if not (np.isfinite(t2) and t2 > 0 and np.isfinite(amp)):
+            raise ValueError("Gauss-Newton refinement diverged")
+        if abs(dt) < 1e-12 * t2:
+            break
+
+    model = amp * np.exp(-tk / t2)
+    res = mk - model
+    ss_tot = ((mk - mk.mean()) ** 2).sum()
+    r2 = 1.0 - (res ** 2).sum() / ss_tot if ss_tot > 0 else 0.0
+    return T2Fit(t2_ms=float(t2), amplitude=float(amp),
+                 r_squared=float(r2), n_used=int(keep.sum()),
+                 rms_residual=float(np.sqrt((res ** 2).mean())))
+
+
+def fit_t2_csv(path: str, taucp_ms: Optional[float] = None,
+               floor: float = 0.02) -> T2Fit:
+    """Fit a T2 CSV (ours or the reference's).  ``taucp_ms`` switches to
+    echo-envelope sampling (rows nearest t = 2k·taucp)."""
+    from .io.writer import read_t2_csv
+    cols = read_t2_csv(path)
+    t, m = cols[0], cols[1]
+    if taucp_ms is not None:
+        t, m = sample_at_echoes(t, m, taucp_ms)
+    return fit_t2(t, m, floor=floor)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description="Fit T2 from a decay CSV (time_ms, sum_cos_phi)")
+    ap.add_argument("csv", nargs="+", help="CSV path(s)")
+    ap.add_argument("--taucp", type=float, default=None,
+                    help="Carr-Purcell taucp (ms): fit the echo envelope "
+                         "(rows nearest t = 2k*taucp) instead of every row")
+    ap.add_argument("--floor", type=float, default=0.02,
+                    help="exclude rows below this fraction of M0")
+    args = ap.parse_args(argv)
+    for path in args.csv:
+        f = fit_t2_csv(path, taucp_ms=args.taucp, floor=args.floor)
+        print(f"{path}: T2 = {f.t2_ms:.4g} ms  (A = {f.amplitude:.4g}, "
+              f"R^2 = {f.r_squared:.5f}, {f.n_used} rows, "
+              f"rms residual {f.rms_residual:.3g})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
