@@ -725,6 +725,16 @@ def main(argv=None):
                                   scene=build_scene())
         if args.resume:
             runner.resume(args.resume)
+            # rows flushed after the checkpoint was written (the
+            # checkpoint path drains first, so the CSV is at-or-ahead)
+            # would be duplicated by the append-mode writer: trim them
+            # and let the resumed run re-produce them bitwise
+            start = int(np.asarray(runner.state.step))
+            dropped = writer_mod.truncate_rows(csv_path,
+                                               start // params.pfreq)
+            if dropped:
+                print(f"Trimmed {dropped} CSV row(s) written past the "
+                      f"checkpoint (step {start})", file=sys.stderr)
 
         _, _, _, stats = runner.run(
             csv_path=csv_path, quadrature=args.quadrature,

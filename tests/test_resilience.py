@@ -217,3 +217,22 @@ class TestCliValidation:
         from mri_nanoparticle_simulation_tpu.engine import sim
         with pytest.raises(SystemExit):
             sim.main(["--max-retries", "2", "--num-water", "64"])
+
+    def test_cli_resume_trims_overhang(self, tmp_path):
+        """Manual --resume after a crash must trim rows written past the
+        checkpoint before appending (same contract as run_resilient)."""
+        from mri_nanoparticle_simulation_tpu.engine import sim
+        csv = str(tmp_path / "t2.csv")
+        ck = str(tmp_path / "ck.npz")
+        args = ["--num-water", "64", "--num-cells", "8",
+                "--totaltime", "0.002", "--taucp", "0.001",
+                "--sprint-steps", "1000", "--chunk-steps", "100",
+                "--engine", "scan", "--out", csv]
+        assert sim.main(args + ["--checkpoint", ck,
+                                "--checkpoint-every", "1"]) == 0
+        lines = read_lines(csv)
+        assert len(lines) == 2          # 2000 steps / pfreq 1000
+        with open(csv, "a") as f:       # fake a crash-overhang row
+            f.write("9.9,123\n")
+        assert sim.main(args + ["--resume", ck]) == 0
+        assert read_lines(csv) == lines # overhang trimmed, nothing dup'd
