@@ -549,6 +549,11 @@ def main(argv=None):
                          "(octree.cpp:435-449) as a runtime flag")
     ap.add_argument("--dump-field-n", type=int, default=32,
                     help="lattice points per box edge for --dump-field")
+    ap.add_argument("--dump-stats", default=None, metavar="PATH",
+                    help="write the scene statistics CSV (MNPs, waters, "
+                         "cells) to PATH and exit — the reference's "
+                         "SimboxTest / print_simulation_stats product "
+                         "(SimulationBox.cpp:214-237) as a runtime flag")
     args = ap.parse_args(argv)
 
     params = Params(
@@ -594,6 +599,14 @@ def main(argv=None):
                            grid_n=args.dump_field_n)
         print(f"Field dump written: {args.dump_field} "
               f"({args.dump_field_n}^3 points)", file=sys.stderr)
+        return 0
+
+    if args.dump_stats:
+        sc = build_scene() or BacteriaBox(params,
+                                          seed=args.scene_seed).populate()
+        sc.write_stats(args.dump_stats)
+        print(f"Scene statistics written: {args.dump_stats}",
+              file=sys.stderr)
         return 0
 
     csv_path = args.out or writer_mod.default_output_path(params)

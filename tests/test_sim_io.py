@@ -428,3 +428,16 @@ class TestShardWalkersCli:
         with pytest.raises(SystemExit):
             sim.main(["--shard-walkers", "--ensemble", "2",
                       "--out", str(tmp_path / "x.csv")])
+
+
+class TestDumpStatsCli:
+    def test_dump_stats_flag(self, tmp_path):
+        from mri_nanoparticle_simulation_tpu.engine import sim
+        path = str(tmp_path / "stats.csv")
+        assert sim.main(["--num-water", "32", "--num-cells", "6",
+                         "--dump-stats", path,
+                         "--scene-family", "fcc"]) == 0
+        text = open(path).read()
+        assert "Number of MNPs, 6" in text
+        assert "Number of Waters, 32" in text
+        assert "Number of Cells, 6" in text
