@@ -8,7 +8,6 @@ had no recovery at all: HANDLE_ERROR aborted and the PBS walltime was
 the only watchdog (SURVEY §5).
 """
 
-import os
 import time
 
 import numpy as np
