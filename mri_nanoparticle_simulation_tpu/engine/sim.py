@@ -549,6 +549,10 @@ def main(argv=None):
                          "(octree.cpp:435-449) as a runtime flag")
     ap.add_argument("--dump-field-n", type=int, default=32,
                     help="lattice points per box edge for --dump-field")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="write a jax.profiler device trace of the run "
+                         "to DIR (TensorBoard-viewable) — kernel-level "
+                         "observability the reference's Timer never had")
     ap.add_argument("--dump-stats", default=None, metavar="PATH",
                     help="write the scene statistics CSV (MNPs, waters, "
                          "cells) to PATH and exit — the reference's "
@@ -713,6 +717,7 @@ def main(argv=None):
         mesh = sharding.make_walker_mesh()
         print(f"Sharding walkers over {mesh.shape[sharding.WALKER_AXIS]} "
               f"device(s)", file=sys.stderr)
+    from ..utils import profiling
     if args.max_retries:
         from . import resilience
 
@@ -722,12 +727,15 @@ def main(argv=None):
                 engine=args.engine, rng_impl=cli_rng, mesh=mesh,
                 scene=build_scene())
 
-        _, _, _, stats = resilience.run_resilient(
-            make_runner, csv_path=csv_path, quadrature=args.quadrature,
-            checkpoint_path=args.checkpoint,
-            checkpoint_every_sprints=args.checkpoint_every,
-            drain_depth=args.drain_depth, max_retries=args.max_retries,
-            drain_timeout_s=args.drain_timeout)
+        with profiling.device_trace(args.trace):
+            _, _, _, stats = resilience.run_resilient(
+                make_runner, csv_path=csv_path,
+                quadrature=args.quadrature,
+                checkpoint_path=args.checkpoint,
+                checkpoint_every_sprints=args.checkpoint_every,
+                drain_depth=args.drain_depth,
+                max_retries=args.max_retries,
+                drain_timeout_s=args.drain_timeout)
         if stats.get("recovery_attempts"):
             print(f"Recovered from {stats['recovery_attempts']} "
                   f"failure(s)", file=sys.stderr)
@@ -749,12 +757,15 @@ def main(argv=None):
                 print(f"Trimmed {dropped} CSV row(s) written past the "
                       f"checkpoint (step {start})", file=sys.stderr)
 
-        _, _, _, stats = runner.run(
-            csv_path=csv_path, quadrature=args.quadrature,
-            checkpoint_path=args.checkpoint,
-            checkpoint_every_sprints=args.checkpoint_every,
-            drain_depth=args.drain_depth,
-            drain_timeout_s=args.drain_timeout)
+        with profiling.device_trace(args.trace):
+            _, _, _, stats = runner.run(
+                csv_path=csv_path, quadrature=args.quadrature,
+                checkpoint_path=args.checkpoint,
+                checkpoint_every_sprints=args.checkpoint_every,
+                drain_depth=args.drain_depth,
+                drain_timeout_s=args.drain_timeout)
+    if args.trace:
+        print(f"Profiler trace written to {args.trace}", file=sys.stderr)
     print(f"Simulation complete: {stats['steps']} steps in "
           f"{stats['wall_s']:.1f}s "
           f"({stats['walker_steps_per_s']:.3e} walker-steps/s), "
