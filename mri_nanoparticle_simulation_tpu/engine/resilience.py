@@ -112,7 +112,37 @@ def _checkpoint_step(path: Optional[str]) -> int:
         return 0
 
 
-def run_resilient(make_runner: Callable, csv_path: Optional[str] = None,
+def _resume_if_possible(runner, checkpoint_path: str,
+                        csv_path: str) -> None:
+    """Resume from the checkpoint when one exists and is readable.
+
+    A torn/unreadable file (half-written by a crash — should be
+    impossible now that save_checkpoint renames atomically, but disks
+    and NFS exist) is warned about and skipped: the attempt restarts
+    from scratch rather than wedging recovery.  A *semantic* mismatch
+    (params fingerprint / seeds / engine / rng_impl — all ValueError
+    from load_checkpoint) stays fatal: retrying cannot fix a config
+    error, and silently discarding the checkpoint would overwrite the
+    very run the user asked to continue."""
+    if not os.path.exists(checkpoint_path):
+        return
+    try:
+        runner.resume(checkpoint_path)
+    except ValueError:
+        raise
+    except Exception as e:   # noqa: BLE001 — torn file tolerance
+        print(f"  recovery: checkpoint {checkpoint_path} unreadable "
+              f"({type(e).__name__}: {e}); restarting from scratch",
+              file=sys.stderr)
+        return
+    start = int(np.asarray(runner.state.step))
+    dropped = writer_mod.truncate_rows(csv_path, start // runner.params.pfreq)
+    if dropped:
+        print(f"  recovery: trimmed {dropped} CSV row(s) written past "
+              f"the checkpoint (step {start})", file=sys.stderr)
+
+
+def run_resilient(make_runner: Callable, csv_path: str,
                   checkpoint_path: Optional[str] = None,
                   checkpoint_every_sprints: int = 1,
                   quadrature: bool = False, drain_depth: int = 32,
@@ -124,14 +154,28 @@ def run_resilient(make_runner: Callable, csv_path: Optional[str] = None,
 
     ``make_runner`` builds a FRESH ``SimulationRunner`` (it is called
     once per attempt: after a failure the old runner's device state and
-    possibly its runtime connection are gone).  Returns the same
-    ``(times_ms, sum_cos, sum_sin, stats)`` contract as ``run``, with
-    ``stats['recovery_attempts']`` added; after any recovery the curve
-    is re-read from the CSV so it always covers the full run.
+    possibly its runtime connection are gone).  The whole attempt —
+    rebuild, resume, run — sits inside the recovery boundary, so a
+    failure while *recompiling or resuming* consumes retry budget like
+    any other.  Returns the same ``(times_ms, sum_cos, sum_sin, stats)``
+    contract as ``run``, plus ``stats['recovery_attempts']``.
+
+    ``csv_path`` is required: it is both the durable output and the
+    only complete record of the curve when an attempt fails after
+    emitting windows (the failed attempt's in-memory windows die with
+    it).  After any recovery the curve is re-read from the CSV;
+    with ``quadrature=False`` the 2-column CSV has no sum-sin data, so
+    ``sum_sin`` is returned as NaNs in that case (loudly absent, never
+    silently zero — pass quadrature=True if you consume it).
 
     ``max_retries`` bounds consecutive failures *without progress*
     (progress = the checkpoint step advanced since the last failure).
     """
+    if csv_path is None:
+        raise ValueError(
+            "run_resilient requires a csv_path: a failed attempt's "
+            "undrained windows are lost with it, and only the CSV "
+            "carries the full recovered curve")
     if checkpoint_path is None:
         raise ValueError(
             "elastic recovery requires a checkpoint_path: without one a "
@@ -150,19 +194,9 @@ def run_resilient(make_runner: Callable, csv_path: Optional[str] = None,
     last_failed_step = -1
     while True:
         attempts += 1
-        runner = make_runner()
-        p = runner.params
-        if os.path.exists(checkpoint_path):
-            runner.resume(checkpoint_path)
-            start = int(np.asarray(runner.state.step))
-            if csv_path is not None:
-                dropped = writer_mod.truncate_rows(
-                    csv_path, start // p.pfreq)
-                if dropped:
-                    print(f"  recovery: trimmed {dropped} CSV row(s) "
-                          f"written past the checkpoint (step {start})",
-                          file=sys.stderr)
         try:
+            runner = make_runner()
+            _resume_if_possible(runner, checkpoint_path, csv_path)
             times, cos, sin, stats = runner.run(
                 csv_path=csv_path, quadrature=quadrature,
                 checkpoint_path=checkpoint_path,
@@ -171,6 +205,10 @@ def run_resilient(make_runner: Callable, csv_path: Optional[str] = None,
                 drain_depth=drain_depth, fault_hook=fault_hook,
                 drain_timeout_s=drain_timeout_s)
         except (KeyboardInterrupt, SystemExit):
+            raise
+        except ValueError:
+            # config/contract errors (fingerprint, seeds, bad params)
+            # are not transient: retrying cannot fix them
             raise
         except Exception as e:   # noqa: BLE001 — the recovery boundary
             reached = _checkpoint_step(checkpoint_path)
@@ -189,11 +227,12 @@ def run_resilient(make_runner: Callable, csv_path: Optional[str] = None,
 
         stats = dict(stats)
         stats["recovery_attempts"] = attempts - 1
-        if attempts > 1 and csv_path is not None:
+        if attempts > 1:
             # the last attempt only saw the resumed tail; the CSV holds
             # the whole (bitwise-continuous) curve
             cols = writer_mod.read_t2_csv(csv_path)
             times = cols[0]
             cos = cols[1]
-            sin = cols[2] if len(cols) > 2 else np.zeros_like(cos)
+            sin = cols[2] if len(cols) > 2 \
+                else np.full_like(cos, np.nan)
         return times, cos, sin, stats

@@ -313,10 +313,11 @@ class SimulationRunner:
         the elastic-recovery layer (engine/resilience.py); anything it
         raises is handled exactly like a device failure.
 
-        ``drain_timeout_s``: watchdog deadline on every device readback;
-        a drain that exceeds it raises ``resilience.WatchdogTimeout``
-        instead of blocking forever (the reference's only watchdog was
-        the PBS job walltime, SURVEY §5).
+        ``drain_timeout_s``: watchdog deadline on every blocking device
+        readback — window-sum drains AND the checkpoint/final walker-
+        state fetches; any that exceeds it raises
+        ``resilience.WatchdogTimeout`` instead of blocking forever (the
+        reference's only watchdog was the PBS job walltime, SURVEY §5).
 
         Returns (times_ms, sum_cos, sum_sin, stats_dict).
         """
@@ -357,13 +358,18 @@ class SimulationRunner:
                 if checkpoint_path and checkpoint_every_sprints and \
                         (i + 1) % checkpoint_every_sprints == 0:
                     # flush the CSV first: a checkpoint must never be
-                    # ahead of the rows on disk or a crash loses the gap
+                    # ahead of the rows on disk or a crash loses the gap.
+                    # The state sync + save fetch the full walker state,
+                    # so they run under the same watchdog as drains
                     self._drain_batch(pending, writer, all_wins)
-                    self._sync_state()
-                    ckpt_mod.save_checkpoint(
-                        checkpoint_path, self.state, p, self.seed,
-                        self.scene_seed, engine=self.engine,
-                        rng_impl=self.rng_impl)
+
+                    def _sync_and_save():
+                        self._sync_state()
+                        ckpt_mod.save_checkpoint(
+                            checkpoint_path, self.state, p, self.seed,
+                            self.scene_seed, engine=self.engine,
+                            rng_impl=self.rng_impl)
+                    self._guarded(_sync_and_save)
                 if progress and (i + 1) % max(1, n_sprints // 20) == 0:
                     done = (i + 1) * p.sprint_steps
                     rate = done * p.num_water / (time.perf_counter() - t0)
@@ -375,12 +381,14 @@ class SimulationRunner:
                 writer.close()
         wall = time.perf_counter() - t0
 
-        self._sync_state()
-        if checkpoint_path:
-            ckpt_mod.save_checkpoint(
-                checkpoint_path, self.state, p, self.seed,
-                self.scene_seed, engine=self.engine,
-                rng_impl=self.rng_impl)
+        def _final_sync():
+            self._sync_state()
+            if checkpoint_path:
+                ckpt_mod.save_checkpoint(
+                    checkpoint_path, self.state, p, self.seed,
+                    self.scene_seed, engine=self.engine,
+                    rng_impl=self.rng_impl)
+        self._guarded(_final_sync)
 
         wins = np.concatenate(all_wins, 0) if all_wins else np.zeros((0, 2))
         n = len(wins)
@@ -397,13 +405,23 @@ class SimulationRunner:
         return times, wins[:, 0], wins[:, 1], stats
 
     def _fetch_pending(self, pending):
-        """The one blocking device->host transfer: all pending sprints'
-        window sums in ONE fetch (each np.asarray pays a full dispatch
-        round trip, so fetching sprint by sprint would cost more than
-        the physics).  Split out so the watchdog can bound it and tests
-        can inject hangs."""
-        import jax.numpy as jnp
+        """The one blocking device->host transfer of the steady state:
+        all pending sprints' window sums in ONE fetch (each np.asarray
+        pays a full dispatch round trip, so fetching sprint by sprint
+        would cost more than the physics).  Split out so the watchdog
+        can bound it and tests can inject hangs."""
         return np.asarray(jnp.concatenate([w for _, w in pending], axis=0))
+
+    def _guarded(self, fn):
+        """Run a blocking device interaction under the drain watchdog
+        (when one is armed) so checkpoint state fetches can hang no
+        longer than drains can."""
+        timeout = getattr(self, "_drain_timeout_s", None)
+        if timeout is None:
+            return fn()
+        from . import resilience
+        return resilience.watchdog_call(fn, timeout,
+                                        what="walker-state readback")
 
     def _drain_batch(self, pending, writer, all_wins):
         if not pending:
@@ -623,6 +641,8 @@ def main(argv=None):
         ap.error("--checkpoint/--resume/--max-retries are single-run "
                  "features; drop them for --ensemble/--sweep runs")
     if args.max_retries:
+        if args.max_retries < 0:
+            ap.error("--max-retries must be >= 0")
         if not (args.checkpoint and args.checkpoint_every >= 1):
             ap.error("--max-retries needs --checkpoint PATH and "
                      "--checkpoint-every N>=1 (recovery resumes from "
@@ -630,6 +650,11 @@ def main(argv=None):
         if args.resume:
             ap.error("--max-retries auto-resumes from --checkpoint when "
                      "it exists; drop --resume")
+        if not args.out:
+            ap.error("--max-retries needs an explicit --out: the "
+                     "default output filename embeds a timestamp, so a "
+                     "re-run after a process death would resume the "
+                     "checkpoint but write its rows to a NEW file")
     if args.shard_walkers and (args.sweep or args.ensemble > 1):
         ap.error("--shard-walkers shards ONE population; ensembles/"
                  "sweeps already parallelize over the device mesh "
@@ -670,11 +695,13 @@ def main(argv=None):
                      f"is {cast.__name__}")
         values = [cast(float(v)) for v in args.sweep_values.split(",")]
         from ..parallel import ensemble as ens
+        from ..utils import profiling
         t0 = time.perf_counter()
-        times, curves = ens.run_parameter_sweep(
-            params, name, values, n_trials_each=args.trials_per_value,
-            base_seed=args.scene_seed, run_seed=args.seed + 1000,
-            engine=args.engine, rng_impl=cli_rng)
+        with profiling.device_trace(args.trace):
+            times, curves = ens.run_parameter_sweep(
+                params, name, values, n_trials_each=args.trials_per_value,
+                base_seed=args.scene_seed, run_seed=args.seed + 1000,
+                engine=args.engine, rng_impl=cli_rng)
         wall = time.perf_counter() - t0
         import os
         stem, ext = os.path.splitext(csv_path)
@@ -691,15 +718,20 @@ def main(argv=None):
         print(f"Sweep complete: {len(values)} values x "
               f"{args.trials_per_value} trial(s) in {wall:.1f}s "
               f"({rate:.3e} walker-steps/s)", file=sys.stderr)
+        if args.trace:
+            print(f"Profiler trace written to {args.trace}",
+                  file=sys.stderr)
         return 0
 
     if args.ensemble > 1:
         from ..parallel import ensemble as ens
+        from ..utils import profiling
         t0 = time.perf_counter()
-        times, cos, sin, _ = ens.run_ensemble(
-            params, n_trials=args.ensemble, base_seed=args.scene_seed,
-            run_seed=args.seed + 1000, engine=args.engine,
-            rng_impl=cli_rng)
+        with profiling.device_trace(args.trace):
+            times, cos, sin, _ = ens.run_ensemble(
+                params, n_trials=args.ensemble, base_seed=args.scene_seed,
+                run_seed=args.seed + 1000, engine=args.engine,
+                rng_impl=cli_rng)
         wall = time.perf_counter() - t0
         with writer_mod.T2CsvWriter(csv_path, params,
                                     args.quadrature) as w:
@@ -709,6 +741,9 @@ def main(argv=None):
         print(f"Ensemble complete: {args.ensemble} trials x {params.t} "
               f"steps in {wall:.1f}s ({rate:.3e} walker-steps/s)",
               file=sys.stderr)
+        if args.trace:
+            print(f"Profiler trace written to {args.trace}",
+                  file=sys.stderr)
         return 0
 
     mesh = None

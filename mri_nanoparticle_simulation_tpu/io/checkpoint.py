@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 import json
+import os
 from typing import Tuple
 
 import jax.numpy as jnp
@@ -35,8 +36,16 @@ def params_fingerprint(params: Params) -> str:
 def save_checkpoint(path: str, state: WalkerState, params: Params,
                     seed: int, scene_seed: int,
                     engine: str = "", rng_impl: str = "") -> None:
-    np.savez_compressed(
-        path,
+    """Atomic: writes to a temp file in the same directory and renames,
+    so a process death mid-save can never leave a torn checkpoint (the
+    elastic-recovery re-run contract depends on the file being either
+    the old intact snapshot or the new one, engine/resilience.py)."""
+    import tempfile
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    os.close(fd)
+    _write_npz(
+        tmp,
         version=FORMAT_VERSION,
         pos=np.asarray(state.pos),
         in_cell=np.asarray(state.in_cell),
@@ -55,6 +64,14 @@ def save_checkpoint(path: str, state: WalkerState, params: Params,
         engine=engine,
         rng_impl=rng_impl,
     )
+    os.replace(tmp, path)
+
+
+def _write_npz(path: str, **arrays) -> None:
+    # write through a file object: np.savez on a *name* without .npz
+    # appends the suffix, which would break the temp-file rename
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **arrays)
 
 
 def load_checkpoint(path: str, params: Params,

@@ -189,14 +189,15 @@ def run_ensemble_multihost(params, n_trials: int, base_seed: int = 0,
     max_count = max(counts)
     local = np.zeros((max_count, n_windows, 2), np.dtype(dtype))
     if mine:
-        times, cos, sin, _ = ensemble.run_ensemble(
+        _, cos, sin, _ = ensemble.run_ensemble(
             params, mine, mesh=local_trial_mesh(mine),
             base_seed=base_seed + lo, run_seed=run_seed + lo,
             engine=engine, rng_impl=rng_impl, dtype=dtype,
             max_steps=max_steps)
         local[:mine, :, 0] = cos
         local[:mine, :, 1] = sin
-    times = (np.arange(1, n_windows + 1) * params.pfreq) * params.tau
+    # every process (including trial-less ones) derives the same axis
+    times = ensemble.window_times(params, n_windows)
 
     if n_proc > 1:
         from jax.experimental import multihost_utils

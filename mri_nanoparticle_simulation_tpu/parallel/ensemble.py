@@ -32,6 +32,12 @@ from ..scene import BacteriaBox
 TRIAL_AXIS = "trials"
 
 
+def window_times(params: Params, n_windows: int) -> np.ndarray:
+    """Window-end times in ms for n output windows (the CSV time column:
+    row i covers steps (i*pfreq, (i+1)*pfreq], cuda_sim.cu:1022)."""
+    return (np.arange(1, n_windows + 1) * params.pfreq) * params.tau
+
+
 def build_trial_scenes(params: Params, n_trials: int, base_seed: int = 0,
                        mmoments: Optional[Sequence[float]] = None,
                        cell_rs: Optional[Sequence[float]] = None):
@@ -271,8 +277,7 @@ def run_ensemble(params: Params, n_trials: int,
     wins = wins[:n_trials]
     state = jax.tree.map(
         lambda x: x[:n_trials] if getattr(x, "ndim", 0) > 0 else x, state)
-    n = wins.shape[1]
-    times = (np.arange(1, n + 1) * params.pfreq) * params.tau
+    times = window_times(params, wins.shape[1])
     return times, np.asarray(wins[..., 0]), np.asarray(wins[..., 1]), state
 
 

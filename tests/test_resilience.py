@@ -175,11 +175,114 @@ class TestElasticRecovery:
         assert stats["steps"] == p.t
 
     def test_requires_checkpointing(self):
+        with pytest.raises(ValueError, match="csv_path"):
+            resilience.run_resilient(lambda: None, None,
+                                     checkpoint_path="x")
         with pytest.raises(ValueError, match="checkpoint_path"):
-            resilience.run_resilient(lambda: None, max_retries=1)
+            resilience.run_resilient(lambda: None, "out.csv",
+                                     max_retries=1)
         with pytest.raises(ValueError, match="checkpoint_every"):
-            resilience.run_resilient(lambda: None, checkpoint_path="x",
+            resilience.run_resilient(lambda: None, "out.csv",
+                                     checkpoint_path="x",
                                      checkpoint_every_sprints=0)
+
+    def test_torn_checkpoint_restarts_clean(self, tmp_path):
+        """A corrupt checkpoint file (pre-atomic-rename crash, disk
+        damage) is skipped with a warning: the attempt restarts from
+        scratch instead of wedging recovery forever."""
+        p = tiny_params()
+        base_csv = str(tmp_path / "base.csv")
+        SimulationRunner(p, scene_seed=3, seed=4, engine="scan").run(
+            csv_path=base_csv, progress=False)
+
+        ck = str(tmp_path / "ck.npz")
+        with open(ck, "wb") as f:
+            f.write(b"PK\x03\x04 definitely not a checkpoint")
+        rec_csv = str(tmp_path / "rec.csv")
+        _, _, _, stats = resilience.run_resilient(
+            make_factory(p), csv_path=rec_csv, checkpoint_path=ck,
+            checkpoint_every_sprints=2, drain_depth=1, max_retries=0,
+            progress=False)
+        assert stats["recovery_attempts"] == 0
+        assert read_lines(rec_csv) == read_lines(base_csv)
+        # the run overwrote the torn file with a real checkpoint
+        import numpy as _np
+        assert int(_np.load(ck)["step"]) == p.t
+
+    def test_failure_during_rebuild_consumes_budget(self, tmp_path):
+        """Failures while constructing the fresh runner (recompile
+        against a sick runtime) sit inside the recovery boundary."""
+        p = tiny_params()
+        state = {"built": 0}
+
+        def flaky_factory():
+            state["built"] += 1
+            if state["built"] == 2:     # second build (first retry) dies
+                raise RuntimeError("runtime still recovering")
+            return SimulationRunner(p, scene_seed=3, seed=4,
+                                    engine="scan")
+
+        _, _, _, stats = resilience.run_resilient(
+            flaky_factory, csv_path=str(tmp_path / "r.csv"),
+            checkpoint_path=str(tmp_path / "ck.npz"),
+            checkpoint_every_sprints=2, drain_depth=1, max_retries=2,
+            fault_hook=resilience.FaultInjector({3: 1}),
+            progress=False)
+        assert state["built"] == 3
+        assert stats["recovery_attempts"] == 2
+        assert stats["steps"] == p.t
+
+    def test_recovered_sin_is_nan_without_quadrature(self, tmp_path):
+        """quadrature=False CSVs carry no sum-sin; after a recovery the
+        returned sin must be loudly absent (NaN), never silent zeros."""
+        p = tiny_params()
+        _, _, sin, stats = resilience.run_resilient(
+            make_factory(p), csv_path=str(tmp_path / "r.csv"),
+            checkpoint_path=str(tmp_path / "ck.npz"),
+            checkpoint_every_sprints=2, drain_depth=1, max_retries=1,
+            fault_hook=resilience.FaultInjector({5: 1}),
+            progress=False)
+        assert stats["recovery_attempts"] == 1
+        assert np.all(np.isnan(sin))
+
+    def test_quadrature_sin_survives_recovery(self, tmp_path):
+        p = tiny_params()
+        base_csv = str(tmp_path / "base.csv")
+        SimulationRunner(p, scene_seed=3, seed=4, engine="scan").run(
+            csv_path=base_csv, quadrature=True, progress=False)
+        rec_csv = str(tmp_path / "rec.csv")
+        _, _, sin, stats = resilience.run_resilient(
+            make_factory(p), csv_path=rec_csv, quadrature=True,
+            checkpoint_path=str(tmp_path / "ck.npz"),
+            checkpoint_every_sprints=2, drain_depth=1, max_retries=1,
+            fault_hook=resilience.FaultInjector({5: 1}),
+            progress=False)
+        assert stats["recovery_attempts"] == 1
+        assert read_lines(rec_csv) == read_lines(base_csv)
+        assert np.all(np.isfinite(sin))
+
+    def test_config_errors_are_fatal_not_retried(self, tmp_path):
+        """A params-fingerprint mismatch (ValueError) must not burn the
+        retry budget pretending to be a transient fault."""
+        p = tiny_params()
+        ck = str(tmp_path / "ck.npz")
+        # write a checkpoint under DIFFERENT params
+        other = tiny_params(num_water=128)
+        SimulationRunner(other, scene_seed=3, seed=4, engine="scan").run(
+            checkpoint_path=ck, progress=False)
+        calls = []
+
+        def factory():
+            calls.append(1)
+            return SimulationRunner(p, scene_seed=3, seed=4,
+                                    engine="scan")
+
+        with pytest.raises(ValueError, match="different parameters"):
+            resilience.run_resilient(
+                factory, csv_path=str(tmp_path / "r.csv"),
+                checkpoint_path=ck, checkpoint_every_sprints=1,
+                max_retries=5, progress=False)
+        assert len(calls) == 1          # no retry loop on config errors
 
     def test_hung_drain_detected_and_recovered(self, tmp_path):
         # first attempt's runner hangs on its first drain; the watchdog
@@ -235,3 +338,32 @@ class TestCliValidation:
             f.write("9.9,123\n")
         assert sim.main(args + ["--resume", ck]) == 0
         assert read_lines(csv) == lines # overhang trimmed, nothing dup'd
+
+    def test_max_retries_requires_out(self):
+        from mri_nanoparticle_simulation_tpu.engine import sim
+        with pytest.raises(SystemExit):
+            sim.main(["--max-retries", "2", "--checkpoint", "c.npz",
+                      "--checkpoint-every", "1", "--num-water", "64"])
+
+
+class TestAtomicCheckpoint:
+    def test_no_temp_leftovers_and_roundtrip(self, tmp_path):
+        from mri_nanoparticle_simulation_tpu.io import checkpoint as ck
+        from mri_nanoparticle_simulation_tpu.engine.reference_engine \
+            import WalkerState
+        import jax.numpy as jnp
+        p = tiny_params()
+        st = WalkerState(pos=jnp.zeros((4, 3)), in_cell=jnp.zeros(4, bool),
+                         phase=jnp.zeros(4), phase_comp=jnp.zeros(4),
+                         step=jnp.uint32(7), escapes=jnp.int32(0),
+                         coverage=jnp.int32(0))
+        path = str(tmp_path / "c.npz")
+        ck.save_checkpoint(path, st, p, 1, 2, engine="scan",
+                           rng_impl="threefry")
+        st2, seed, ss = ck.load_checkpoint(path, p, engine="scan",
+                                           rng_impl="threefry")
+        assert int(np.asarray(st2.step)) == 7 and (seed, ss) == (1, 2)
+        import os
+        leftovers = [f for f in os.listdir(tmp_path)
+                     if f.endswith(".tmp")]
+        assert leftovers == []
