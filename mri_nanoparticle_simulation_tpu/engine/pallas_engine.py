@@ -161,7 +161,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
           near   [4, K, R, 128]  (x, y, z, M),
           taylor [10, R, 128]  (b0, gx, gy, gz, hxx, hyy, hzz, hxy, hxz, hyz))
         -> (state' [6, R, 128], escapes [R, 128],
-            coverage [n_blocks, 1] SMEM, wins [n_blocks, n_win, 2])
+            coverage [n_blocks, 1, 1] SMEM, wins [n_blocks, n_win, 2])
 
     scalars = [step0, key_hi, key_lo, chunk_seed, lane_offset, num_water,
     tcp, cell_r2_bits].  The chunk anchor IS the input position (positions
@@ -667,18 +667,23 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         o_state[5] = comp
         o_esc[:] = esc_count
         if rebuild:
-            o_cov[0, 0] = cov_scalar
+            o_cov[0, 0, 0] = cov_scalar
         else:
             # XLA side counts coverage at its own recandidate (it has
             # the distance matrix); the kernel contributes zero
-            o_cov[0, 0] = jnp.zeros((), dtype)
+            o_cov[0, 0, 0] = jnp.zeros((), dtype)
 
     sspec = pl.BlockSpec((8,), lambda b: (0,), memory_space=pltpu.SMEM)
     state_spec = pl.BlockSpec((6, r_blk, LANES), lambda b: (0, b, 0),
                               memory_space=pltpu.VMEM)
     esc_spec = pl.BlockSpec((r_blk, LANES), lambda b: (b, 0),
                             memory_space=pltpu.VMEM)
-    cov_spec = pl.BlockSpec((1, 1), lambda b: (b, 0),
+    # the per-block scalar rides a [n_blocks, 1, 1] SMEM output whose
+    # block shape (1, 1, 1) has its last two dims EQUAL to the array's —
+    # a [n_blocks, 1] array with (1, 1) blocks violates the Mosaic
+    # tiling rule (divisible by 8, or equal) as soon as n_blocks > 1,
+    # i.e. for any population beyond one 4096-walker block
+    cov_spec = pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
                             memory_space=pltpu.SMEM)
     wspec = pl.BlockSpec((1, n_win, 2), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM)
@@ -700,7 +705,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         out_shape=(
             jax.ShapeDtypeStruct((6, r_planes, LANES), dtype),
             jax.ShapeDtypeStruct((r_planes, LANES), dtype),
-            jax.ShapeDtypeStruct((n_blocks, 1), dtype),
+            jax.ShapeDtypeStruct((n_blocks, 1, 1), dtype),
             jax.ShapeDtypeStruct((n_blocks, n_win, 2), dtype),
         ),
         in_specs=in_specs,
@@ -785,7 +790,7 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
         return tcp_u, jax.lax.bitcast_convert_type(cr * cr, jnp.uint32), cr
 
     def advance(ps, state_out, o_esc, o_cov, steps, cov_extra=None):
-        # o_esc: [R, 128] per-walker escape counts, o_cov: [n_blocks, 1]
+        # o_esc: [R, 128] per-walker escape counts, o_cov: [n_blocks, 1, 1]
         # per-block coverage-violation counts, both already validity-
         # masked in-kernel; cov_extra: XLA-side violation count
         # (big-scene recandidate paths)

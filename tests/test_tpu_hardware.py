@@ -240,6 +240,43 @@ class TestResilienceHardware:
         assert open(rec_csv).read() == open(base_csv).read()
 
 
+class TestMultiBlockHardware:
+    """Populations beyond one 4096-walker kernel block (n_blocks > 1)
+    through real Mosaic — the round-3 coverage-sentinel output initially
+    broke the lowering for every such population (a [n_blocks, 1] SMEM
+    output with (1, 1) blocks violates the tiling rule once
+    n_blocks > 1), and nothing under 4096 walkers can see that."""
+
+    def test_two_blocks_in_kernel_rebuild(self):
+        """8192 walkers (2 blocks), in-kernel recandidate path: windows
+        must equal the scan engine's under shared Threefry streams."""
+        p = P.small_test_params(num_water=8192, num_cells=12,
+                                totaltime=0.0005, sprint_steps=500,
+                                chunk_steps=500, taucp=0.0002)
+        sc = BacteriaBox(p, seed=7).populate()
+        _, cos_p, _, st_p = pe.run_simulation(sc, p, seed=11)
+        _, cos_s, _, st_s = re.run_simulation(sc, p, seed=11)
+        np.testing.assert_allclose(np.asarray(st_p.pos),
+                                   np.asarray(st_s.pos), atol=1e-4)
+        np.testing.assert_allclose(cos_p, cos_s, atol=0.05)
+        assert int(np.asarray(st_p.coverage)) == \
+            int(np.asarray(st_s.coverage))
+
+    def test_two_blocks_big_scene_path(self, monkeypatch):
+        """Same population through the big-scene (XLA recandidate)
+        kernel variant, which shares the per-block SMEM outputs."""
+        p = P.small_test_params(num_water=8192, num_cells=12,
+                                totaltime=0.0005, sprint_steps=500,
+                                chunk_steps=500, taucp=0.0002)
+        sc = BacteriaBox(p, seed=7).populate()
+        monkeypatch.setattr(pe, "REBUILD_MAX_MNPS", 0)
+        _, cos_p, _, st_p = pe.run_simulation(sc, p, seed=11)
+        _, cos_s, _, st_s = re.run_simulation(sc, p, seed=11)
+        np.testing.assert_allclose(np.asarray(st_p.pos),
+                                   np.asarray(st_s.pos), atol=1e-4)
+        np.testing.assert_allclose(cos_p, cos_s, atol=0.05)
+
+
 class TestSceneFamiliesHardware:
     def test_fcc_scene_through_pallas(self, p):
         """FCC lattice scene family end-to-end on the production
