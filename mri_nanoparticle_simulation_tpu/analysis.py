@@ -46,6 +46,8 @@ class T2Fit(NamedTuple):
 
 def echo_times(taucp_ms: float, total_ms: float) -> np.ndarray:
     """Spin-echo centers t = 2k·taucp in (0, total]."""
+    if not taucp_ms > 0:
+        raise ValueError(f"taucp must be > 0 ms (got {taucp_ms!r})")
     n = int(np.floor(total_ms / (2.0 * taucp_ms)))
     return np.arange(1, n + 1) * (2.0 * taucp_ms)
 
@@ -155,6 +157,8 @@ def main(argv=None) -> int:
     ap.add_argument("--floor", type=float, default=0.02,
                     help="exclude rows below this fraction of M0")
     args = ap.parse_args(argv)
+    if args.taucp is not None and not args.taucp > 0:
+        ap.error("--taucp must be > 0 (ms)")
     for path in args.csv:
         f = fit_t2_csv(path, taucp_ms=args.taucp, floor=args.floor)
         print(f"{path}: T2 = {f.t2_ms:.4g} ms  (A = {f.amplitude:.4g}, "

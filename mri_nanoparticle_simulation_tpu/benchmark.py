@@ -70,6 +70,11 @@ def main():
         def run_one(ps):
             return sprint(mnp_pos, mnp_M, key_arr, ps, 0)
     else:  # CPU fallback so the bench still runs anywhere
+        # 2e6-step sprints only pay off on the chip (dispatch
+        # amortization); at scan-on-CPU rates they'd take ~an hour, so
+        # drop back to the quick 20k-step probe (rate math below reads
+        # sprint_steps from this same p)
+        p = p.replace(sprint_steps=20_000)
         sprint = reference_engine.make_sprint_fn(
             p.replace(chunk_steps=1000, near_k=8), jnp.float32)
         n_sprints = 1

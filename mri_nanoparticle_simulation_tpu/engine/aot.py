@@ -66,6 +66,21 @@ def _path(key: str) -> str:
     return os.path.join(cache_mod._default_dir(), "aot", f"{key}.pkl")
 
 
+def _wrap_compiled(compiled):
+    """Sprint-shaped guard over a loaded executable.  The executable was
+    lowered on (..., 0) with kwargs all None; the call must replicate
+    that (args, kwargs) structure exactly, so runtime overrides are
+    rejected rather than silently mis-bound."""
+    def sprint(mnp_pos, mnp_M, key_arr, ps, lane_offset,
+               cache=None, tcp=None, cell_r=None):
+        if cache is not None or tcp is not None or cell_r is not None:
+            raise ValueError("AOT sprint supports the plain production "
+                             "call only")
+        return compiled(mnp_pos, mnp_M, key_arr, ps, lane_offset,
+                        cache=None, tcp=None, cell_r=None)
+    return sprint
+
+
 def load_sprint(params: Params, num_water: int, n_mnp: int, dtype,
                 rng_impl: str):
     """Return a sprint-shaped callable backed by a cached executable, or
@@ -79,18 +94,7 @@ def load_sprint(params: Params, num_water: int, n_mnp: int, dtype,
         compiled = deserialize_and_load(payload, in_tree, out_tree)
     except Exception:
         return None
-
-    def sprint(mnp_pos, mnp_M, key_arr, ps, lane_offset,
-               cache=None, tcp=None, cell_r=None):
-        if cache is not None or tcp is not None or cell_r is not None:
-            raise ValueError("AOT sprint supports the plain production "
-                             "call only")
-        # the executable was lowered on (..., 0) with kwargs all None;
-        # the call must replicate that (args, kwargs) structure exactly
-        return compiled(mnp_pos, mnp_M, key_arr, ps, lane_offset,
-                        cache=None, tcp=None, cell_r=None)
-
-    return sprint
+    return _wrap_compiled(compiled)
 
 
 def compile_and_save(jit_sprint, params: Params, num_water: int,
@@ -115,13 +119,4 @@ def compile_and_save(jit_sprint, params: Params, num_water: int,
         os.replace(tmp, _path(key))
     except Exception:
         return None
-
-    def sprint(mnp_pos, mnp_M, key_arr, ps, lane_offset,
-               cache=None, tcp=None, cell_r=None):
-        if cache is not None or tcp is not None or cell_r is not None:
-            raise ValueError("AOT sprint supports the plain production "
-                             "call only")
-        return compiled(mnp_pos, mnp_M, key_arr, ps, lane_offset,
-                        cache=None, tcp=None, cell_r=None)
-
-    return sprint
+    return _wrap_compiled(compiled)

@@ -112,9 +112,24 @@ def _checkpoint_step(path: Optional[str]) -> int:
         return 0
 
 
+def trim_csv_overhang(runner, csv_path: str) -> int:
+    """Drop CSV rows written past a just-resumed runner's checkpoint
+    step (the checkpoint path force-drains first, so the rows on disk
+    are always at-or-ahead of it; an append-mode writer would duplicate
+    the overhang).  The resumed run re-produces the trimmed rows
+    bitwise (counter-based RNG).  Returns the resumed step."""
+    start = int(np.asarray(runner.state.step))
+    dropped = writer_mod.truncate_rows(csv_path, start // runner.params.pfreq)
+    if dropped:
+        print(f"  recovery: trimmed {dropped} CSV row(s) written past "
+              f"the checkpoint (step {start})", file=sys.stderr)
+    return start
+
+
 def _resume_if_possible(runner, checkpoint_path: str,
-                        csv_path: str) -> None:
-    """Resume from the checkpoint when one exists and is readable.
+                        csv_path: str) -> int:
+    """Resume from the checkpoint when one exists and is readable;
+    returns the step resumed from (0 when starting fresh).
 
     A torn/unreadable file (half-written by a crash — should be
     impossible now that save_checkpoint renames atomically, but disks
@@ -125,7 +140,7 @@ def _resume_if_possible(runner, checkpoint_path: str,
     error, and silently discarding the checkpoint would overwrite the
     very run the user asked to continue."""
     if not os.path.exists(checkpoint_path):
-        return
+        return 0
     try:
         runner.resume(checkpoint_path)
     except ValueError:
@@ -134,12 +149,8 @@ def _resume_if_possible(runner, checkpoint_path: str,
         print(f"  recovery: checkpoint {checkpoint_path} unreadable "
               f"({type(e).__name__}: {e}); restarting from scratch",
               file=sys.stderr)
-        return
-    start = int(np.asarray(runner.state.step))
-    dropped = writer_mod.truncate_rows(csv_path, start // runner.params.pfreq)
-    if dropped:
-        print(f"  recovery: trimmed {dropped} CSV row(s) written past "
-              f"the checkpoint (step {start})", file=sys.stderr)
+        return 0
+    return trim_csv_overhang(runner, csv_path)
 
 
 def run_resilient(make_runner: Callable, csv_path: str,
@@ -192,11 +203,13 @@ def run_resilient(make_runner: Callable, csv_path: str,
     failures_without_progress = 0
     attempts = 0
     last_failed_step = -1
+    resumed_from = 0
     while True:
         attempts += 1
         try:
             runner = make_runner()
-            _resume_if_possible(runner, checkpoint_path, csv_path)
+            resumed_from = _resume_if_possible(runner, checkpoint_path,
+                                               csv_path)
             times, cos, sin, stats = runner.run(
                 csv_path=csv_path, quadrature=quadrature,
                 checkpoint_path=checkpoint_path,
@@ -227,9 +240,12 @@ def run_resilient(make_runner: Callable, csv_path: str,
 
         stats = dict(stats)
         stats["recovery_attempts"] = attempts - 1
-        if attempts > 1:
-            # the last attempt only saw the resumed tail; the CSV holds
-            # the whole (bitwise-continuous) curve
+        if attempts > 1 or resumed_from:
+            # the last attempt only saw the resumed tail — whether the
+            # resume happened after an in-process failure OR on the very
+            # first attempt (re-run after a process death, checkpoint
+            # already on disk); the CSV holds the whole
+            # (bitwise-continuous) curve
             cols = writer_mod.read_t2_csv(csv_path)
             times = cols[0]
             cos = cols[1]

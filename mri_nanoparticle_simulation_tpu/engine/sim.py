@@ -655,6 +655,11 @@ def main(argv=None):
                      "default output filename embeds a timestamp, so a "
                      "re-run after a process death would resume the "
                      "checkpoint but write its rows to a NEW file")
+    if args.resume and not args.out:
+        ap.error("--resume needs an explicit --out (the CSV being "
+                 "continued): the default output filename embeds a "
+                 "timestamp, so the resumed rows would land in a NEW "
+                 "file while the original keeps its untrimmed overhang")
     if args.shard_walkers and (args.sweep or args.ensemble > 1):
         ap.error("--shard-walkers shards ONE population; ensembles/"
                  "sweeps already parallelize over the device mesh "
@@ -780,17 +785,9 @@ def main(argv=None):
                                   rng_impl=cli_rng, mesh=mesh,
                                   scene=build_scene())
         if args.resume:
+            from . import resilience
             runner.resume(args.resume)
-            # rows flushed after the checkpoint was written (the
-            # checkpoint path drains first, so the CSV is at-or-ahead)
-            # would be duplicated by the append-mode writer: trim them
-            # and let the resumed run re-produce them bitwise
-            start = int(np.asarray(runner.state.step))
-            dropped = writer_mod.truncate_rows(csv_path,
-                                               start // params.pfreq)
-            if dropped:
-                print(f"Trimmed {dropped} CSV row(s) written past the "
-                      f"checkpoint (step {start})", file=sys.stderr)
+            resilience.trim_csv_overhang(runner, csv_path)
 
         with profiling.device_trace(args.trace):
             _, _, _, stats = runner.run(

@@ -914,12 +914,17 @@ def _counts_at(points: np.ndarray, dipole_pos: np.ndarray,
     return counts
 
 
-def _lattice_pass(dipole_pos: np.ndarray, reach: float, g: float):
+def _lattice_pass(dipole_pos: np.ndarray, reach: float, g: float,
+                  batch: int = 512):
     """Exact dipole counts at every lattice point (spacing g) lying
     within reach + delta of any dipole, via one incidence histogram:
     each (dipole, nearby-lattice-point) pair is enumerated from a shared
     integer offset cube and bucketed by linear cell code — O(n_dipoles *
-    ball volume), no point-wise neighbor search.
+    ball volume), no point-wise neighbor search.  Dipoles are processed
+    ``batch`` at a time so the [batch, C~3800, 3] candidate tensor stays
+    ~50 MB regardless of scene size (a 30k-dipole clustered scene would
+    otherwise peak at several GB); only the masked incidence codes
+    (one int64 per in-ball pair, inherent to the histogram) accumulate.
 
     Returns (points [P, 3], counts_inflated [P] at radius reach+delta,
     counts_exact [P] at radius reach), delta = g*sqrt(3)/2."""
@@ -934,20 +939,26 @@ def _lattice_pass(dipole_pos: np.ndarray, reach: float, g: float):
     # of a dipole whose in-cell fraction shifts it by < g*sqrt(3)
     keep = np.sum((cube * g) ** 2, axis=1) <= (r_in + g * np.sqrt(3)) ** 2
     cube = cube[keep]
-    cand = base[:, None, :] + cube[None]                    # [N, C, 3]
-    d = cand * g - dipole_pos[:, None, :]
-    d2 = np.sum(d * d, axis=-1)                             # [N, C]
-    m_in = d2 < r_in * r_in
-    lo = cand.reshape(-1, 3).min(0)
-    dims = cand.reshape(-1, 3).max(0) - lo + 1
-    rel = cand - lo
-    code = (rel[..., 0] * dims[1] + rel[..., 1]) * dims[2] + rel[..., 2]
-    flat_in = code[m_in]
+    # global grid origin/extent from the dipole cells (covers every
+    # candidate; decoded points add lo back so the choice is neutral)
+    lo = base.min(0) - n
+    dims = base.max(0) + n - lo + 1
+    codes_in, codes_ex = [], []
+    for i in range(0, len(base), batch):
+        cand = base[i:i + batch, None, :] + cube[None]      # [B, C, 3]
+        d = cand * g - dipole_pos[i:i + batch, None, :]
+        d2 = np.sum(d * d, axis=-1)                         # [B, C]
+        rel = cand - lo
+        code = (rel[..., 0] * dims[1] + rel[..., 1]) * dims[2] \
+            + rel[..., 2]
+        codes_in.append(code[d2 < r_in * r_in])
+        codes_ex.append(code[d2 < reach * reach])
+    flat_in = np.concatenate(codes_in)
     occupied, inv = np.unique(flat_in, return_inverse=True)
     counts_inflated = np.bincount(inv, minlength=len(occupied))
-    m_ex = d2 < reach * reach
     counts_exact = np.bincount(
-        np.searchsorted(occupied, code[m_ex]), minlength=len(occupied))
+        np.searchsorted(occupied, np.concatenate(codes_ex)),
+        minlength=len(occupied))
     cz = occupied % dims[2]
     cy = (occupied // dims[2]) % dims[1]
     cx = occupied // (dims[1] * dims[2])

@@ -43,6 +43,17 @@ class TestEchoSampling:
         np.testing.assert_allclose(an.echo_times(5.5, 40.0),
                                    [11.0, 22.0, 33.0])
 
+    def test_nonpositive_taucp_rejected(self):
+        """taucp=0 used to ZeroDivisionError with a bare traceback;
+        negative taucp produced a misleading empty-fit error."""
+        for bad in (0.0, -1.0):
+            with pytest.raises(ValueError, match="taucp must be > 0"):
+                an.echo_times(bad, 40.0)
+
+    def test_cli_rejects_nonpositive_taucp(self):
+        with pytest.raises(SystemExit):
+            an.main(["whatever.csv", "--taucp", "0"])
+
     def test_picks_nearest_rows(self):
         t = np.arange(1, 40001) * 1e-3
         m = np.exp(-t / 10.0)

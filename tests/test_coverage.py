@@ -140,6 +140,18 @@ class TestDeterministicBound:
             obs = int(expansion._counts_at(probes, dip, reach).max())
             assert b >= obs
 
+    def test_lattice_pass_batching_invariant(self):
+        """_lattice_pass processes dipoles in bounded-memory batches
+        (review r3: the monolithic [N, C, 3] tensor OOM'd 30k-dipole
+        clustered scenes); the histogram must not depend on batch size."""
+        rng = np.random.default_rng(7)
+        dip = rng.random((50, 3)) * 6.0
+        ref = expansion._lattice_pass(dip, 0.8, 0.2, batch=10**9)
+        for b in (1, 7, 50):
+            got = expansion._lattice_pass(dip, 0.8, 0.2, batch=b)
+            for r, g in zip(ref, got):
+                np.testing.assert_array_equal(r, g)
+
     def test_bound_exact_on_constructed_cluster(self):
         """7 dipoles on a small shell: every interior point sees all 7;
         the bound must find exactly 7, not 8 (conservatism) or 6."""

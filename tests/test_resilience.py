@@ -124,6 +124,32 @@ class TestElasticRecovery:
         times = np.array([float(l.split(",")[0]) for l in lines])
         assert np.all(np.diff(times) > 0)   # no duplicated windows
 
+    def test_first_attempt_resume_returns_full_curve(self, tmp_path):
+        """Process-death shape: run_resilient called FRESH with a
+        checkpoint already on disk (attempt 1 resumes, no in-process
+        failure ever happens).  The returned arrays must still cover
+        the whole run, not just the resumed tail."""
+        p = tiny_params()
+        base_csv = str(tmp_path / "base.csv")
+        SimulationRunner(p, scene_seed=3, seed=4, engine="scan").run(
+            csv_path=base_csv, progress=False)
+
+        rec_csv = str(tmp_path / "rec.csv")
+        ck = str(tmp_path / "ck.npz")
+        resilience.run_resilient(
+            make_factory(p), csv_path=rec_csv, checkpoint_path=ck,
+            checkpoint_every_sprints=1, drain_depth=1, max_retries=1,
+            progress=False, max_steps=p.t // 2)      # "process dies" here
+        times, cos, _, stats = resilience.run_resilient(
+            make_factory(p), csv_path=rec_csv, checkpoint_path=ck,
+            checkpoint_every_sprints=1, drain_depth=1, max_retries=1,
+            progress=False)
+        assert stats["recovery_attempts"] == 0
+        assert read_lines(rec_csv) == read_lines(base_csv)
+        t_base, c_base = writer_mod.read_t2_csv(base_csv)
+        np.testing.assert_array_equal(times, t_base)   # FULL axis
+        np.testing.assert_array_equal(cos, c_base)
+
     def test_failure_before_any_checkpoint_restarts_clean(self, tmp_path):
         p = tiny_params()
         base_csv = str(tmp_path / "base.csv")
@@ -338,6 +364,13 @@ class TestCliValidation:
             f.write("9.9,123\n")
         assert sim.main(args + ["--resume", ck]) == 0
         assert read_lines(csv) == lines # overhang trimmed, nothing dup'd
+
+    def test_resume_requires_out(self):
+        """--resume without --out would write the resumed rows to a NEW
+        timestamped file and leave the original CSV's overhang."""
+        from mri_nanoparticle_simulation_tpu.engine import sim
+        with pytest.raises(SystemExit):
+            sim.main(["--resume", "ck.npz", "--num-water", "64"])
 
     def test_max_retries_requires_out(self):
         from mri_nanoparticle_simulation_tpu.engine import sim
