@@ -1,0 +1,192 @@
+"""Inverse relaxometry: recover physical parameters from an observed
+magnetization decay by differentiating THROUGH the simulator.
+
+The scientific use of a T2 nanoparticle simulator is usually the inverse
+question: given a measured decay curve, what magnetic moment (i.e. what
+nanoparticle load) produced it?  The reference answers it by brute-force
+forward sweeps — recompile, re-run, eyeball (README.md:13: parameters
+are compile-time constants).  Here the whole simulation is a pure JAX
+function, so the curve is differentiable in the physical parameters and
+the inverse problem is ordinary gradient descent:
+
+    target = simulate(scale*)            # or a measured curve
+    scale  = argmin_s  mean( (simulate(s) - target)^2 )
+
+via reverse-mode AD through every diffusion step, field evaluation,
+phase kick and Carr-Purcell flip.  The counter-based RNG is integer-only
+and acts as a constant of the differentiation, giving the pathwise
+(reparameterized) derivative on frozen trajectories — the loss in
+``scale`` is smooth and, with the same simulation seed as the target,
+exactly minimized at the true value.
+
+TPU-shaped: the ENTIRE optimization (every Adam iteration, each
+containing a full forward simulation and its backward pass) is one
+`lax.scan` inside one jit — a single device computation, no host round
+trips.  Each sprint of the forward pass is wrapped in `jax.checkpoint`,
+so backward-pass memory is O(one sprint of state), not O(total steps):
+moment recovery through a 4e7-step production run rematerializes sprints
+instead of storing them.
+
+The scan (anchor) engine is used because its XLA graph is what JAX
+reverse-differentiates today; the Pallas production kernel would need a
+hand-written VJP kernel (a round-4+ item if inverse fitting at
+production scale becomes hot).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+
+from .params import Params
+
+
+class MomentFitResult(NamedTuple):
+    scale: float            #: fitted moment scale (relative to params.mmoment)
+    mmoment: float          #: fitted absolute moment, A*m^2... same unit as Params.mmoment
+    loss: float             #: final mean-squared curve error
+    scale_history: np.ndarray   #: [iters] scale per Adam iteration
+    loss_history: np.ndarray    #: [iters] loss per Adam iteration
+
+
+def make_curve_fn(params: Params, scene, seed: int = 0,
+                  dtype=None) -> Callable:
+    """Build ``curve(moment_scale) -> m[t]``: the normalized magnetization
+    curve (sum cos phi / num_water, one point per output window) as a
+    differentiable function of the moment scale, on a fixed scene and a
+    fixed RNG seed (frozen trajectories).
+
+    The full run is a `lax.scan` over sprints with each sprint
+    `jax.checkpoint`-ed: forward cost unchanged, backward memory bounded
+    by one sprint."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import rng
+    from .engine import reference_engine as re
+
+    dtype = dtype or jnp.float32
+    p = params.validate()  # rejects t % sprint_steps != 0, among others
+    sprint = re.make_sprint_fn(p, dtype)
+    k = rng.key_from_seed(seed)
+    key_arr = jnp.asarray([np.uint32(k[0]), np.uint32(k[1])])
+    mnp_pos = jnp.asarray(np.asarray(scene.mnps[:, :3], np.float32), dtype)
+    base_M = jnp.asarray(np.asarray(scene.mnps[:, 4], np.float32), dtype)
+    st0 = re.init_state(scene.waters, p, dtype)
+    n_sprints = p.t // p.sprint_steps
+
+    def curve(moment_scale):
+        @jax.checkpoint
+        def body(st, _):
+            st, wins = sprint(mnp_pos, base_M * moment_scale, key_arr,
+                              st, 0)
+            return st, wins[:, 0]
+
+        _, cos = jax.lax.scan(body, st0, None, length=n_sprints)
+        return cos.reshape(-1) / p.num_water
+
+    return curve
+
+
+def fit_moment_scale(target, params: Params, scene, *, seed: int = 0,
+                     init_scale: float = 1.0, iters: int = 80,
+                     lr: float = 0.05,
+                     dtype=None) -> MomentFitResult:
+    """Recover the moment scale that produced ``target`` (a normalized
+    magnetization curve, one value per output window — e.g. a T2 CSV's
+    sum_cos column / num_water, or a measured decay resampled onto the
+    window grid).
+
+    Adam on log(scale) (positivity by construction); the whole
+    optimization runs as ONE jitted `lax.scan` over iterations.  With
+    ``seed`` equal to the target's simulation seed the loss minimum is
+    exactly the true scale; against independently-generated (or
+    measured) data the minimum sits within the Monte-Carlo noise floor
+    of the walker count."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    curve = make_curve_fn(params, scene, seed=seed, dtype=dtype)
+    target = jnp.asarray(np.asarray(target, np.float32))
+    n = params.t // params.pfreq
+    if target.shape != (n,):
+        raise ValueError(f"target must have one value per output window "
+                         f"([{n}]), got {target.shape}")
+
+    opt = optax.adam(lr)
+
+    def loss_fn(theta):
+        return jnp.mean((curve(jnp.exp(theta)) - target) ** 2)
+
+    @jax.jit
+    def run(theta0):
+        def step(carry, _):
+            theta, opt_state = carry
+            loss, g = jax.value_and_grad(loss_fn)(theta)
+            updates, opt_state = opt.update(g, opt_state)
+            theta = optax.apply_updates(theta, updates)
+            return (theta, opt_state), (jnp.exp(theta), loss)
+
+        carry0 = (theta0, opt.init(theta0))
+        (theta, _), (scales, losses) = jax.lax.scan(
+            step, carry0, None, length=iters)
+        return jnp.exp(theta), scales, losses
+
+    scale, scales, losses = run(jnp.float32(np.log(init_scale)))
+    scale = float(np.asarray(scale))
+    losses = np.asarray(losses)
+    return MomentFitResult(
+        scale=scale,
+        mmoment=scale * params.mmoment,
+        loss=float(losses[-1]),
+        scale_history=np.asarray(scales),
+        loss_history=losses,
+    )
+
+
+def main(argv=None) -> int:
+    """CLI demo: ``mri-t2-invert`` — simulate a target curve at a hidden
+    moment scale, then recover it by gradient descent from 1.0."""
+    from .params import small_test_params
+    from .scene import BacteriaBox
+
+    ap = argparse.ArgumentParser(
+        description="Recover the nanoparticle moment from a decay curve "
+                    "by differentiating through the simulator")
+    ap.add_argument("--true-scale", type=float, default=1.4,
+                    help="hidden moment scale that generates the target")
+    ap.add_argument("--init-scale", type=float, default=1.0)
+    ap.add_argument("--iters", type=int, default=60)
+    ap.add_argument("--lr", type=float, default=0.05)
+    ap.add_argument("--num-water", type=int, default=256)
+    ap.add_argument("--scene-seed", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=2,
+                    help="simulation RNG seed (shared by target and fit)")
+    args = ap.parse_args(argv)
+    if not args.true_scale > 0 or not args.init_scale > 0:
+        ap.error("scales must be > 0")
+
+    # ~20x the tiny-test moment: deep intra-window dephasing gives the
+    # fit a strong signal (at 3.5e-15 the curve barely decays)
+    p = small_test_params(num_water=args.num_water, mmoment=2e-14)
+    sc = BacteriaBox(p, seed=args.scene_seed).populate()
+    curve = make_curve_fn(p, sc, seed=args.seed)
+    target = np.asarray(curve(args.true_scale))
+    print(f"target: {len(target)} windows, final m = {target[-1]:.4f} "
+          f"(hidden scale {args.true_scale})")
+    fit = fit_moment_scale(target, p, sc, seed=args.seed,
+                           init_scale=args.init_scale, iters=args.iters,
+                           lr=args.lr)
+    err = abs(fit.scale - args.true_scale) / args.true_scale
+    print(f"recovered scale = {fit.scale:.5f} "
+          f"(true {args.true_scale}, rel err {err:.2e}), "
+          f"loss {fit.loss:.3e} after {args.iters} Adam iterations")
+    return 0 if err < 0.05 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,55 @@
+"""Inverse relaxometry: moment recovery by gradient descent through the
+simulator (inverse.py) — the forward-only reference architecture's
+sensitivity studies (README.md:13, recompile-per-value) turned into a
+single jitted optimization."""
+
+import numpy as np
+import pytest
+
+from mri_nanoparticle_simulation_tpu import inverse as inv
+from mri_nanoparticle_simulation_tpu.params import small_test_params
+from mri_nanoparticle_simulation_tpu.scene import BacteriaBox
+
+
+def _setup(num_water=128, mmoment=2e-14, scene_seed=1):
+    p = small_test_params(num_water=num_water, mmoment=mmoment)
+    return p, BacteriaBox(p, seed=scene_seed).populate()
+
+
+class TestMomentRecovery:
+    def test_same_seed_recovery(self):
+        """With the fit sharing the target's simulation seed the loss
+        minimum is exactly the true scale; Adam must land within 2%."""
+        p, sc = _setup()
+        target = np.asarray(inv.make_curve_fn(p, sc, seed=2)(1.4))
+        fit = inv.fit_moment_scale(target, p, sc, seed=2, iters=80)
+        assert abs(fit.scale - 1.4) / 1.4 < 0.02
+        assert fit.loss < 1e-6
+        assert fit.mmoment == pytest.approx(fit.scale * p.mmoment)
+        assert fit.loss_history.shape == (80,)
+        # the optimization actually descended
+        assert fit.loss < fit.loss_history[0] * 1e-2
+
+    def test_cross_seed_recovery(self):
+        """Against an INDEPENDENTLY generated target (different RNG
+        seed — the 'measured data' shape) the minimum sits within the
+        Monte-Carlo noise floor; at 256 walkers that is a few percent."""
+        p, sc = _setup(num_water=256)
+        target = np.asarray(inv.make_curve_fn(p, sc, seed=9)(1.4))
+        fit = inv.fit_moment_scale(target, p, sc, seed=2, iters=80)
+        assert abs(fit.scale - 1.4) / 1.4 < 0.05
+
+    def test_target_shape_validated(self):
+        p, sc = _setup(num_water=64)
+        with pytest.raises(ValueError, match="one value per output"):
+            inv.fit_moment_scale(np.zeros(3), p, sc)
+
+    def test_curve_fn_rejects_ragged_sprints(self):
+        p, sc = _setup(num_water=64)
+        with pytest.raises(ValueError, match="multiple of sprint_steps"):
+            inv.make_curve_fn(p.replace(sprint_steps=1500), sc)
+
+    def test_cli_demo(self, capsys):
+        assert inv.main(["--num-water", "64", "--iters", "60"]) == 0
+        out = capsys.readouterr().out
+        assert "recovered scale" in out
