@@ -1,4 +1,5 @@
-from . import pallas_engine, reference_engine
+from . import decompose, pallas_engine, reference_engine
 from .sim import SimulationRunner
 
-__all__ = ["pallas_engine", "reference_engine", "SimulationRunner"]
+__all__ = ["decompose", "pallas_engine", "reference_engine",
+           "SimulationRunner"]

@@ -1,0 +1,142 @@
+"""Phase-decomposition runs: the whole moment axis from ONE simulation.
+
+Walker trajectories never depend on the dipole moment — diffusion,
+membrane reflection and cell residency are pure functions of the RNG
+stream and the scene geometry (simulateDiffusion consumes no field,
+cuda_sim.cu:688-746).  The moment enters only through the per-step phase
+kick, linearly (accumulatePhase: B*2pi*g*tau, cuda_sim.cu:637), and
+Carr-Purcell flips are sign changes.  Therefore every walker's phase is
+EXACTLY linear in a global moment scale s:
+
+    phase_i(t; s) = s * A_i(t) + B_i(t)
+
+with A the accumulated dipole-field phase at the base moments and B the
+accumulated intracellular-kick phase.  A single forward run that records
+per-walker (A, B) at each output window is a *complete basis* for the
+moment axis:
+
+    m(t; s) = mean_i cos(s * A_i(t) + B_i(t))
+
+reconstructs the T2 curve at ANY moment scale — the reference's
+mmoment-sweep workflow ("edit parameters.h, make clean && make", one
+~14-minute GPU run per value, README.md:13,16) collapses to one
+production-speed simulation plus closed-form evaluation.  The inverse
+problem (recover the moment from a measured decay) becomes 1-D
+optimization over a cheap differentiable expression (see inverse.py).
+
+Both engines support the mode: the Pallas production kernel carries
+(A, comp_A, B, comp_B) as separate Kahan streams and emits per-walker
+(A, B) planes per window (pallas_engine.make_chunk_kernel, decompose=True);
+the scan engine mirrors it for cross-validation.  The reconstruction at
+s = 1 matches a direct run up to the rounding difference between one
+joint and two split Kahan accumulations (tested in
+tests/test_decompose.py).
+
+Memory: the record is [n_windows, num_water] per component — 1.3 GB for
+the full reference run (40,000 windows x 4032 walkers x 2 x f32),
+streamed to host per sprint; pass ``max_steps`` or enlarge ``pfreq`` to
+subsample if that matters.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from ..params import Params
+
+
+class DecompositionResult(NamedTuple):
+    times_ms: np.ndarray   #: [n] window end times, ms
+    A: np.ndarray          #: [n, W] dipole-field phase at the base moments
+    B: np.ndarray          #: [n, W] kick phase (moment-independent)
+    stats: dict            #: escapes / coverage_violations / steps
+
+
+def run_decomposition(scene, params: Params, seed: int = 0,
+                      engine: str = "pallas", dtype=None,
+                      rng_impl: str = "threefry",
+                      interpret: bool = False,
+                      max_steps: Optional[int] = None) -> DecompositionResult:
+    """One forward simulation recording per-walker (A, B) per window.
+
+    ``engine`` is ``"pallas"`` (production kernel) or ``"scan"``; both
+    consume the same Threefry streams, so their records agree to f32
+    rounding (bitwise under the shared step semantics).
+    """
+    import jax.numpy as jnp
+
+    from .. import rng
+    from . import pallas_engine as pe
+    from . import reference_engine as re
+
+    dtype = dtype or jnp.float32
+    p = params.validate()
+    num_water = scene.waters.shape[0]
+    mnp_pos = jnp.asarray(np.asarray(scene.mnps[:, :3], np.float32), dtype)
+    mnp_M = jnp.asarray(np.asarray(scene.mnps[:, 4], np.float32), dtype)
+    k = rng.key_from_seed(seed)
+    key_arr = jnp.asarray([np.uint32(k[0]), np.uint32(k[1])])
+    state = re.init_state(scene.waters, p, dtype, decompose=True)
+
+    total = p.t if max_steps is None else min(p.t, max_steps)
+    n_sprints = total // p.sprint_steps
+    a_parts, b_parts = [], []
+
+    if engine == "pallas":
+        sprint = pe.make_sprint_fn(p, num_water, dtype, rng_impl,
+                                   interpret=interpret, decompose=True)
+        ps = pe.to_planes(state, p)
+        for _ in range(n_sprints):
+            ps, wins = sprint(mnp_pos, mnp_M, key_arr, ps, 0)
+            # wins: [n_win, 2, R, 128] -> [n_win, W] per component
+            w = np.asarray(wins)
+            a_parts.append(w[:, 0].reshape(w.shape[0], -1)[:, :num_water])
+            b_parts.append(w[:, 1].reshape(w.shape[0], -1)[:, :num_water])
+        final = pe.from_planes(ps, num_water)
+    elif engine == "scan":
+        sprint = re.make_sprint_fn(p, dtype, decompose=True)
+        for _ in range(n_sprints):
+            state, wins = sprint(mnp_pos, mnp_M, key_arr, state, 0)
+            w = np.asarray(wins)                   # [n_win, W, 2]
+            a_parts.append(w[..., 0])
+            b_parts.append(w[..., 1])
+        final = state
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+
+    A = np.concatenate(a_parts) if a_parts else np.zeros((0, num_water))
+    B = np.concatenate(b_parts) if b_parts else np.zeros((0, num_water))
+    times = (np.arange(1, A.shape[0] + 1) * p.pfreq) * p.tau
+    stats = {
+        "steps": int(final.step),
+        "escapes": int(np.asarray(final.escapes)),
+        "coverage_violations": int(np.asarray(final.coverage)),
+    }
+    return DecompositionResult(times_ms=times, A=A, B=B, stats=stats)
+
+
+def curves_at_scales(A, B, scales, quadrature: bool = False):
+    """Reconstruct normalized magnetization curves at each moment scale:
+    ``curves[s, t] = mean_i cos(scales[s] * A[t, i] + B[t, i])``
+    (and the sin component when ``quadrature``).
+
+    One memory pass over (A, B) per scale (``lax.map``), so sweeping
+    hundreds of scales over the full-run record stays bounded.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    A = jnp.asarray(np.asarray(A, np.float32))
+    B = jnp.asarray(np.asarray(B, np.float32))
+    s = jnp.asarray(np.asarray(scales, np.float32)).reshape(-1)
+
+    def one(sv):
+        ph = sv * A + B
+        if quadrature:
+            return jnp.stack([jnp.mean(jnp.cos(ph), axis=-1),
+                              jnp.mean(jnp.sin(ph), axis=-1)])
+        return jnp.mean(jnp.cos(ph), axis=-1)
+
+    return np.asarray(jax.lax.map(one, s))

@@ -106,13 +106,21 @@ def to_planes(state: WalkerState, params: Params) -> PlaneState:
             [x, xp.full((wp - w,), fill, x.dtype)]).reshape(r, LANES)
 
     half = xp.asarray(params.bound / 2, state.pos.dtype)
+    if state.phase.ndim == 2:    # decompose run: [W, 2] -> [2, R, 128]
+        phase = xp.stack([plane(state.phase[:, 0], 0),
+                          plane(state.phase[:, 1], 0)])
+        comp = xp.stack([plane(state.phase_comp[:, 0], 0),
+                         plane(state.phase_comp[:, 1], 0)])
+    else:
+        phase = plane(state.phase, 0)
+        comp = plane(state.phase_comp, 0)
     return PlaneState(
         px=plane(state.pos[:, 0], half),
         py=plane(state.pos[:, 1], half),
         pz=plane(state.pos[:, 2], half),
         in_cell=plane(state.in_cell.astype(state.pos.dtype), 0),
-        phase=plane(state.phase, 0),
-        phase_comp=plane(state.phase_comp, 0),
+        phase=phase,
+        phase_comp=comp,
         step=state.step,
         escapes=state.escapes,
         coverage=state.coverage,
@@ -122,11 +130,18 @@ def to_planes(state: WalkerState, params: Params) -> PlaneState:
 def from_planes(ps: PlaneState, num_water: int) -> WalkerState:
     def vec(x):
         return x.reshape(-1)[:num_water]
+    if ps.phase.ndim == 3:       # decompose run: [2, R, 128] -> [W, 2]
+        phase = jnp.stack([vec(ps.phase[0]), vec(ps.phase[1])], axis=-1)
+        comp = jnp.stack([vec(ps.phase_comp[0]), vec(ps.phase_comp[1])],
+                         axis=-1)
+    else:
+        phase = vec(ps.phase)
+        comp = vec(ps.phase_comp)
     return WalkerState(
         pos=jnp.stack([vec(ps.px), vec(ps.py), vec(ps.pz)], axis=-1),
         in_cell=vec(ps.in_cell) > 0.5,
-        phase=vec(ps.phase),
-        phase_comp=vec(ps.phase_comp),
+        phase=phase,
+        phase_comp=comp,
         step=ps.step,
         escapes=ps.escapes,
         coverage=ps.coverage,
@@ -149,7 +164,8 @@ def _threefry_words(key01, c0_scalar, lane, n_words, rounds):
 def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                       rng_impl: str = RNG_THREEFRY,
                       interpret: bool = False,
-                      n_mnp_pad: int | None = None):
+                      n_mnp_pad: int | None = None,
+                      decompose: bool = False):
     """Build the pallas_call executing one chunk (chunk_steps timesteps,
     spanning chunk_steps/pfreq output windows) for all walkers.
 
@@ -189,6 +205,16 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
     (A multi-chunk-per-launch variant was measured identical in speed —
     the XLA scan pipeline already hides launch cost — and 10x slower to
     compile, so one launch per chunk it is.)
+
+    **Decomposition mode** (``decompose=True``): trajectories never depend
+    on the dipole moment, so each walker's phase is exactly linear in a
+    global moment scale — phase = s*A + B with A the dipole-field part
+    and B the kick part (see reference_engine.make_sprint_fn).  The state
+    grows to 8 planes (A, comp_A, B, comp_B replace phase, comp), and the
+    window output becomes the per-walker VMEM record
+    ``dec [n_win, 2, R, 128]`` (A, B per window) instead of the SMEM
+    (sum cos, sum sin) pair — one production-speed run then reconstructs
+    the T2 curve at ANY moment scale (engine/decompose.py).
     """
     params.validate()
     if params.chunk_steps % params.pfreq != 0:
@@ -381,11 +407,12 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         def uni(bits):
             return rng.uniform_from_bits(bits, dtype)
 
-        def run_chunk(model, chunk_step0, x, y, z, phase, comp):
+        def run_chunk(model, chunk_step0, x, y, z, phases):
             """One chunk of chunk_steps timesteps against a fixed field
-            model; emits its windows into o_wins.  Returns the
-            end-of-chunk walker state and the chunk max anchor distance
-            (escape detection)."""
+            model; emits its windows into o_wins.  ``phases`` is
+            (phase, comp) — or (A, comp_A, B, comp_B) in decompose mode.
+            Returns the end-of-chunk walker state and the chunk max
+            anchor distance (escape detection)."""
             (anchor_x, anchor_y, anchor_z, nx, ny, nz, nM,
              tb0, tgx, tgy, tgz, thxx, thyy, thzz, thxy, thxz,
              thyz) = model
@@ -490,9 +517,13 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
 
                 kick = b * phase_per_tesla
                 intra = intracellular_kick(params, u_kick, in_new, dtype)
-                if intra is not None:
-                    kick = kick + intra
-                acc = acc + kick
+                if decompose:
+                    acc = (acc[0] + kick,
+                           acc[1] if intra is None else acc[1] + intra)
+                else:
+                    if intra is not None:
+                        kick = kick + intra
+                    acc = (acc[0] + kick,)
 
                 if track_maxd2:
                     ddx = x2 - anchor_x
@@ -606,36 +637,54 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
             # chunk-start state (anchor == wrapped input position)
             b_start, mind2_start = eval_field(x, y, z)
             maxd2 = jnp.zeros_like(x)
-            carry = (x, y, z, mind2_start, b_start, jnp.zeros_like(x),
-                     maxd2)
+            n_acc = 2 if decompose else 1
+
+            def zeros_acc():
+                return tuple(jnp.zeros_like(x) for _ in range(n_acc))
+
+            carry = (x, y, z, mind2_start, b_start, zeros_acc(), maxd2)
             for w_idx in range(n_win):
                 win_step0 = chunk_step0 + jnp.uint32(w_idx * params.pfreq)
                 x, y, z, mind2, bprev, _, maxd2 = carry
-                carry = (x, y, z, mind2, bprev, jnp.zeros_like(x), maxd2)
+                carry = (x, y, z, mind2, bprev, zeros_acc(), maxd2)
                 carry = run_window(win_step0, carry)
                 (x, y, z, mind2, bprev, acc, maxd2) = carry
 
-                # Kahan fold (performUpdate, cuda_sim.cu:814-828)
-                ky = acc - comp
-                kt = phase + ky
-                comp = (kt - phase) - ky
-                phase = kt
-                o_wins[0, w_idx, 0] = jnp.sum(jnp.cos(phase) * valid_v)
-                o_wins[0, w_idx, 1] = jnp.sum(jnp.sin(phase) * valid_v)
+                # Kahan fold (performUpdate, cuda_sim.cu:814-828), one
+                # stream per accumulator (phase, or A and B)
+                folded = []
+                for a in range(n_acc):
+                    ph, cp = phases[2 * a], phases[2 * a + 1]
+                    ky = acc[a] - cp
+                    kt = ph + ky
+                    cp = (kt - ph) - ky
+                    folded += [kt, cp]
+                phases = tuple(folded)
+                if decompose:
+                    # per-walker (A, B) record for this window — the
+                    # moment-scale reconstruction basis
+                    o_wins[w_idx, 0] = phases[0]
+                    o_wins[w_idx, 1] = phases[2]
+                else:
+                    phase = phases[0]
+                    o_wins[0, w_idx, 0] = jnp.sum(jnp.cos(phase) * valid_v)
+                    o_wins[0, w_idx, 1] = jnp.sum(jnp.sin(phase) * valid_v)
 
                 # Carr-Purcell flip after emission (cuda_sim.cu:1015-1020);
-                # tcp is a launch scalar so taucp sweeps share one compile
+                # tcp is a launch scalar so taucp sweeps share one compile;
+                # in decompose mode the flip negates BOTH components,
+                # preserving phase = s*A + B exactly
                 end_step = win_step0 + jnp.uint32(params.pfreq)
                 do_flip = (end_step % tcp_u) == 0
-                sign = jnp.where(do_flip, -1.0, 1.0).astype(phase.dtype)
-                phase = phase * sign
-                comp = comp * sign
+                sign = jnp.where(do_flip, -1.0, 1.0).astype(x.dtype)
+                phases = tuple(p * sign for p in phases)
 
             (x, y, z, mind2, _, _, maxd2) = carry
-            return x, y, z, mind2 < cell_r2, phase, comp, maxd2
+            return x, y, z, mind2 < cell_r2, phases, maxd2
 
         x, y, z = state[0], state[1], state[2]
-        incell, phase, comp = state[3], state[4], state[5]
+        incell = state[3]
+        phases = tuple(state[4 + i] for i in range(4 if decompose else 2))
         if rebuild:
             # periodic wrap at chunk boundary, in-kernel (same semantics
             # as the XLA-side jnp.mod of the big-scene path)
@@ -655,16 +704,16 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                      [near[2][j] for j in range(k)],
                      [near[3][j] for j in range(k)],
                      *[taylor[i] for i in range(10)])
-        x, y, z, incell, phase, comp, maxd2 = run_chunk(
-            model, step0, ax, ay, az, phase, comp)
+        x, y, z, incell, phases, maxd2 = run_chunk(
+            model, step0, ax, ay, az, phases)
         esc_count = jnp.where(maxd2 > travel2_f, 1.0, 0.0) * valid_v
 
         o_state[0] = x
         o_state[1] = y
         o_state[2] = z
         o_state[3] = incell.astype(dtype)  # bool plane -> f32 0/1 state row
-        o_state[4] = phase
-        o_state[5] = comp
+        for i, p in enumerate(phases):
+            o_state[4 + i] = p
         o_esc[:] = esc_count
         if rebuild:
             o_cov[0, 0, 0] = cov_scalar
@@ -673,8 +722,9 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
             # the distance matrix); the kernel contributes zero
             o_cov[0, 0, 0] = jnp.zeros((), dtype)
 
+    n_state = 8 if decompose else 6
     sspec = pl.BlockSpec((8,), lambda b: (0,), memory_space=pltpu.SMEM)
-    state_spec = pl.BlockSpec((6, r_blk, LANES), lambda b: (0, b, 0),
+    state_spec = pl.BlockSpec((n_state, r_blk, LANES), lambda b: (0, b, 0),
                               memory_space=pltpu.VMEM)
     esc_spec = pl.BlockSpec((r_blk, LANES), lambda b: (b, 0),
                             memory_space=pltpu.VMEM)
@@ -685,8 +735,17 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
     # i.e. for any population beyond one 4096-walker block
     cov_spec = pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
                             memory_space=pltpu.SMEM)
-    wspec = pl.BlockSpec((1, n_win, 2), lambda b: (b, 0, 0),
-                         memory_space=pltpu.SMEM)
+    if decompose:
+        # per-walker (A, B) per window — VMEM planes, blocks disjoint in
+        # the plane-row dim; leading dims equal the array's (tiling rule)
+        wspec = pl.BlockSpec((n_win, 2, r_blk, LANES),
+                             lambda b: (0, 0, b, 0),
+                             memory_space=pltpu.VMEM)
+        wins_shape = (n_win, 2, r_planes, LANES)
+    else:
+        wspec = pl.BlockSpec((1, n_win, 2), lambda b: (b, 0, 0),
+                             memory_space=pltpu.SMEM)
+        wins_shape = (n_blocks, n_win, 2)
     if rebuild:
         mnp_spec = pl.BlockSpec((4, n_mnp_pad), lambda b: (0, 0),
                                 memory_space=pltpu.SMEM)
@@ -703,10 +762,10 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         kernel,
         grid=(n_blocks,),
         out_shape=(
-            jax.ShapeDtypeStruct((6, r_planes, LANES), dtype),
+            jax.ShapeDtypeStruct((n_state, r_planes, LANES), dtype),
             jax.ShapeDtypeStruct((r_planes, LANES), dtype),
             jax.ShapeDtypeStruct((n_blocks, 1, 1), dtype),
-            jax.ShapeDtypeStruct((n_blocks, n_win, 2), dtype),
+            jax.ShapeDtypeStruct(wins_shape, dtype),
         ),
         in_specs=in_specs,
         out_specs=(state_spec, esc_spec, cov_spec, wspec),
@@ -716,7 +775,8 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
 
 
 def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
-                   rng_impl: str = RNG_THREEFRY, interpret: bool = False):
+                   rng_impl: str = RNG_THREEFRY, interpret: bool = False,
+                   decompose: bool = False):
     """Jitted sprint with the same contract as
     reference_engine.make_sprint_fn, but running chunks in the Pallas
     kernel.  Operates on PlaneState.
@@ -738,6 +798,12 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
     the whole recandidate runs inside the chunk kernel and the XLA side
     degenerates to a scan over kernel launches; the dipole-table length
     (static under jit) selects the path at trace time.
+
+    ``decompose=True``: phase-decomposition run (see make_chunk_kernel) —
+    the PlaneState carries phase / phase_comp as [2, R, 128] (A, B)
+    stacks, and ``wins`` becomes [n_windows, 2, R, 128] per-walker (A, B)
+    planes.  Production-speed basis for moment-scale reconstruction
+    (engine/decompose.py).
     """
     params.validate()
     wp = pad_count(num_water)
@@ -758,8 +824,14 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
         if n_mnp_pad not in kerns:
             kerns[n_mnp_pad] = make_chunk_kernel(
                 params, r, dtype, rng_impl, interpret,
-                n_mnp_pad=n_mnp_pad)
+                n_mnp_pad=n_mnp_pad, decompose=decompose)
         return kerns[n_mnp_pad]
+
+    def pack_state(ps: PlaneState):
+        base = jnp.stack([ps.px, ps.py, ps.pz, ps.in_cell])
+        if decompose:     # phase/comp are [2, R, 128] (A, B) stacks
+            return jnp.concatenate([base, ps.phase, ps.phase_comp])
+        return jnp.concatenate([base, ps.phase[None], ps.phase_comp[None]])
 
     def make_scalars(ps, lane_offset, key_arr, tcp_u, cr2_bits):
         step0 = ps.step
@@ -798,9 +870,13 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
         coverage = ps.coverage + jnp.sum(o_cov).astype(jnp.int32)
         if cov_extra is not None:
             coverage = coverage + cov_extra
+        if decompose:
+            phase, comp = state_out[4:6], state_out[6:8]
+        else:
+            phase, comp = state_out[4], state_out[5]
         return PlaneState(px=state_out[0], py=state_out[1],
                           pz=state_out[2], in_cell=state_out[3],
-                          phase=state_out[4], phase_comp=state_out[5],
+                          phase=phase, phase_comp=comp,
                           step=ps.step + jnp.uint32(steps),
                           escapes=escapes, coverage=coverage)
 
@@ -832,17 +908,15 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
 
             def chunk_body(ps: PlaneState, chunk_idx):
                 del chunk_idx
-                state_in = jnp.stack([ps.px, ps.py, ps.pz, ps.in_cell,
-                                      ps.phase, ps.phase_comp])
                 state_out, o_esc, o_cov, block_wins = kern(
                     make_scalars(ps, lane_offset, key_arr, tcp_u, cr2_bits),
-                    state_in, mnp_tbl)
+                    pack_state(ps), mnp_tbl)
                 return advance(ps, state_out, o_esc, o_cov, chunk_steps), \
-                    jnp.sum(block_wins, axis=0)
+                    block_wins if decompose else jnp.sum(block_wins, axis=0)
 
             ps, wins = jax.lax.scan(chunk_body, ps,
                                     jnp.arange(n_chunks, dtype=jnp.uint32))
-            return ps, wins.reshape(n_chunks * n_win_chunk, 2)
+            return ps, wins.reshape(n_chunks * n_win_chunk, *wins.shape[2:])
 
         # big-scene path: XLA recandidate (cube-candidate cache) feeding
         # the near/taylor kernel inputs
@@ -917,18 +991,20 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                      pl_(nf.hess[..., 2]), pl_(nf.hess[..., 3]),
                      pl_(nf.hess[..., 4]), pl_(nf.hess[..., 5])])
 
-            state_in = jnp.stack(
-                [px, py, pz, ps.in_cell, ps.phase, ps.phase_comp])
+            state_in = pack_state(PlaneState(
+                px=px, py=py, pz=pz, in_cell=ps.in_cell, phase=ps.phase,
+                phase_comp=ps.phase_comp, step=ps.step, escapes=ps.escapes,
+                coverage=ps.coverage))
             state_out, o_esc, o_cov, block_wins = kern(
                 make_scalars(ps, lane_offset, key_arr, tcp_u, cr2_bits),
                 state_in, near, taylor)
             return advance(ps, state_out, o_esc, o_cov, chunk_steps,
                            cov_extra=cov_extra), \
-                jnp.sum(block_wins, axis=0)
+                block_wins if decompose else jnp.sum(block_wins, axis=0)
 
         ps, wins = jax.lax.scan(chunk_body, ps,
                                 jnp.arange(n_chunks, dtype=jnp.uint32))
-        return ps, wins.reshape(n_chunks * n_win_chunk, 2)
+        return ps, wins.reshape(n_chunks * n_win_chunk, *wins.shape[2:])
 
     inner = jax.jit(sprint)
 

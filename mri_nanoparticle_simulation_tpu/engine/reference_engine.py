@@ -97,11 +97,16 @@ def _check_dyn_overrides(tcp, cell_r):
 
 
 def init_state(waters: np.ndarray, params: Params,
-               dtype=jnp.float32, phase_dtype=None) -> WalkerState:
+               dtype=jnp.float32, phase_dtype=None,
+               decompose: bool = False) -> WalkerState:
     """``phase_dtype`` (default = dtype) sets the phase-accumulation
     precision independently of the trajectory precision — positions never
     depend on phase, so f32 trajectories with f64 phase isolate the
     accumulation drift exactly (the accuracy dossier's precision arm).
+
+    ``decompose=True`` builds the state for a phase-decomposition run
+    (see make_sprint_fn): phase / phase_comp become [W, 2] with column 0
+    the dipole-field part and column 1 the kick part.
 
     Built as host NumPy arrays on purpose: the state is only ever
     consumed as a jitted-function argument (a pure transfer), while
@@ -109,11 +114,12 @@ def init_state(waters: np.ndarray, params: Params,
     each through the axon tunnel — pure CLI-startup tax (measured r3)."""
     w = waters.shape[0]
     pdt = phase_dtype or dtype
+    pshape = (w, 2) if decompose else (w,)
     return WalkerState(
         pos=np.asarray(waters, dtype),
         in_cell=np.zeros(w, np.bool_),   # refreshed at first chunk start
-        phase=np.zeros(w, pdt),
-        phase_comp=np.zeros(w, pdt),
+        phase=np.zeros(pshape, pdt),
+        phase_comp=np.zeros(pshape, pdt),
         step=np.uint32(0),
         escapes=np.int32(0),
         coverage=np.int32(0),
@@ -156,7 +162,7 @@ class _AnchorOnly(NamedTuple):
 
 
 def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
-                   phase_dtype=None):
+                   phase_dtype=None, decompose: bool = False):
     """Build the jitted sprint function.
 
     Returns ``sprint(mnp_pos, mnp_M, key, state, lane_offset, tcp=None,
@@ -175,6 +181,20 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
     ``phase_dtype`` (default = dtype) accumulates phase in a different
     precision; trajectories are unaffected (phase never feeds back), so
     f32 positions + f64 phase isolates accumulation drift exactly.
+
+    ``decompose=True`` selects the *phase-decomposition* run: trajectories
+    are independent of the dipole moment (diffusion, reflection and
+    residency use geometry + RNG only), so every walker's phase is EXACTLY
+    linear in a global moment scale s:  phase = s*A + B, where A is the
+    accumulated dipole-field phase at the base moments and B the
+    accumulated intracellular-kick phase (Carr-Purcell flips negate both,
+    preserving linearity).  In this mode the state carries (A, B) as
+    [W, 2] phase planes (init_state(decompose=True)) and ``windows``
+    becomes the per-walker [n_windows, W, 2] (A, B) record instead of the
+    (sum cos, sum sin) pair — one such run reconstructs the curve at ANY
+    moment scale as mean(cos(s*A + B)), replacing the reference's
+    recompile-per-mmoment sweep workflow with a single simulation (see
+    engine/decompose.py and inverse.py).
     """
     params.validate()
     pdt = phase_dtype or dtype
@@ -314,9 +334,16 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
 
         kick = b * phase_per_tesla
         intra = intracellular_kick(params, u_kick, in_new, dtype)
-        if intra is not None:
-            kick = kick + intra
-        acc = acc + kick.astype(acc.dtype)
+        if decompose:
+            # keep the moment-linear dipole part (col 0) and the
+            # moment-independent kick part (col 1) in separate streams
+            acc = acc + jnp.stack(
+                [kick, jnp.zeros_like(kick) if intra is None else intra],
+                axis=-1).astype(acc.dtype)
+        else:
+            if intra is not None:
+                kick = kick + intra
+            acc = acc + kick.astype(acc.dtype)
 
         delta = new_pos - nf.anchor
         max_d2 = jnp.maximum(max_d2, jnp.sum(delta * delta, axis=-1))
@@ -361,9 +388,10 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
         def window_body(st: WalkerState, win_idx):
             del win_idx  # st.step already advances window by window
             step0 = st.step
+            acc0 = jnp.zeros((w, 2) if decompose else w, pdt)
             (pos, in_cell, acc, _, escapes, coverage), _ = jax.lax.scan(
                 chunk_body,
-                (st.pos, st.in_cell, jnp.zeros(w, pdt), step0, st.escapes,
+                (st.pos, st.in_cell, acc0, step0, st.escapes,
                  st.coverage),
                 jnp.arange(chunks_per_window, dtype=jnp.uint32))
 
@@ -374,8 +402,8 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
             t = st.phase + y
             comp = (t - st.phase) - y
             phase = t
-            out = jnp.stack([jnp.sum(jnp.cos(phase)),
-                             jnp.sum(jnp.sin(phase))])
+            out = phase if decompose else jnp.stack(
+                [jnp.sum(jnp.cos(phase)), jnp.sum(jnp.sin(phase))])
 
             # Carr-Purcell flip AFTER emission when the global step count
             # reaches a multiple of tcp (cuda_sim.cu:1015-1020)
@@ -420,8 +448,9 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
                 def inner(c, i):
                     return step_fn(key, nf, lane, c, base + i), None
 
+                acc0 = jnp.zeros((w, 2) if decompose else w, pdt)
                 (pos, in_cell, b_prev, acc, maxd2), _ = jax.lax.scan(
-                    inner, (pos, in_cell, b_prev, jnp.zeros(w, pdt),
+                    inner, (pos, in_cell, b_prev, acc0,
                             maxd2),
                     jnp.arange(params.pfreq, dtype=jnp.uint32),
                     unroll=params.scan_unroll)
@@ -429,8 +458,8 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
                 t = phase + y
                 comp = (t - phase) - y
                 phase = t
-                out = jnp.stack([jnp.sum(jnp.cos(phase)),
-                                 jnp.sum(jnp.sin(phase))])
+                out = phase if decompose else jnp.stack(
+                    [jnp.sum(jnp.cos(phase)), jnp.sum(jnp.sin(phase))])
                 end_step = base + jnp.uint32(params.pfreq)
                 do_flip = (end_step % dyn_ref[1]) == 0
                 phase = jnp.where(do_flip, -phase, phase)
@@ -448,7 +477,7 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
                 escapes=escapes, coverage=coverage), outs
 
         state, wins = jax.lax.scan(chunk_body, state, None, length=n_chunks)
-        return state, wins.reshape(n_windows, 2)
+        return state, wins.reshape(n_windows, *wins.shape[2:])
 
     inner = jax.jit(sprint if window_major else sprint_chunk_major)
 

@@ -29,8 +29,17 @@ instead of storing them.
 
 The scan (anchor) engine is used because its XLA graph is what JAX
 reverse-differentiates today; the Pallas production kernel would need a
-hand-written VJP kernel (a round-4+ item if inverse fitting at
-production scale becomes hot).
+hand-written VJP kernel.
+
+**Production scale does not need one**: trajectories are independent of
+the moment, so phase = s*A + B exactly (engine/decompose.py), and
+:func:`fit_moment_scale_decomposed` fits s against a *decomposition
+record* from ONE forward run of the production Pallas kernel — each
+optimization step evaluates the closed form mean(cos(s*A + B)), no
+backward pass through the simulator at all.  AD-through-the-simulator
+(above) remains the general tool for parameters that DO bend
+trajectories (cell_r, diffusion coefficients); the decomposition path is
+the exact, fast answer for the moment axis specifically.
 """
 
 from __future__ import annotations
@@ -148,6 +157,65 @@ def fit_moment_scale(target, params: Params, scene, *, seed: int = 0,
     )
 
 
+def fit_moment_scale_decomposed(target, A, B, *, mmoment: float = None,
+                                init_scale: float = 1.0, iters: int = 200,
+                                lr: float = 0.1) -> MomentFitResult:
+    """Recover the moment scale from a phase-decomposition record
+    (engine/decompose.run_decomposition): minimizes
+    ``mean((mean_i cos(s*A + B) - target)^2)`` over s by Adam on log(s).
+
+    Exact at any scale (phase = s*A + B is physics, not a model), and
+    each iteration is one elementwise pass over (A, B) — no simulation,
+    no backward pass through the simulator — so it runs at production
+    scale against a record produced by the Pallas kernel.
+
+    ``mmoment``: the base moment the record was produced with; fills the
+    result's absolute-moment field (nan if omitted).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    A = jnp.asarray(np.asarray(A, np.float32))
+    B = jnp.asarray(np.asarray(B, np.float32))
+    target = jnp.asarray(np.asarray(target, np.float32))
+    if target.shape != (A.shape[0],):
+        raise ValueError(f"target must have one value per window "
+                         f"([{A.shape[0]}]), got {target.shape}")
+    if not init_scale > 0:
+        raise ValueError("init_scale must be > 0")
+
+    opt = optax.adam(lr)
+
+    def loss_fn(theta):
+        rec = jnp.mean(jnp.cos(jnp.exp(theta) * A + B), axis=-1)
+        return jnp.mean((rec - target) ** 2)
+
+    @jax.jit
+    def run(theta0):
+        def step(carry, _):
+            theta, opt_state = carry
+            loss, g = jax.value_and_grad(loss_fn)(theta)
+            updates, opt_state = opt.update(g, opt_state)
+            theta = optax.apply_updates(theta, updates)
+            return (theta, opt_state), (jnp.exp(theta), loss)
+
+        (theta, _), (scales, losses) = jax.lax.scan(
+            step, (theta0, opt.init(theta0)), None, length=iters)
+        return jnp.exp(theta), scales, losses
+
+    scale, scales, losses = run(jnp.float32(np.log(init_scale)))
+    scale = float(np.asarray(scale))
+    losses = np.asarray(losses)
+    return MomentFitResult(
+        scale=scale,
+        mmoment=scale * mmoment if mmoment is not None else float("nan"),
+        loss=float(losses[-1]),
+        scale_history=np.asarray(scales),
+        loss_history=losses,
+    )
+
+
 def main(argv=None) -> int:
     """CLI demo: ``mri-t2-invert`` — simulate a target curve at a hidden
     moment scale, then recover it by gradient descent from 1.0."""
@@ -166,6 +234,11 @@ def main(argv=None) -> int:
     ap.add_argument("--scene-seed", type=int, default=1)
     ap.add_argument("--seed", type=int, default=2,
                     help="simulation RNG seed (shared by target and fit)")
+    ap.add_argument("--method", choices=["ad", "decompose"], default="ad",
+                    help="'ad': reverse-mode AD through the simulator "
+                         "(general); 'decompose': one forward "
+                         "phase-decomposition run + closed-form fit "
+                         "(exact for the moment axis, production-fast)")
     args = ap.parse_args(argv)
     if not args.true_scale > 0 or not args.init_scale > 0:
         ap.error("scales must be > 0")
@@ -178,13 +251,20 @@ def main(argv=None) -> int:
     target = np.asarray(curve(args.true_scale))
     print(f"target: {len(target)} windows, final m = {target[-1]:.4f} "
           f"(hidden scale {args.true_scale})")
-    fit = fit_moment_scale(target, p, sc, seed=args.seed,
-                           init_scale=args.init_scale, iters=args.iters,
-                           lr=args.lr)
+    if args.method == "decompose":
+        from .engine.decompose import run_decomposition
+        rec = run_decomposition(sc, p, seed=args.seed, engine="scan")
+        fit = fit_moment_scale_decomposed(
+            target, rec.A, rec.B, mmoment=p.mmoment,
+            init_scale=args.init_scale, iters=args.iters, lr=args.lr)
+    else:
+        fit = fit_moment_scale(target, p, sc, seed=args.seed,
+                               init_scale=args.init_scale, iters=args.iters,
+                               lr=args.lr)
     err = abs(fit.scale - args.true_scale) / args.true_scale
     print(f"recovered scale = {fit.scale:.5f} "
           f"(true {args.true_scale}, rel err {err:.2e}), "
-          f"loss {fit.loss:.3e} after {args.iters} Adam iterations")
+          f"loss {fit.loss:.3e} after {args.iters} {args.method} iterations")
     return 0 if err < 0.05 else 1
 
 

@@ -1,0 +1,120 @@
+"""Phase-decomposition runs (engine/decompose.py): phase = s*A + B.
+
+Trajectories are moment-independent, so one forward run recording
+per-walker (A, B) per window reconstructs the curve at ANY moment scale —
+the linearity is exact physics, and these tests pin it against direct
+simulations at several scales, across both engines.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mri_nanoparticle_simulation_tpu.engine import decompose as dec
+from mri_nanoparticle_simulation_tpu.engine import pallas_engine as pe
+from mri_nanoparticle_simulation_tpu.engine import reference_engine as re
+from mri_nanoparticle_simulation_tpu.params import small_test_params
+from mri_nanoparticle_simulation_tpu.scene import BacteriaBox
+
+
+def _scaled_scene(scene, s):
+    sc = scene.mnps.copy()
+    sc[:, 4] *= s
+    class _S:  # minimal duck-typed scene view
+        mnps = sc
+        waters = scene.waters
+    return _S()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # intracellular throws ON so walkers start inside cells: the kick
+    # stream (B) and the in-cell stdev/masking paths are active from
+    # step 0 (with the default avoid_intracellular_throw the tiny-test
+    # walkers rarely reach a membrane within 2000 steps)
+    p = small_test_params(num_water=64, mmoment=2e-14,
+                          avoid_intracellular_throw=False)
+    return p, BacteriaBox(p, seed=3).populate()
+
+
+class TestScanDecomposition:
+    def test_curve_reconstruction_at_scales(self, setup):
+        """mean cos(s*A + B) must match a direct run with moments scaled
+        by s, for several s — including s=1 (split vs joint Kahan
+        rounding is the only difference)."""
+        p, sc = setup
+        r = dec.run_decomposition(sc, p, seed=5, engine="scan")
+        assert r.A.shape == (p.t // p.pfreq, 64)
+        assert r.stats["steps"] == p.t
+        # kicks land whenever a walker is intracellular; at 12 cells in
+        # an 8 um box some walker is — B must be non-trivial
+        assert np.any(r.B != 0.0)
+        for s in (0.25, 1.0, 1.7):
+            _, cos_d, _, _ = re.run_simulation(_scaled_scene(sc, s), p,
+                                               seed=5)
+            rec = np.mean(np.cos(s * r.A + r.B), axis=-1)
+            np.testing.assert_allclose(rec, cos_d / 64, atol=5e-5)
+
+    def test_cp_flips_preserve_linearity(self, setup):
+        """Windows after Carr-Purcell flips (taucp=0.0005 -> flips every
+        5 windows) must still reconstruct exactly: the flip negates both
+        components."""
+        p, sc = setup
+        r = dec.run_decomposition(sc, p, seed=5, engine="scan")
+        n_flip_windows = (p.t // p.pfreq) - (p.tcp // p.pfreq)
+        assert n_flip_windows > 0  # the run does cross flip boundaries
+        _, cos_d, _, _ = re.run_simulation(_scaled_scene(sc, 0.6), p, seed=5)
+        rec = np.mean(np.cos(0.6 * r.A + r.B), axis=-1)
+        np.testing.assert_allclose(rec[-1], cos_d[-1] / 64, atol=5e-5)
+
+
+class TestPallasDecomposition:
+    def test_matches_scan_record(self, setup):
+        """Pallas decompose kernel (interpret mode, shared Threefry
+        streams) must reproduce the scan engine's (A, B) record to f32
+        rounding — the same cross-engine contract as the standard path."""
+        p, sc = setup
+        r_scan = dec.run_decomposition(sc, p, seed=5, engine="scan")
+        r_pl = dec.run_decomposition(sc, p, seed=5, engine="pallas",
+                                     interpret=True)
+        np.testing.assert_allclose(r_pl.A, r_scan.A, rtol=2e-6, atol=1e-7)
+        np.testing.assert_allclose(r_pl.B, r_scan.B, rtol=2e-6, atol=1e-7)
+        assert r_pl.stats["coverage_violations"] == 0
+
+    def test_state_plane_roundtrip(self, setup):
+        """to_planes/from_planes on the decompose-shaped state ([W, 2]
+        phase) must round trip."""
+        p, sc = setup
+        st = re.init_state(sc.waters, p, decompose=True)
+        st = st._replace(
+            phase=np.arange(64 * 2, dtype=np.float32).reshape(64, 2),
+            phase_comp=np.ones((64, 2), np.float32))
+        back = pe.from_planes(pe.to_planes(st, p), 64)
+        np.testing.assert_array_equal(np.asarray(back.phase), st.phase)
+        np.testing.assert_array_equal(np.asarray(back.phase_comp),
+                                      st.phase_comp)
+
+
+class TestCurvesAtScales:
+    def test_sweep_matches_direct_runs(self, setup):
+        """A whole mmoment sweep from ONE simulation: curves_at_scales
+        vs one direct run per scale."""
+        p, sc = setup
+        r = dec.run_decomposition(sc, p, seed=7, engine="scan")
+        scales = [0.5, 1.0, 2.0]
+        curves = dec.curves_at_scales(r.A, r.B, scales)
+        assert curves.shape == (3, p.t // p.pfreq)
+        for i, s in enumerate(scales):
+            _, cos_d, _, _ = re.run_simulation(_scaled_scene(sc, s), p,
+                                               seed=7)
+            np.testing.assert_allclose(curves[i], cos_d / 64, atol=5e-5)
+
+    def test_quadrature_shape(self, setup):
+        p, sc = setup
+        r = dec.run_decomposition(sc, p, seed=7, engine="scan",
+                                  max_steps=p.sprint_steps)
+        c = dec.curves_at_scales(r.A, r.B, [1.0, 1.5], quadrature=True)
+        assert c.shape == (2, 2, p.sprint_steps // p.pfreq)
+        # sin component is a real signal, not zeros
+        assert np.any(c[:, 1] != 0.0)

@@ -53,3 +53,33 @@ class TestMomentRecovery:
         assert inv.main(["--num-water", "64", "--iters", "60"]) == 0
         out = capsys.readouterr().out
         assert "recovered scale" in out
+
+
+class TestDecomposedRecovery:
+    """Closed-form fit against a phase-decomposition record — the
+    production-scale inverse path (no backward pass through the
+    simulator; see engine/decompose.py)."""
+
+    def test_recovers_scale_from_record(self):
+        from mri_nanoparticle_simulation_tpu.engine.decompose import \
+            run_decomposition
+        p, sc = _setup()
+        # the target comes from the independent AD-curve path; the fit
+        # consumes only the (A, B) record of the SAME seed
+        target = np.asarray(inv.make_curve_fn(p, sc, seed=2)(1.4))
+        rec = run_decomposition(sc, p, seed=2, engine="scan")
+        fit = inv.fit_moment_scale_decomposed(target, rec.A, rec.B,
+                                              mmoment=p.mmoment, iters=200)
+        assert abs(fit.scale - 1.4) / 1.4 < 0.01
+        assert fit.mmoment == pytest.approx(fit.scale * p.mmoment)
+
+    def test_target_shape_validated(self):
+        with pytest.raises(ValueError, match="one value per window"):
+            inv.fit_moment_scale_decomposed(
+                np.zeros(3), np.zeros((5, 8)), np.zeros((5, 8)))
+
+    def test_cli_decompose_method(self, capsys):
+        assert inv.main(["--num-water", "64", "--iters", "150",
+                         "--method", "decompose"]) == 0
+        out = capsys.readouterr().out
+        assert "recovered scale" in out

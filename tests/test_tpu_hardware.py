@@ -288,3 +288,45 @@ class TestSceneFamiliesHardware:
         assert stats["steps"] == p.t
         assert stats["coverage_violations"] == 0
         assert np.all(np.abs(cos) <= p.num_water)
+
+
+class TestDecomposeHardware:
+    def test_decompose_kernel_reconstructs_on_chip(self):
+        """The decompose variant of the production kernel (8 state
+        planes, per-walker VMEM window output) through the real Mosaic
+        compiler: its (A, B) record must reconstruct a direct
+        scaled-moment Pallas run's curve in closed form."""
+        from mri_nanoparticle_simulation_tpu.engine import decompose as dec
+        from mri_nanoparticle_simulation_tpu.params import small_test_params
+        pp = small_test_params(num_water=128, mmoment=2e-14,
+                               avoid_intracellular_throw=False)
+        sc = BacteriaBox(pp, seed=3).populate()
+        rec = dec.run_decomposition(sc, pp, seed=5, engine="pallas")
+        assert rec.stats["coverage_violations"] == 0
+
+        mnps = sc.mnps.copy()
+        mnps[:, 4] *= 1.6
+
+        class _Scaled:
+            waters = sc.waters
+        _Scaled.mnps = mnps
+        _, cos_d, _, _ = pe.run_simulation(_Scaled(), pp, seed=5)
+        rec_curve = np.mean(np.cos(1.6 * rec.A + rec.B), axis=-1)
+        np.testing.assert_allclose(rec_curve, cos_d / 128, atol=5e-5)
+
+
+class TestInverseHardware:
+    def test_moment_recovery_on_chip(self):
+        """Inverse relaxometry through the real compiler: reverse-mode
+        AD over the full simulation (every diffusion step, field eval,
+        kick and CP flip) must recover a hidden moment scale on the
+        chip, the whole Adam loop one jitted lax.scan with
+        jax.checkpoint-ed sprints."""
+        from mri_nanoparticle_simulation_tpu import inverse as inv
+        from mri_nanoparticle_simulation_tpu.params import small_test_params
+        pp = small_test_params(num_water=64, mmoment=2e-14)
+        sc = BacteriaBox(pp, seed=1).populate()
+        target = np.asarray(inv.make_curve_fn(pp, sc, seed=2)(1.4))
+        fit = inv.fit_moment_scale(target, pp, sc, seed=2, iters=60)
+        assert abs(fit.scale - 1.4) / 1.4 < 0.03
+        assert fit.loss < fit.loss_history[0] * 1e-2
