@@ -560,6 +560,19 @@ def main(argv=None):
                     help="comma-separated values for --sweep")
     ap.add_argument("--trials-per-value", type=int, default=1,
                     help="independent trials averaged per sweep value")
+    ap.add_argument("--moment-scales", default=None, metavar="S1,S2,...",
+                    help="reconstruct the T2 curve at each moment scale s "
+                         "(dipole moment = s * --mmoment) from ONE "
+                         "phase-decomposition run, writing one CSV per "
+                         "scale next to --out: trajectories never depend "
+                         "on the moment, so a single simulation is a "
+                         "complete basis for the whole moment axis "
+                         "(engine/decompose.py).  All scales share the "
+                         "same trajectories (common random numbers); "
+                         "--sweep mmoment instead simulates fresh trials "
+                         "per value.  Host memory: the per-walker record "
+                         "is 8 bytes x windows x waters (~1.3 GB for the "
+                         "full 4032 x 40 ms run)")
     ap.add_argument("--dump-field", default=None, metavar="PATH",
                     help="write B_z on a uniform lattice over the scene "
                          "to PATH as x,y,z,Bz rows and exit — the "
@@ -635,11 +648,18 @@ def main(argv=None):
     print(f"Starting TPU simulation...\nPrinting to: {csv_path}",
           file=sys.stderr)
 
-    if (args.sweep or args.ensemble > 1) and \
+    if (args.sweep or args.ensemble > 1 or args.moment_scales) and \
             (args.checkpoint or args.resume or args.checkpoint_every
              or args.max_retries):
         ap.error("--checkpoint/--resume/--max-retries are single-run "
-                 "features; drop them for --ensemble/--sweep runs")
+                 "features; drop them for --ensemble/--sweep/"
+                 "--moment-scales runs")
+    if args.moment_scales and (args.sweep or args.ensemble > 1):
+        ap.error("--moment-scales is itself a sweep over the moment "
+                 "axis; drop --sweep/--ensemble")
+    if args.moment_scales and args.shard_walkers:
+        ap.error("--moment-scales records per-walker phase components "
+                 "on one device; drop --shard-walkers")
     if args.max_retries:
         if args.max_retries < 0:
             ap.error("--max-retries must be >= 0")
@@ -745,6 +765,56 @@ def main(argv=None):
         rate = args.ensemble * params.t * params.num_water / wall
         print(f"Ensemble complete: {args.ensemble} trials x {params.t} "
               f"steps in {wall:.1f}s ({rate:.3e} walker-steps/s)",
+              file=sys.stderr)
+        if args.trace:
+            print(f"Profiler trace written to {args.trace}",
+                  file=sys.stderr)
+        return 0
+
+    if args.moment_scales:
+        if params.field_mode == FIELD_GRID:
+            ap.error("--moment-scales needs the production expansion "
+                     "backend (the grid backend is a cross-validation "
+                     "oracle)")
+        try:
+            scales = [float(v) for v in args.moment_scales.split(",")]
+        except ValueError:
+            ap.error("--moment-scales must be a comma-separated list "
+                     "of numbers")
+        for s in scales:
+            # fail fast on scales the single-run path would reject
+            params.replace(mmoment=params.mmoment * s).validate()
+        from ..utils import profiling
+        from . import decompose as dec
+        sc = build_scene() or BacteriaBox(params,
+                                          seed=args.scene_seed).populate()
+        t0 = time.perf_counter()
+        with profiling.device_trace(args.trace):
+            res = dec.run_decomposition(sc, params, seed=args.seed,
+                                        engine=args.engine,
+                                        rng_impl=cli_rng)
+            curves = dec.curves_at_scales(res.A, res.B, scales,
+                                          quadrature=True)
+        wall = time.perf_counter() - t0
+        import os
+        stem, ext = os.path.splitext(csv_path)
+        for s, cv in zip(scales, curves):
+            pv = params.replace(mmoment=params.mmoment * s).validate()
+            path = f"{stem}_mscale={s:g}{ext or '.csv'}"
+            # curves_at_scales returns walker MEANS [2, n]; the reference
+            # schema streams walker SUMS (cuda_sim.cu:1013,1022)
+            wins = np.stack([cv[0], cv[1]], -1) * params.num_water
+            with writer_mod.T2CsvWriter(path, pv,
+                                        quadrature=args.quadrature) as w:
+                w.append_windows(0, wins)
+            print(f"  mscale={s:g} (mmoment={pv.mmoment:g}): wrote {path}",
+                  file=sys.stderr)
+        rate = params.t * params.num_water / wall if wall > 0 else 0.0
+        print(f"Moment-axis reconstruction complete: {len(scales)} "
+              f"scale(s) from ONE {params.t}-step run in {wall:.1f}s "
+              f"({rate:.3e} walker-steps/s), "
+              f"{res.stats['escapes']} chunk escapes, "
+              f"{res.stats['coverage_violations']} coverage violations",
               file=sys.stderr)
         if args.trace:
             print(f"Profiler trace written to {args.trace}",

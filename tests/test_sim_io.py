@@ -219,6 +219,50 @@ class TestCliSweep:
                       "--out", str(tmp_path / "x.csv")])
 
 
+class TestCliMomentScales:
+    # mmoment is boosted 1e4x so the 2-window curve visibly dephases
+    # (at the reference moment the per-step phases round to cos = 1.0f
+    # over a 2000-step test run and every curve is exactly num_water)
+    ARGS = ["--num-water", "32", "--num-cells", "8",
+            "--totaltime", "0.002", "--sprint-steps", "1000",
+            "--chunk-steps", "100", "--near-k", "6",
+            "--taucp", "0.001", "--hash-dim", "8",
+            "--mmoment", "3.5e-13",
+            "--engine", "scan", "--rng", "threefry"]
+
+    def test_moment_scales_reconstructs_direct_run(self, tmp_path):
+        """--moment-scales: ONE decomposition run reconstructs the curve
+        at each scale; at s=1 it must match a direct run of the same
+        seed/scene up to the split-vs-joint Kahan rounding."""
+        direct = str(tmp_path / "direct.csv")
+        rc = sim.main(self.ARGS + ["--out", direct])
+        assert rc == 0
+        out = str(tmp_path / "dec.csv")
+        rc = sim.main(self.ARGS + ["--moment-scales", "1,2.5",
+                                   "--out", out])
+        assert rc == 0
+        d_direct = np.loadtxt(direct, delimiter=",")
+        d1 = np.loadtxt(str(tmp_path / "dec_mscale=1.csv"), delimiter=",")
+        d25 = np.loadtxt(str(tmp_path / "dec_mscale=2.5.csv"),
+                         delimiter=",")
+        assert d1.shape == (2, 2) and d25.shape == (2, 2)
+        np.testing.assert_allclose(d1[:, 0], d_direct[:, 0], atol=1e-12)
+        np.testing.assert_allclose(d1[:, 1], d_direct[:, 1],
+                                   rtol=0, atol=1e-3)
+        # a larger moment dephases faster: later-window |sum cos| drops
+        assert not np.allclose(d25[:, 1], d1[:, 1])
+
+    def test_moment_scales_rejects_sweep_and_shard(self, tmp_path):
+        with pytest.raises(SystemExit):
+            sim.main(self.ARGS + ["--moment-scales", "1,2", "--sweep",
+                                  "taucp", "--sweep-values", "0.001",
+                                  "--out", str(tmp_path / "x.csv")])
+        with pytest.raises(SystemExit):
+            sim.main(self.ARGS + ["--moment-scales", "1,2",
+                                  "--shard-walkers",
+                                  "--out", str(tmp_path / "x.csv")])
+
+
 class TestValidationGuards:
     def test_taucp_below_pfreq_rejected(self):
         """tcp < pfreq (including tcp == 0, which would reach the

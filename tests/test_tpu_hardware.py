@@ -315,6 +315,27 @@ class TestDecomposeHardware:
         np.testing.assert_allclose(rec_curve, cos_d / 128, atol=5e-5)
 
 
+class TestMomentScalesCliHardware:
+    def test_moment_scales_cli_smoke(self, tmp_path):
+        """--moment-scales end-to-end on the chip: ONE decomposition run
+        of the production kernel, one reference-schema CSV per scale."""
+        out = str(tmp_path / "dec.csv")
+        rc = sim.main(["--num-water", "128", "--num-cells", "8",
+                       "--totaltime", "0.002", "--sprint-steps", "500",
+                       "--chunk-steps", "100", "--near-k", "6",
+                       "--taucp", "0.001", "--hash-dim", "8",
+                       "--mmoment", "3.5e-13", "--out", out,
+                       "--moment-scales", "1,2"])
+        assert rc == 0
+        d1 = np.loadtxt(str(tmp_path / "dec_mscale=1.csv"), delimiter=",")
+        d2 = np.loadtxt(str(tmp_path / "dec_mscale=2.csv"), delimiter=",")
+        assert d1.shape == (2, 2) and d2.shape == (2, 2)
+        assert np.all(np.abs(d1[:, 1]) <= 128.0 + 1e-4)
+        # the doubled moment dephases measurably faster (pre-echo window:
+        # the CP flip at step 1000 refocuses most of window 2's phase)
+        assert d2[0, 1] < d1[0, 1]
+
+
 class TestInverseHardware:
     def test_moment_recovery_on_chip(self):
         """Inverse relaxometry through the real compiler: reverse-mode
