@@ -1,4 +1,5 @@
-"""Phase-decomposition runs: the whole moment axis from ONE simulation.
+"""Phase-decomposition runs: the whole (moment x echo-spacing) plane
+from ONE simulation.
 
 Walker trajectories never depend on the dipole moment — diffusion,
 membrane reflection and cell residency are pure functions of the RNG
@@ -23,6 +24,14 @@ mmoment-sweep workflow ("edit parameters.h, make clean && make", one
 production-speed simulation plus closed-form evaluation.  The inverse
 problem (recover the moment from a measured decay) becomes 1-D
 optimization over a cheap differentiable expression (see inverse.py).
+
+The Carr-Purcell axis falls out of the same record: a flip only
+multiplies the accumulated phase by -1 at a window boundary, so the raw
+per-window increments are recoverable from the recorded series
+(window_increments) and ANY taucp aligned to the output interval is one
+cumulative sum away (reconstruct_curves / curves_at_plane) — the full
+(moment x taucp) sweep plane from a single simulation, on common random
+numbers (trajectories depend on neither knob).
 
 Both engines support the mode: the Pallas production kernel carries
 (A, comp_A, B, comp_B) as separate Kahan streams and emits per-walker
@@ -115,6 +124,100 @@ def run_decomposition(scene, params: Params, seed: int = 0,
         "coverage_violations": int(np.asarray(final.coverage)),
     }
     return DecompositionResult(times_ms=times, A=A, B=B, stats=stats)
+
+
+def window_increments(A, B, params: Params):
+    """Undo the base run's Carr-Purcell flips: raw per-window phase
+    increments ``(dA, dB)`` as float64 host arrays.
+
+    The engines emit each window's accumulated phase BEFORE applying the
+    flip that fires at that window's end (cuda_sim.cu:996-1023 order:
+    performUpdate, reduce, THEN flipPhases), so with ``s_j = -1`` iff
+    ``(j*pfreq) % tcp == 0`` the recorded series satisfies
+    ``A_j = s_{j-1} * A_{j-1} + dA_j`` — the increments are exactly
+    recoverable in post-processing, no kernel support needed.
+    """
+    p = params.validate()
+    A = np.asarray(A, np.float64)
+    B = np.asarray(B, np.float64)
+    n = A.shape[0]
+    j = np.arange(1, n + 1, dtype=np.int64)
+    sign = np.where((j * p.pfreq) % p.tcp == 0, -1.0, 1.0)
+    dA, dB = A.copy(), B.copy()
+    dA[1:] -= sign[:-1, None] * A[:-1]
+    dB[1:] -= sign[:-1, None] * B[:-1]
+    return dA, dB
+
+
+def _flip_parity(n_windows: int, tcp: int, pfreq: int) -> np.ndarray:
+    """``g[r] = (-1)**F(r)`` where ``F(r)`` counts Carr-Purcell flips in
+    windows 1..r (flip after window j iff ``(j*pfreq) % tcp == 0``, i.e.
+    at multiples of tcp//pfreq windows).  Row r of the record holds
+    window j = r+1, whose phase needs the parity of flips BEFORE it,
+    ``g_{j-1} = g[r]``."""
+    r = np.arange(n_windows, dtype=np.int64)
+    flips = (r * pfreq) // tcp
+    return (1.0 - 2.0 * (flips & 1)).astype(np.float64)
+
+
+def reconstruct_curves(dA, dB, scales, taucps, params: Params,
+                       quadrature: bool = False,
+                       walker_block: int = 1024) -> np.ndarray:
+    """T2 curves over the whole (moment-scale x echo-spacing) plane from
+    ONE simulation's increment record.
+
+    Phase is linear in the moment scale (phase_j = s*dA_j + dB_j per
+    window) and a Carr-Purcell schedule only multiplies prefix sums by
+    +-1, so for any taucp' whose flips land on window boundaries
+
+        phi'_j = g_{j-1} * sum_{k<=j} g_{k-1} * dphi_k,
+        g_m = (-1)**(number of flips among windows 1..m)
+
+    — one cumulative sum per (scale, taucp) pair.  The reference answers
+    this question with one ~14-minute recompile-and-rerun per grid point
+    (README.md:13,16); here the whole plane is closed-form post-processing
+    on common random numbers.
+
+    Returns walker-MEAN curves ``[n_scales, n_taucps, n_windows]`` of
+    cos(phi) (or ``[..., 2]`` stacking cos/sin when ``quadrature``).
+    Accumulation is float64, streamed over walker blocks so the peak
+    temporary stays ~``n_windows x walker_block`` regardless of the
+    record size.
+    """
+    dA = np.asarray(dA, np.float64)
+    dB = np.asarray(dB, np.float64)
+    n, w = dA.shape
+    s_arr = np.asarray(scales, np.float64).reshape(-1)
+    taucps = list(np.asarray(taucps, np.float64).reshape(-1))
+    # one validated tcp per taucp (reuses the params error messages for
+    # misaligned / sub-window echo spacings)
+    tcps = [params.replace(taucp=float(t)).validate().tcp for t in taucps]
+    g = np.stack([_flip_parity(n, tcp, params.pfreq) for tcp in tcps])
+
+    comps = 2 if quadrature else 1
+    acc = np.zeros((len(s_arr), len(tcps), n, comps), np.float64)
+    for lo in range(0, w, walker_block):
+        hi = min(lo + walker_block, w)
+        a_blk, b_blk = dA[:, lo:hi], dB[:, lo:hi]
+        for si, sv in enumerate(s_arr):
+            dphi = sv * a_blk + b_blk
+            for ti in range(len(tcps)):
+                gi = g[ti][:, None]
+                phi = gi * np.cumsum(gi * dphi, axis=0)
+                acc[si, ti, :, 0] += np.sum(np.cos(phi), axis=1)
+                if quadrature:
+                    acc[si, ti, :, 1] += np.sum(np.sin(phi), axis=1)
+    acc /= w
+    return acc if quadrature else acc[..., 0]
+
+
+def curves_at_plane(A, B, scales, taucps, params: Params,
+                    quadrature: bool = False) -> np.ndarray:
+    """Convenience: ``window_increments`` + ``reconstruct_curves`` —
+    the (moment x taucp) sweep plane from one decomposition record."""
+    dA, dB = window_increments(A, B, params)
+    return reconstruct_curves(dA, dB, scales, taucps, params,
+                              quadrature=quadrature)
 
 
 def curves_at_scales(A, B, scales, quadrature: bool = False):

@@ -573,6 +573,17 @@ def main(argv=None):
                          "per value.  Host memory: the per-walker record "
                          "is 8 bytes x windows x waters (~1.3 GB for the "
                          "full 4032 x 40 ms run)")
+    ap.add_argument("--echo-taucps", default=None, metavar="T1,T2,...",
+                    help="reconstruct the curve at each Carr-Purcell "
+                         "half-echo spacing (ms) from the SAME "
+                         "decomposition run: flips only multiply window "
+                         "prefix sums by +-1, so any taucp aligned to "
+                         "the output interval is a closed-form cumsum "
+                         "over the recorded increments "
+                         "(engine/decompose.py).  Composes with "
+                         "--moment-scales into the full (moment x taucp) "
+                         "plane — the reference re-ran nvcc + ~14 min of "
+                         "GPU per grid point; one CSV per pair")
     ap.add_argument("--dump-field", default=None, metavar="PATH",
                     help="write B_z on a uniform lattice over the scene "
                          "to PATH as x,y,z,Bz rows and exit — the "
@@ -648,18 +659,19 @@ def main(argv=None):
     print(f"Starting TPU simulation...\nPrinting to: {csv_path}",
           file=sys.stderr)
 
-    if (args.sweep or args.ensemble > 1 or args.moment_scales) and \
+    decomp_mode = bool(args.moment_scales or args.echo_taucps)
+    if (args.sweep or args.ensemble > 1 or decomp_mode) and \
             (args.checkpoint or args.resume or args.checkpoint_every
              or args.max_retries):
         ap.error("--checkpoint/--resume/--max-retries are single-run "
                  "features; drop them for --ensemble/--sweep/"
-                 "--moment-scales runs")
-    if args.moment_scales and (args.sweep or args.ensemble > 1):
-        ap.error("--moment-scales is itself a sweep over the moment "
-                 "axis; drop --sweep/--ensemble")
-    if args.moment_scales and args.shard_walkers:
-        ap.error("--moment-scales records per-walker phase components "
-                 "on one device; drop --shard-walkers")
+                 "--moment-scales/--echo-taucps runs")
+    if decomp_mode and (args.sweep or args.ensemble > 1):
+        ap.error("--moment-scales/--echo-taucps are themselves sweeps "
+                 "over the (moment, taucp) plane; drop --sweep/--ensemble")
+    if decomp_mode and args.shard_walkers:
+        ap.error("--moment-scales/--echo-taucps record per-walker phase "
+                 "components on one device; drop --shard-walkers")
     if args.max_retries:
         if args.max_retries < 0:
             ap.error("--max-retries must be >= 0")
@@ -771,19 +783,25 @@ def main(argv=None):
                   file=sys.stderr)
         return 0
 
-    if args.moment_scales:
+    if decomp_mode:
         if params.field_mode == FIELD_GRID:
-            ap.error("--moment-scales needs the production expansion "
-                     "backend (the grid backend is a cross-validation "
-                     "oracle)")
+            ap.error("--moment-scales/--echo-taucps need the production "
+                     "expansion backend (the grid backend is a "
+                     "cross-validation oracle)")
         try:
-            scales = [float(v) for v in args.moment_scales.split(",")]
+            scales = ([float(v) for v in args.moment_scales.split(",")]
+                      if args.moment_scales else [1.0])
+            taucps = ([float(v) for v in args.echo_taucps.split(",")]
+                      if args.echo_taucps else None)
         except ValueError:
-            ap.error("--moment-scales must be a comma-separated list "
-                     "of numbers")
+            ap.error("--moment-scales/--echo-taucps must be "
+                     "comma-separated lists of numbers")
         for s in scales:
             # fail fast on scales the single-run path would reject
             params.replace(mmoment=params.mmoment * s).validate()
+        for t_cp in taucps or ():
+            # fail fast on sub-window / misaligned echo spacings
+            params.replace(taucp=t_cp).validate()
         from ..utils import profiling
         from . import decompose as dec
         sc = build_scene() or BacteriaBox(params,
@@ -793,25 +811,41 @@ def main(argv=None):
             res = dec.run_decomposition(sc, params, seed=args.seed,
                                         engine=args.engine,
                                         rng_impl=cli_rng)
-            curves = dec.curves_at_scales(res.A, res.B, scales,
-                                          quadrature=True)
+            if taucps is None:
+                curves = dec.curves_at_scales(res.A, res.B, scales,
+                                              quadrature=True)
+                # [s, 2, n] -> [s, 1, n, 2] so one writer loop serves both
+                curves = np.moveaxis(curves, 1, -1)[:, None]
+                taucps_eff = [params.taucp]
+            else:
+                curves = dec.curves_at_plane(res.A, res.B, scales, taucps,
+                                             params, quadrature=True)
+                taucps_eff = taucps
         wall = time.perf_counter() - t0
         import os
         stem, ext = os.path.splitext(csv_path)
-        for s, cv in zip(scales, curves):
-            pv = params.replace(mmoment=params.mmoment * s).validate()
-            path = f"{stem}_mscale={s:g}{ext or '.csv'}"
-            # curves_at_scales returns walker MEANS [2, n]; the reference
-            # schema streams walker SUMS (cuda_sim.cu:1013,1022)
-            wins = np.stack([cv[0], cv[1]], -1) * params.num_water
-            with writer_mod.T2CsvWriter(path, pv,
-                                        quadrature=args.quadrature) as w:
-                w.append_windows(0, wins)
-            print(f"  mscale={s:g} (mmoment={pv.mmoment:g}): wrote {path}",
-                  file=sys.stderr)
+        for si, s in enumerate(scales):
+            for ti, t_cp in enumerate(taucps_eff):
+                pv = params.replace(mmoment=params.mmoment * s,
+                                    taucp=t_cp).validate()
+                path = f"{stem}_mscale={s:g}"
+                if taucps is not None:
+                    path += f"_taucp={t_cp:g}"
+                path += ext or ".csv"
+                cv = curves[si, ti]
+                # reconstruction returns walker MEANS [n, 2]; the
+                # reference schema streams walker SUMS
+                # (cuda_sim.cu:1013,1022)
+                wins = cv * params.num_water
+                with writer_mod.T2CsvWriter(path, pv,
+                                            quadrature=args.quadrature) as w:
+                    w.append_windows(0, wins)
+                print(f"  mscale={s:g} taucp={t_cp:g}: wrote {path}",
+                      file=sys.stderr)
+        n_pts = len(scales) * len(taucps_eff)
         rate = params.t * params.num_water / wall if wall > 0 else 0.0
-        print(f"Moment-axis reconstruction complete: {len(scales)} "
-              f"scale(s) from ONE {params.t}-step run in {wall:.1f}s "
+        print(f"(moment x taucp)-plane reconstruction complete: {n_pts} "
+              f"grid point(s) from ONE {params.t}-step run in {wall:.1f}s "
               f"({rate:.3e} walker-steps/s), "
               f"{res.stats['escapes']} chunk escapes, "
               f"{res.stats['coverage_violations']} coverage violations",

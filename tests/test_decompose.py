@@ -118,3 +118,71 @@ class TestCurvesAtScales:
         assert c.shape == (2, 2, p.sprint_steps // p.pfreq)
         # sin component is a real signal, not zeros
         assert np.any(c[:, 1] != 0.0)
+
+
+class TestEchoAxis:
+    """The taucp axis from the SAME single run: flips multiply prefix
+    sums by +-1 at window boundaries, so any aligned echo spacing is a
+    cumsum over the recovered per-window increments (curves_at_plane)."""
+
+    def test_plane_matches_direct_runs(self, setup):
+        """(scale x taucp) grid from ONE base-taucp run vs a direct
+        simulation per grid point.  Trajectories are invariant to both
+        knobs (common random numbers), so agreement is f32-rounding."""
+        p, sc = setup
+        r = dec.run_decomposition(sc, p, seed=11, engine="scan")
+        scales = [0.5, 1.0]
+        taucps = [0.0002, p.taucp, 0.001]
+        plane = dec.curves_at_plane(r.A, r.B, scales, taucps, p)
+        assert plane.shape == (2, 3, p.t // p.pfreq)
+        for si, s in enumerate(scales):
+            for ti, t in enumerate(taucps):
+                pt = p.replace(taucp=t).validate()
+                _, cos_d, _, _ = re.run_simulation(_scaled_scene(sc, s),
+                                                   pt, seed=11)
+                np.testing.assert_allclose(plane[si, ti], cos_d / 64,
+                                           atol=5e-5)
+
+    def test_base_roundtrip(self, setup):
+        """Reconstruction at the base taucp must reproduce the recorded
+        series itself (flip undo + redo are inverse +-1 bookkeeping)."""
+        p, sc = setup
+        r = dec.run_decomposition(sc, p, seed=11, engine="scan",
+                                  max_steps=p.sprint_steps)
+        direct = dec.curves_at_scales(r.A, r.B, [1.0])
+        plane = dec.curves_at_plane(r.A, r.B, [1.0], [p.taucp], p)
+        np.testing.assert_allclose(plane[0, 0], direct[0], atol=2e-6)
+
+    def test_no_flip_taucp(self, setup):
+        """taucp > totaltime (never fires) is a valid grid point — the
+        params docstring's own recipe for flip-free runs."""
+        p, sc = setup
+        r = dec.run_decomposition(sc, p, seed=13, engine="scan")
+        plane = dec.curves_at_plane(r.A, r.B, [1.0], [0.003], p)
+        pt = p.replace(taucp=0.003).validate()
+        _, cos_d, _, _ = re.run_simulation(sc, pt, seed=13)
+        np.testing.assert_allclose(plane[0, 0], cos_d / 64, atol=5e-5)
+
+    def test_misaligned_taucp_rejected(self, setup):
+        """Echo spacings that miss window boundaries reuse the params
+        validation error, not a silent mistimed reconstruction."""
+        p, sc = setup
+        r = dec.run_decomposition(sc, p, seed=13, engine="scan",
+                                  max_steps=p.sprint_steps)
+        dA, dB = dec.window_increments(r.A, r.B, p)
+        with pytest.raises(ValueError, match="align"):
+            dec.reconstruct_curves(dA, dB, [1.0], [0.00025], p)
+        with pytest.raises(ValueError, match="output interval"):
+            dec.reconstruct_curves(dA, dB, [1.0], [0.00005], p)
+
+    def test_walker_blocking_invariant(self, setup):
+        """Streaming block size must not change the result."""
+        p, sc = setup
+        r = dec.run_decomposition(sc, p, seed=13, engine="scan",
+                                  max_steps=p.sprint_steps)
+        dA, dB = dec.window_increments(r.A, r.B, p)
+        a = dec.reconstruct_curves(dA, dB, [0.7, 1.3], [0.0002, 0.001], p,
+                                   quadrature=True, walker_block=7)
+        b = dec.reconstruct_curves(dA, dB, [0.7, 1.3], [0.0002, 0.001], p,
+                                   quadrature=True, walker_block=4096)
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)

@@ -252,6 +252,44 @@ class TestCliMomentScales:
         # a larger moment dephases faster: later-window |sum cos| drops
         assert not np.allclose(d25[:, 1], d1[:, 1])
 
+    def test_echo_taucps_reconstructs_direct_run(self, tmp_path):
+        """--echo-taucps: the taucp axis from the SAME run; each grid
+        point must match a direct simulation at that taucp (trajectories
+        are taucp-invariant under common random numbers)."""
+        direct = str(tmp_path / "direct.csv")
+        # argparse takes the last --taucp: direct run at 0.002
+        rc = sim.main(self.ARGS + ["--taucp", "0.002", "--out", direct])
+        assert rc == 0
+        out = str(tmp_path / "plane.csv")
+        rc = sim.main(self.ARGS + ["--moment-scales", "1",
+                                   "--echo-taucps", "0.002,0.001",
+                                   "--out", out])
+        assert rc == 0
+        d_direct = np.loadtxt(direct, delimiter=",")
+        d5 = np.loadtxt(str(tmp_path / "plane_mscale=1_taucp=0.002.csv"),
+                        delimiter=",")
+        d10 = np.loadtxt(str(tmp_path / "plane_mscale=1_taucp=0.001.csv"),
+                         delimiter=",")
+        assert d5.shape == (2, 2) and d10.shape == (2, 2)
+        # the base run used taucp=0.001 (ARGS); the reconstructed
+        # taucp=0.002 curve must match the direct taucp=0.002 run
+        np.testing.assert_allclose(d5[:, 0], d_direct[:, 0], atol=1e-12)
+        np.testing.assert_allclose(d5[:, 1], d_direct[:, 1],
+                                   rtol=0, atol=1e-3)
+
+    def test_echo_taucps_alone_defaults_scale_one(self, tmp_path):
+        """--echo-taucps without --moment-scales implies mscale=1."""
+        out = str(tmp_path / "e.csv")
+        rc = sim.main(self.ARGS + ["--echo-taucps", "0.001", "--out", out])
+        assert rc == 0
+        assert (tmp_path / "e_mscale=1_taucp=0.001.csv").exists()
+
+    def test_echo_taucps_rejects_misaligned(self, tmp_path):
+        """Misaligned echo spacings fail fast at argument validation."""
+        with pytest.raises(ValueError, match="align"):
+            sim.main(self.ARGS + ["--echo-taucps", "0.0015",
+                                  "--out", str(tmp_path / "x.csv")])
+
     def test_moment_scales_rejects_sweep_and_shard(self, tmp_path):
         with pytest.raises(SystemExit):
             sim.main(self.ARGS + ["--moment-scales", "1,2", "--sweep",
