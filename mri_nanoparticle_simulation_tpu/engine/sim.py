@@ -584,6 +584,16 @@ def main(argv=None):
                          "--moment-scales into the full (moment x taucp) "
                          "plane — the reference re-ran nvcc + ~14 min of "
                          "GPU per grid point; one CSV per pair")
+    ap.add_argument("--fit-r2", default=None, metavar="PATH",
+                    help="with --echo-taucps: fit each grid point's "
+                         "spin-echo envelope (analysis.fit_t2 at "
+                         "t = 2k*taucp) and write the CPMG dispersion "
+                         "table mscale,taucp_ms,r2_per_ms,t2_ms,"
+                         "r_squared,n_echoes to PATH — R2(taucp) is the "
+                         "quantity MRI relaxometry experiments measure, "
+                         "here from ONE simulation; grid points whose "
+                         "envelope cannot be fit (too few echoes, no "
+                         "decay) get nan rows")
     ap.add_argument("--dump-field", default=None, metavar="PATH",
                     help="write B_z on a uniform lattice over the scene "
                          "to PATH as x,y,z,Bz rows and exit — the "
@@ -672,6 +682,9 @@ def main(argv=None):
     if decomp_mode and args.shard_walkers:
         ap.error("--moment-scales/--echo-taucps record per-walker phase "
                  "components on one device; drop --shard-walkers")
+    if args.fit_r2 and not args.echo_taucps:
+        ap.error("--fit-r2 is the dispersion over the --echo-taucps "
+                 "grid; pass the echo spacings to fit")
     if args.max_retries:
         if args.max_retries < 0:
             ap.error("--max-retries must be >= 0")
@@ -842,6 +855,27 @@ def main(argv=None):
                     w.append_windows(0, wins)
                 print(f"  mscale={s:g} taucp={t_cp:g}: wrote {path}",
                       file=sys.stderr)
+        if args.fit_r2:
+            from .. import analysis
+            with open(args.fit_r2, "w") as f:
+                f.write("mscale,taucp_ms,r2_per_ms,t2_ms,r_squared,"
+                        "n_echoes\n")
+                for si, s in enumerate(scales):
+                    for ti, t_cp in enumerate(taucps_eff):
+                        curve = curves[si, ti, :, 0] * params.num_water
+                        try:
+                            te, me = analysis.sample_at_echoes(
+                                res.times_ms, curve, t_cp)
+                            fit = analysis.fit_t2(te, me)
+                            f.write(f"{s:g},{t_cp:g},{1.0 / fit.t2_ms},"
+                                    f"{fit.t2_ms},{fit.r_squared},"
+                                    f"{fit.n_used}\n")
+                        except ValueError as e:
+                            print(f"  fit-r2: mscale={s:g} taucp={t_cp:g}"
+                                  f" unfittable ({e})", file=sys.stderr)
+                            f.write(f"{s:g},{t_cp:g},nan,nan,nan,0\n")
+            print(f"CPMG dispersion table written: {args.fit_r2}",
+                  file=sys.stderr)
         n_pts = len(scales) * len(taucps_eff)
         rate = params.t * params.num_water / wall if wall > 0 else 0.0
         print(f"(moment x taucp)-plane reconstruction complete: {n_pts} "

@@ -290,6 +290,39 @@ class TestCliMomentScales:
             sim.main(self.ARGS + ["--echo-taucps", "0.0015",
                                   "--out", str(tmp_path / "x.csv")])
 
+    def test_fit_r2_dispersion_table(self, tmp_path):
+        """--fit-r2 writes the CPMG dispersion table R2(taucp) from the
+        reconstructed plane: fittable grid points get positive R2 rows,
+        points with too few echoes get honest nan rows.  (The monotone
+        dispersion physics is pinned at statistical power in
+        test_analysis.TestCpmgDispersion.)"""
+        out = str(tmp_path / "p.csv")
+        r2csv = str(tmp_path / "r2.csv")
+        rc = sim.main(["--num-water", "64", "--num-cells", "64",
+                       "--totaltime", "0.01", "--sprint-steps", "1000",
+                       "--chunk-steps", "100", "--near-k", "8",
+                       "--taucp", "0.001", "--hash-dim", "8",
+                       "--mmoment", "1e-13",
+                       "--engine", "scan", "--rng", "threefry",
+                       "--echo-taucps", "0.001,0.005",
+                       "--fit-r2", r2csv, "--out", out])
+        assert rc == 0
+        rows = open(r2csv).read().splitlines()
+        assert rows[0] == "mscale,taucp_ms,r2_per_ms,t2_ms,r_squared,n_echoes"
+        assert len(rows) == 3  # header + 2 taucps at mscale=1
+        vals = [row.split(",") for row in rows[1:]]
+        assert [v[1] for v in vals] == ["0.001", "0.005"]
+        # taucp=0.005 has only one echo (t=0.01) in a 0.01 ms run
+        assert vals[1][2] == "nan" and vals[1][5] == "0"
+        r2_1 = float(vals[0][2])
+        assert np.isfinite(r2_1) and r2_1 > 0
+        assert int(vals[0][5]) == 5  # echoes at 2k*0.001 in (0, 0.01]
+
+    def test_fit_r2_requires_echo_taucps(self, tmp_path):
+        with pytest.raises(SystemExit):
+            sim.main(self.ARGS + ["--fit-r2", str(tmp_path / "r.csv"),
+                                  "--out", str(tmp_path / "x.csv")])
+
     def test_moment_scales_rejects_sweep_and_shard(self, tmp_path):
         with pytest.raises(SystemExit):
             sim.main(self.ARGS + ["--moment-scales", "1,2", "--sweep",
