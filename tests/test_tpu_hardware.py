@@ -315,6 +315,24 @@ class TestDecomposeHardware:
         np.testing.assert_allclose(rec_curve, cos_d / 128, atol=5e-5)
 
 
+class TestEchoPlaneHardware:
+    def test_taucp_reconstruction_on_chip(self):
+        """The echo axis from the SAME on-chip decomposition record:
+        curves_at_plane at a different taucp must match a direct Pallas
+        run at that taucp (trajectories are taucp-invariant, so the
+        comparison is f32 rounding on identical RNG streams)."""
+        from mri_nanoparticle_simulation_tpu.engine import decompose as dec
+        from mri_nanoparticle_simulation_tpu.params import small_test_params
+        pp = small_test_params(num_water=128, mmoment=2e-14,
+                               avoid_intracellular_throw=False)
+        sc = BacteriaBox(pp, seed=3).populate()
+        rec = dec.run_decomposition(sc, pp, seed=5, engine="pallas")
+        plane = dec.curves_at_plane(rec.A, rec.B, [1.0], [0.001], pp)
+        pt = pp.replace(taucp=0.001).validate()
+        _, cos_d, _, _ = pe.run_simulation(sc, pt, seed=5)
+        np.testing.assert_allclose(plane[0, 0], cos_d / 128, atol=5e-5)
+
+
 class TestMomentScalesCliHardware:
     def test_moment_scales_cli_smoke(self, tmp_path):
         """--moment-scales end-to-end on the chip: ONE decomposition run
