@@ -81,11 +81,13 @@ class WalkerState(NamedTuple):
     coverage: jnp.ndarray
 
 
-def _check_dyn_overrides(tcp, cell_r):
-    """Host-side guard on concrete tcp/cell_r overrides (traced sweep
-    values are validated upstream by run_ensemble/run_parameter_sweep).
-    tcp=0 would reach the kernels' unsigned ``end_step % tcp``."""
-    for name, v in (("tcp", tcp), ("cell_r", cell_r)):
+def _check_dyn_overrides(tcp, cell_r, d_scale=None):
+    """Host-side guard on concrete tcp/cell_r/d_scale overrides (traced
+    sweep values are validated upstream by run_ensemble/
+    run_parameter_sweep).  tcp=0 would reach the kernels' unsigned
+    ``end_step % tcp``."""
+    for name, v in (("tcp", tcp), ("cell_r", cell_r),
+                    ("d_scale", d_scale)):
         if v is None:
             continue
         try:
@@ -270,13 +272,21 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
     # tracing (same ref-cell pattern as mnp_pos_ref).  Defaults are the
     # static params constants; a taucp / cell_r sweep passes traced
     # overrides so all values share one compiled program.
-    dyn_ref = [cell_r_static, jnp.uint32(params.tcp)]
+    # [cell_r, tcp, stdev_scale]; stdev_scale = sqrt(d_scale) multiplies
+    # both diffusion stdevs (in/out_stdev = sqrt(pi*D*tau), so scaling D
+    # by d_scale scales the stdevs by its square root) — a traced launch
+    # scalar so diffusion-coefficient fits/sweeps share one compiled
+    # program, and the path reverse-mode AD uses to differentiate
+    # trajectories in D (inverse.fit_diffusion_scale)
+    dyn_ref = [cell_r_static, jnp.uint32(params.tcp), dtype(1.0)]
 
-    def _set_dyn(tcp, cell_r):
+    def _set_dyn(tcp, cell_r, d_scale=None):
         dyn_ref[0] = (cell_r_static if cell_r is None
                       else jnp.asarray(cell_r, dtype))
         dyn_ref[1] = (jnp.uint32(params.tcp) if tcp is None
                       else jnp.asarray(tcp, jnp.uint32))
+        dyn_ref[2] = (dtype(1.0) if d_scale is None
+                      else jnp.sqrt(jnp.asarray(d_scale, dtype)))
 
     def step_fn(key, nf, lane, carry, step_idx):
         """One timestep for all walkers (simulateDiffusion body,
@@ -311,7 +321,8 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
             dy = sin_t * jnp.sin(phi)
             dz = cos_t
             inv_norm = dtype(1.0)
-        mag = nrm * jnp.where(in_cell, in_stdev, out_stdev) * inv_norm
+        mag = (nrm * jnp.where(in_cell, in_stdev, out_stdev)
+               * inv_norm * dyn_ref[2])
         new_pos = pos + jnp.stack([dx * mag, dy * mag, dz * mag], axis=-1)
         if grid_mode:
             # per-step periodic wrap (boundary_conditions,
@@ -350,9 +361,9 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
         return (new_pos, in_new, b, acc, max_d2)
 
     def sprint(mnp_pos, mnp_M, key_arr, state: WalkerState, lane_offset,
-               tcp=None, cell_r=None):
+               tcp=None, cell_r=None, d_scale=None):
         mnp_pos_ref[0], mnp_pos_ref[1] = mnp_pos, mnp_M
-        _set_dyn(tcp, cell_r)
+        _set_dyn(tcp, cell_r, d_scale)
         key = (key_arr[0], key_arr[1])
         w = state.pos.shape[0]
         lane = jnp.arange(w, dtype=jnp.uint32) + jnp.uint32(lane_offset)
@@ -421,9 +432,10 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
         return state, wins
 
     def sprint_chunk_major(mnp_pos, mnp_M, key_arr, state: WalkerState,
-                           lane_offset, tcp=None, cell_r=None):
+                           lane_offset, tcp=None, cell_r=None,
+                           d_scale=None):
         mnp_pos_ref[0], mnp_pos_ref[1] = mnp_pos, mnp_M
-        _set_dyn(tcp, cell_r)
+        _set_dyn(tcp, cell_r, d_scale)
         key = (key_arr[0], key_arr[1])
         w = state.pos.shape[0]
         lane = jnp.arange(w, dtype=jnp.uint32) + jnp.uint32(lane_offset)
@@ -482,7 +494,7 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
     inner = jax.jit(sprint if window_major else sprint_chunk_major)
 
     def guarded(mnp_pos, mnp_M, key_arr, state, lane_offset,
-                tcp=None, cell_r=None):
+                tcp=None, cell_r=None, d_scale=None):
         if grid_mode and cell_r is not None:
             # the grid guard must fire on concrete AND traced overrides:
             # FieldGrid residency reach was baked at build_grid time
@@ -490,9 +502,9 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
                 "cell_r runtime overrides are not supported in "
                 "field_mode='grid': the grid's resident lists were built "
                 "for the static cell_r — rebuild the grid instead")
-        _check_dyn_overrides(tcp, cell_r)
+        _check_dyn_overrides(tcp, cell_r, d_scale)
         return inner(mnp_pos, mnp_M, key_arr, state, lane_offset,
-                     tcp=tcp, cell_r=cell_r)
+                     tcp=tcp, cell_r=cell_r, d_scale=d_scale)
 
     return guarded
 

@@ -157,6 +157,110 @@ def fit_moment_scale(target, params: Params, scene, *, seed: int = 0,
     )
 
 
+def make_diffusion_curve_fn(params: Params, scene, seed: int = 0,
+                            dtype=None) -> Callable:
+    """Build ``curve(d_scale) -> m[t]``: the magnetization curve as a
+    differentiable function of a global diffusion-coefficient scale
+    (D_cell and D_extra both scaled by ``d_scale``), on a fixed scene
+    and RNG seed.
+
+    Unlike the moment, diffusion BENDS trajectories — phase is not
+    linear in D and no decomposition shortcut exists — so this is the
+    genuine differentiate-through-the-simulator path: the engine's
+    ``d_scale`` launch scalar multiplies the step stdevs by
+    sqrt(d_scale), the same Threefry draws act as frozen noise, and
+    reverse-mode AD yields the pathwise derivative of the curve in D.
+
+    Honesty note: the chunk-travel bound and the K-coverage certificate
+    are sized for the STATIC params' stdevs.  ``d_scale`` > 1 walks
+    farther per chunk and can raise the ``escapes`` / coverage-sentinel
+    counters; for a D fit, set ``params.D_cell/D_extra`` to the UPPER
+    end of the search bracket and fit d_scale in (0, 1] (sqrt keeps the
+    loss smooth there).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from . import rng
+    from .engine import reference_engine as re
+
+    dtype = dtype or jnp.float32
+    p = params.validate()
+    sprint = re.make_sprint_fn(p, dtype)
+    k = rng.key_from_seed(seed)
+    key_arr = jnp.asarray([np.uint32(k[0]), np.uint32(k[1])])
+    mnp_pos = jnp.asarray(np.asarray(scene.mnps[:, :3], np.float32), dtype)
+    mnp_M = jnp.asarray(np.asarray(scene.mnps[:, 4], np.float32), dtype)
+    st0 = re.init_state(scene.waters, p, dtype)
+    n_sprints = p.t // p.sprint_steps
+
+    def curve(d_scale):
+        @jax.checkpoint
+        def body(st, _):
+            st, wins = sprint(mnp_pos, mnp_M, key_arr, st, 0,
+                              d_scale=d_scale)
+            return st, wins[:, 0]
+
+        _, cos = jax.lax.scan(body, st0, None, length=n_sprints)
+        return cos.reshape(-1) / p.num_water
+
+    return curve
+
+
+def fit_diffusion_scale(target, params: Params, scene, *, seed: int = 0,
+                        init_scale: float = 1.0, iters: int = 80,
+                        lr: float = 0.05,
+                        dtype=None) -> MomentFitResult:
+    """Recover the diffusion-coefficient scale that produced ``target``
+    (ADC recovery): Adam on log(d_scale) through the full simulator —
+    every displacement, membrane event, field evaluation and flip sits
+    on the tape.  The reference cannot ask this question at all: D is a
+    compile-time constant baked into derived stdevs (parameters.h:120).
+
+    Returns a :class:`MomentFitResult` whose ``scale`` is the fitted
+    d_scale (the ``mmoment`` field is nan — not a moment fit).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    curve = make_diffusion_curve_fn(params, scene, seed=seed, dtype=dtype)
+    target = jnp.asarray(np.asarray(target, np.float32))
+    n = params.t // params.pfreq
+    if target.shape != (n,):
+        raise ValueError(f"target must have one value per output window "
+                         f"([{n}]), got {target.shape}")
+
+    opt = optax.adam(lr)
+
+    def loss_fn(theta):
+        return jnp.mean((curve(jnp.exp(theta)) - target) ** 2)
+
+    @jax.jit
+    def run(theta0):
+        def step(carry, _):
+            theta, opt_state = carry
+            loss, g = jax.value_and_grad(loss_fn)(theta)
+            updates, opt_state = opt.update(g, opt_state)
+            theta = optax.apply_updates(theta, updates)
+            return (theta, opt_state), (jnp.exp(theta), loss)
+
+        (theta, _), (scales, losses) = jax.lax.scan(
+            step, (theta0, opt.init(theta0)), None, length=iters)
+        return jnp.exp(theta), scales, losses
+
+    scale, scales, losses = run(jnp.float32(np.log(init_scale)))
+    scale = float(np.asarray(scale))
+    losses = np.asarray(losses)
+    return MomentFitResult(
+        scale=scale,
+        mmoment=float("nan"),
+        loss=float(losses[-1]),
+        scale_history=np.asarray(scales),
+        loss_history=losses,
+    )
+
+
 def fit_moment_scale_decomposed(target, A, B, *, mmoment: float = None,
                                 init_scale: float = 1.0, iters: int = 200,
                                 lr: float = 0.1) -> MomentFitResult:

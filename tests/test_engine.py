@@ -424,3 +424,50 @@ class TestPhaseDtype:
                        - np.asarray(st64.phase)).max()
         assert drift < 1e-7
         np.testing.assert_allclose(c32, np.asarray(c64), atol=1e-3)
+
+
+class TestDiffusionScaleOverride:
+    """The d_scale launch scalar: runtime diffusion-coefficient scaling
+    (stdev *= sqrt(d_scale)) for fits/sweeps sharing one compiled
+    program (and the AD path of inverse.fit_diffusion_scale)."""
+
+    def _one_sprint(self, p, sc, **kw):
+        import jax.numpy as jnp
+        from mri_nanoparticle_simulation_tpu import rng
+        mnp_pos = jnp.asarray(sc.mnps[:, :3], jnp.float32)
+        mnp_M = jnp.asarray(sc.mnps[:, 4], jnp.float32)
+        sprint = re.make_sprint_fn(p)
+        k = rng.key_from_seed(7)
+        key = jnp.asarray([np.uint32(k[0]), np.uint32(k[1])])
+        st = re.init_state(sc.waters, p)
+        st, wins = sprint(mnp_pos, mnp_M, key, st, 0, **kw)
+        return np.asarray(st.pos), np.asarray(wins)
+
+    def test_identity_override_bitwise(self):
+        p = P.small_test_params(num_water=32, totaltime=0.0005,
+                                sprint_steps=500)
+        sc = BacteriaBox(p, seed=3).populate()
+        pos0, w0 = self._one_sprint(p, sc)
+        pos1, w1 = self._one_sprint(p, sc, d_scale=1.0)
+        np.testing.assert_array_equal(pos0, pos1)
+        np.testing.assert_array_equal(w0, w1)
+
+    def test_power_of_four_scale_matches_scaled_params(self):
+        """d_scale=4 must equal a params with both D's x4 BITWISE:
+        sqrt(4x) = 2*sqrt(x) exactly in IEEE, and the extra multiply is
+        by a power of two."""
+        p = P.small_test_params(num_water=32, totaltime=0.0005,
+                                sprint_steps=500)
+        sc = BacteriaBox(p, seed=3).populate()
+        pos_dyn, w_dyn = self._one_sprint(p, sc, d_scale=4.0)
+        p4 = p.replace(D_cell=4 * p.D_cell, D_extra=4 * p.D_extra)
+        pos_st, w_st = self._one_sprint(p4, sc)
+        np.testing.assert_array_equal(pos_dyn, pos_st)
+        np.testing.assert_array_equal(w_dyn, w_st)
+
+    def test_nonpositive_rejected(self):
+        p = P.small_test_params(num_water=32, totaltime=0.0005,
+                                sprint_steps=500)
+        sc = BacteriaBox(p, seed=3).populate()
+        with pytest.raises(ValueError, match="d_scale"):
+            self._one_sprint(p, sc, d_scale=0.0)

@@ -83,3 +83,34 @@ class TestDecomposedRecovery:
                          "--method", "decompose"]) == 0
         out = capsys.readouterr().out
         assert "recovered scale" in out
+
+
+class TestDiffusionRecovery:
+    """ADC recovery: gradient descent in the diffusion coefficient —
+    the parameter that BENDS trajectories (no decomposition shortcut
+    exists), i.e. the genuine differentiate-through-the-simulator axis.
+    The reference bakes D into compile-time stdevs (parameters.h:120)."""
+
+    def test_same_seed_recovery(self):
+        """Hidden d_scale=0.6 (inside the certified bracket (0, 1]:
+        the travel bound is sized for the static params' stdevs)."""
+        p, sc = _setup(num_water=128, mmoment=5e-14)
+        target = np.asarray(inv.make_diffusion_curve_fn(p, sc, seed=2)(0.6))
+        fit = inv.fit_diffusion_scale(target, p, sc, seed=2, iters=80)
+        assert abs(fit.scale - 0.6) / 0.6 < 0.05
+        assert fit.loss < fit.loss_history[0] * 1e-2
+        assert np.isnan(fit.mmoment)  # not a moment fit
+
+    def test_identity_curve_matches_forward_run(self):
+        """curve(1.0) must equal the plain forward simulation."""
+        from mri_nanoparticle_simulation_tpu.engine import \
+            reference_engine as re
+        p, sc = _setup(num_water=64)
+        c = np.asarray(inv.make_diffusion_curve_fn(p, sc, seed=3)(1.0))
+        _, cos_d, _, _ = re.run_simulation(sc, p, seed=3)
+        np.testing.assert_allclose(c, cos_d / 64, atol=1e-5)
+
+    def test_target_shape_validated(self):
+        p, sc = _setup(num_water=64)
+        with pytest.raises(ValueError, match="one value per output"):
+            inv.fit_diffusion_scale(np.zeros(5), p, sc)
