@@ -172,7 +172,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
     Arguments are packed to keep per-launch binding cost low (the launch
     overhead is material: ~0.2 ms/call, and a full run makes 20k calls):
 
-        f(scalars_u32[8],
+        f(scalars_u32[9],
           state  [6, R, 128]  (px, py, pz, in_cell, phase, comp),
           near   [4, K, R, 128]  (x, y, z, M),
           taylor [10, R, 128]  (b0, gx, gy, gz, hxx, hyy, hzz, hxy, hxz, hyz))
@@ -180,14 +180,16 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
             coverage [n_blocks, 1, 1] SMEM, wins [n_blocks, n_win, 2])
 
     scalars = [step0, key_hi, key_lo, chunk_seed, lane_offset, num_water,
-    tcp, cell_r2_bits].  The chunk anchor IS the input position (positions
-    are wrapped before the recandidate build), and walker lanes / validity
-    masks are derived in-kernel from (program_id, lane_offset, num_water)
-    — no per-launch index planes.  tcp (Carr-Purcell interval, steps) and
-    cell_r^2 (f32 bit pattern) ride the scalar vector instead of being
-    baked into the program so parameter sweeps over taucp / cell_r share
-    ONE compile (the reference recompiled with nvcc per value,
-    README.md:13); both are read once per launch, outside the step loop.
+    tcp, cell_r2_bits, stdev_scale_bits].  The chunk anchor IS the input
+    position (positions are wrapped before the recandidate build), and
+    walker lanes / validity masks are derived in-kernel from
+    (program_id, lane_offset, num_water) — no per-launch index planes.
+    tcp (Carr-Purcell interval, steps), cell_r^2 and the diffusion stdev
+    scale sqrt(d_scale) (both f32 bit patterns) ride the scalar vector
+    instead of being baked into the program so parameter sweeps over
+    taucp / cell_r / D share ONE compile (the reference recompiled with
+    nvcc per value, README.md:13); all are read once per launch, outside
+    the step loop.
 
     **In-kernel rebuild mode** (``n_mnp_pad`` set): the near/taylor inputs
     are replaced by the raw dipole table in SMEM, and the kernel performs
@@ -198,7 +200,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
     of reductions + glue at the reference scale) for ~0.12 ms of in-kernel
     work:
 
-        f(scalars_u32[8], state [6, R, 128],
+        f(scalars_u32[9], state [6, R, 128],
           mnp [4, n_mnp_pad] SMEM (x, y, z, M*FIELD_SCALE))
         -> same outputs.
 
@@ -377,6 +379,10 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         # per launch, it is a plain vector register in the step loop
         cell_r2 = jax.lax.bitcast_convert_type(
             jnp.full((r_blk, LANES), scalars[7]), jnp.float32).astype(dtype)
+        # stdev scale sqrt(d_scale) (f32 bits, 1.0 by default): runtime
+        # diffusion-coefficient sweeps/fits share this compiled program
+        dstd = jax.lax.bitcast_convert_type(
+            jnp.full((r_blk, LANES), scalars[8]), jnp.float32).astype(dtype)
         if rng_impl == RNG_HARDWARE:
             # distinct hardware-PRNG stream per walker block — seeding all
             # blocks identically would give them identical random sequences
@@ -492,7 +498,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                 # jnp.where), one op cheaper than the two-mul blend;
                 # incell is a bool plane so the mask feeds straight in
                 stdev = jnp.where(incell, in_stdev, out_stdev)
-                mag = nrm * stdev * inv_norm
+                mag = nrm * stdev * inv_norm * dstd
                 x2 = x + dx * mag
                 y2 = y + dy * mag
                 z2 = z + dz * mag
@@ -723,7 +729,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
             o_cov[0, 0, 0] = jnp.zeros((), dtype)
 
     n_state = 8 if decompose else 6
-    sspec = pl.BlockSpec((8,), lambda b: (0,), memory_space=pltpu.SMEM)
+    sspec = pl.BlockSpec((9,), lambda b: (0,), memory_space=pltpu.SMEM)
     state_spec = pl.BlockSpec((n_state, r_blk, LANES), lambda b: (0, b, 0),
                               memory_space=pltpu.VMEM)
     esc_spec = pl.BlockSpec((r_blk, LANES), lambda b: (b, 0),
@@ -833,7 +839,7 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
             return jnp.concatenate([base, ps.phase, ps.phase_comp])
         return jnp.concatenate([base, ps.phase[None], ps.phase_comp[None]])
 
-    def make_scalars(ps, lane_offset, key_arr, tcp_u, cr2_bits):
+    def make_scalars(ps, lane_offset, key_arr, tcp_u, cr2_bits, dstd_bits):
         step0 = ps.step
         lane_off = jnp.asarray(lane_offset, jnp.uint32)
         # chunk_seed folds in lane_offset so walker shards on other
@@ -844,22 +850,28 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
              (step0 ^ (key_arr[1] * jnp.uint32(2654435761)))
              + lane_off * jnp.uint32(2246822519),
              lane_off, jnp.uint32(num_water),
-             tcp_u, cr2_bits])
+             tcp_u, cr2_bits, dstd_bits])
 
-    def dyn_scalars(tcp, cell_r):
+    def dyn_scalars(tcp, cell_r, d_scale):
         """Resolve the runtime-sweepable scalars: defaults come from the
         static params (bitwise-identical program either way), overrides
-        are traced values so taucp / cell_r sweeps share one compile.
+        are traced values so taucp / cell_r / d_scale sweeps share one
+        compile.
 
         cell_r is squared HERE as an f32 x f32 product — the same
         rounding as the scan engine's ``cell_r * cell_r`` — so the
         in-cell verdict is bitwise consistent across every path (a
-        pre-squared f64 constant differs by 1 ulp for radii like 0.55)."""
+        pre-squared f64 constant differs by 1 ulp for radii like 0.55).
+        d_scale square-roots here too (f32, matching the scan engine's
+        dyn stdev scale) and rides as the sqrt's bit pattern."""
         tcp_u = (jnp.uint32(params.tcp) if tcp is None
                  else jnp.asarray(tcp, jnp.uint32))
         cr = (jnp.float32(params.cell_r) if cell_r is None
               else jnp.asarray(cell_r, jnp.float32))
-        return tcp_u, jax.lax.bitcast_convert_type(cr * cr, jnp.uint32), cr
+        dstd = (jnp.float32(1.0) if d_scale is None
+                else jnp.sqrt(jnp.asarray(d_scale, jnp.float32)))
+        return (tcp_u, jax.lax.bitcast_convert_type(cr * cr, jnp.uint32),
+                cr, jax.lax.bitcast_convert_type(dstd, jnp.uint32))
 
     def advance(ps, state_out, o_esc, o_cov, steps, cov_extra=None):
         # o_esc: [R, 128] per-walker escape counts, o_cov: [n_blocks, 1, 1]
@@ -881,8 +893,9 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                           escapes=escapes, coverage=coverage)
 
     def sprint(mnp_pos, mnp_M, key_arr, ps: PlaneState, lane_offset,
-               cache=None, tcp=None, cell_r=None):
-        tcp_u, cr2_bits, cr_dyn = dyn_scalars(tcp, cell_r)
+               cache=None, tcp=None, cell_r=None, d_scale=None):
+        tcp_u, cr2_bits, cr_dyn, dstd_bits = dyn_scalars(tcp, cell_r,
+                                                         d_scale)
         n_mnp = mnp_pos.shape[0]
         if params.near_k > n_mnp:
             raise ValueError(
@@ -909,7 +922,8 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
             def chunk_body(ps: PlaneState, chunk_idx):
                 del chunk_idx
                 state_out, o_esc, o_cov, block_wins = kern(
-                    make_scalars(ps, lane_offset, key_arr, tcp_u, cr2_bits),
+                    make_scalars(ps, lane_offset, key_arr, tcp_u,
+                                 cr2_bits, dstd_bits),
                     pack_state(ps), mnp_tbl)
                 return advance(ps, state_out, o_esc, o_cov, chunk_steps), \
                     block_wins if decompose else jnp.sum(block_wins, axis=0)
@@ -996,7 +1010,8 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                 phase_comp=ps.phase_comp, step=ps.step, escapes=ps.escapes,
                 coverage=ps.coverage))
             state_out, o_esc, o_cov, block_wins = kern(
-                make_scalars(ps, lane_offset, key_arr, tcp_u, cr2_bits),
+                make_scalars(ps, lane_offset, key_arr, tcp_u,
+                             cr2_bits, dstd_bits),
                 state_in, near, taylor)
             return advance(ps, state_out, o_esc, o_cov, chunk_steps,
                            cov_extra=cov_extra), \
@@ -1009,11 +1024,12 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
     inner = jax.jit(sprint)
 
     def guarded(mnp_pos, mnp_M, key_arr, ps, lane_offset,
-                cache=None, tcp=None, cell_r=None):
+                cache=None, tcp=None, cell_r=None, d_scale=None):
         from .reference_engine import _check_dyn_overrides
-        _check_dyn_overrides(tcp, cell_r)
+        _check_dyn_overrides(tcp, cell_r, d_scale)
         return inner(mnp_pos, mnp_M, key_arr, ps, lane_offset,
-                     cache=cache, tcp=tcp, cell_r=cell_r)
+                     cache=cache, tcp=tcp, cell_r=cell_r,
+                     d_scale=d_scale)
 
     guarded.inner = inner   # AOT warm-start hooks .lower() (engine/aot.py)
     return guarded

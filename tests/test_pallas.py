@@ -317,6 +317,70 @@ class TestRuntimeSweepScalars:
         np.testing.assert_allclose(c1, c2, atol=1e-3)
 
 
+class TestDiffusionScaleScalar:
+    """The d_scale launch scalar in the Pallas kernel: runtime
+    diffusion-coefficient scaling (stdev x sqrt(d_scale)), matching the
+    scan engine's dyn stdev scale bitwise on shared Threefry streams."""
+
+    def _pallas_sprints(self, p, sc, d_scale=None):
+        from mri_nanoparticle_simulation_tpu import rng
+        sprint = pe.make_sprint_fn(p, sc.waters.shape[0], interpret=True)
+        kk = rng.key_from_seed(9)
+        key_arr = jnp.asarray([np.uint32(kk[0]), np.uint32(kk[1])])
+        ps = pe.to_planes(re.init_state(sc.waters, p), p)
+        mnp_pos = jnp.asarray(sc.mnps[:, :3], jnp.float32)
+        mnp_M = jnp.asarray(sc.mnps[:, 4], jnp.float32)
+        outs = []
+        for _ in range(p.t // p.sprint_steps):
+            ps, wins = sprint(mnp_pos, mnp_M, key_arr, ps, 0,
+                              d_scale=d_scale)
+            outs.append(wins)
+        st = pe.from_planes(ps, sc.waters.shape[0])
+        return np.asarray(st.pos), np.asarray(
+            jnp.concatenate(outs, axis=0))
+
+    def test_identity_override_bitwise(self):
+        p = P.small_test_params(num_water=64, totaltime=0.0005,
+                                sprint_steps=500)
+        sc = BacteriaBox(p, seed=3).populate()
+        pos0, w0 = self._pallas_sprints(p, sc)
+        pos1, w1 = self._pallas_sprints(p, sc, d_scale=1.0)
+        np.testing.assert_array_equal(pos0, pos1)
+        np.testing.assert_array_equal(w0, w1)
+
+    def test_matches_scan_engine_scaled(self):
+        """d_scale=0.25 through the kernel vs the scan engine's dyn
+        scalar: identical Threefry streams, same multiply order ->
+        trajectories agree to interpreter-level rounding."""
+        from mri_nanoparticle_simulation_tpu import rng
+        p = P.small_test_params(num_water=64, totaltime=0.0005,
+                                sprint_steps=500)
+        sc = BacteriaBox(p, seed=3).populate()
+        pos_p, w_p = self._pallas_sprints(p, sc, d_scale=0.25)
+
+        sprint = re.make_sprint_fn(p)
+        kk = rng.key_from_seed(9)
+        key_arr = jnp.asarray([np.uint32(kk[0]), np.uint32(kk[1])])
+        st = re.init_state(sc.waters, p)
+        mnp_pos = jnp.asarray(sc.mnps[:, :3], jnp.float32)
+        mnp_M = jnp.asarray(sc.mnps[:, 4], jnp.float32)
+        outs = []
+        for _ in range(p.t // p.sprint_steps):
+            st, wins = sprint(mnp_pos, mnp_M, key_arr, st, 0,
+                              d_scale=0.25)
+            outs.append(wins)
+        w_s = np.asarray(jnp.concatenate(outs, axis=0))
+        np.testing.assert_allclose(pos_p, np.asarray(st.pos), atol=5e-6)
+        np.testing.assert_allclose(w_p[:, 0], w_s[:, 0], atol=1e-3)
+
+    def test_nonpositive_rejected(self):
+        p = P.small_test_params(num_water=64, totaltime=0.0005,
+                                sprint_steps=500)
+        sc = BacteriaBox(p, seed=3).populate()
+        with pytest.raises(ValueError, match="d_scale"):
+            self._pallas_sprints(p, sc, d_scale=-1.0)
+
+
 class TestBigScenePathFused:
     def test_fused_recand_matches_scan_engine(self, monkeypatch):
         """Force the big-scene path (REBUILD_MAX_MNPS -> 0) with a
