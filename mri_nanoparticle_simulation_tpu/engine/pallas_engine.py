@@ -380,9 +380,14 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
         cell_r2 = jax.lax.bitcast_convert_type(
             jnp.full((r_blk, LANES), scalars[7]), jnp.float32).astype(dtype)
         # stdev scale sqrt(d_scale) (f32 bits, 1.0 by default): runtime
-        # diffusion-coefficient sweeps/fits share this compiled program
+        # diffusion-coefficient sweeps/fits share this compiled program.
+        # Folded into the stdev constants ONCE per launch — the step loop
+        # pays zero extra ops for the runtime D axis (and dstd == 1.0
+        # keeps the default-path products bitwise-unchanged)
         dstd = jax.lax.bitcast_convert_type(
             jnp.full((r_blk, LANES), scalars[8]), jnp.float32).astype(dtype)
+        in_stdev_d = in_stdev * dstd
+        out_stdev_d = out_stdev * dstd
         if rng_impl == RNG_HARDWARE:
             # distinct hardware-PRNG stream per walker block — seeding all
             # blocks identically would give them identical random sequences
@@ -497,8 +502,8 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                 # exact select (bitwise-equal to the scan engine's
                 # jnp.where), one op cheaper than the two-mul blend;
                 # incell is a bool plane so the mask feeds straight in
-                stdev = jnp.where(incell, in_stdev, out_stdev)
-                mag = nrm * stdev * inv_norm * dstd
+                stdev = jnp.where(incell, in_stdev_d, out_stdev_d)
+                mag = nrm * stdev * inv_norm
                 x2 = x + dx * mag
                 y2 = y + dy * mag
                 z2 = z + dz * mag

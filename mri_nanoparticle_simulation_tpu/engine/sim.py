@@ -553,9 +553,11 @@ def main(argv=None):
     ap.add_argument("--sweep", default=None, metavar="KNOB",
                     help="sweep a numeric Params knob over --sweep-values, "
                          "writing one CSV per value; mmoment/taucp/cell_r "
-                         "ride runtime launch scalars so the whole sweep "
-                         "shares ONE compiled program (the reference "
-                         "re-ran nvcc per value, README.md:13)")
+                         "and D (global diffusion scale: v scales D_cell "
+                         "and D_extra together) ride runtime launch "
+                         "scalars so the whole sweep shares ONE compiled "
+                         "program (the reference re-ran nvcc per value, "
+                         "README.md:13)")
     ap.add_argument("--sweep-values", default=None, metavar="V1,V2,...",
                     help="comma-separated values for --sweep")
     ap.add_argument("--trials-per-value", type=int, default=1,
@@ -732,18 +734,28 @@ def main(argv=None):
             ap.error("--sweep runs --trials-per-value trials per value; "
                      "drop --ensemble")
         name = args.sweep
-        # real dataclass fields only: hasattr would also accept derived
-        # read-only properties (tcp, t, in_stdev, ...) and then crash
-        # with a raw TypeError inside dataclasses.replace
-        import dataclasses as _dc
-        if name not in {f.name for f in _dc.fields(params)}:
-            ap.error(f"unknown Params knob {name!r} (must be a settable "
-                     f"field, not a derived property)")
-        cast = type(getattr(params, name))
-        if cast not in (int, float):
-            ap.error(f"--sweep only supports numeric knobs; {name!r} "
-                     f"is {cast.__name__}")
-        values = [cast(float(v)) for v in args.sweep_values.split(",")]
+        if name == "D":
+            # global diffusion scale: value v scales D_cell AND D_extra
+            # together via the engines' d_scale launch scalar — one
+            # compiled program for the whole sweep (sweeping D_cell or
+            # D_extra alone takes the recompile-per-value path below)
+            values = [float(v) for v in args.sweep_values.split(",")]
+            if any(not v > 0 for v in values):
+                ap.error("--sweep D values must be > 0 (diffusion scale)")
+        else:
+            # real dataclass fields only: hasattr would also accept
+            # derived read-only properties (tcp, t, in_stdev, ...) and
+            # then crash with a raw TypeError inside dataclasses.replace
+            import dataclasses as _dc
+            if name not in {f.name for f in _dc.fields(params)}:
+                ap.error(f"unknown Params knob {name!r} (must be a "
+                         f"settable field, not a derived property, or "
+                         f"'D' for the global diffusion scale)")
+            cast = type(getattr(params, name))
+            if cast not in (int, float):
+                ap.error(f"--sweep only supports numeric knobs; {name!r} "
+                         f"is {cast.__name__}")
+            values = [cast(float(v)) for v in args.sweep_values.split(",")]
         from ..parallel import ensemble as ens
         from ..utils import profiling
         t0 = time.perf_counter()
@@ -756,7 +768,9 @@ def main(argv=None):
         import os
         stem, ext = os.path.splitext(csv_path)
         for v, cv in zip(values, curves):
-            pv = params.replace(**{name: v}).validate()
+            pv = (params.replace(D_cell=params.D_cell * v,
+                                 D_extra=params.D_extra * v)
+                  if name == "D" else params.replace(**{name: v})).validate()
             path = f"{stem}_{name}={v:g}{ext or '.csv'}"
             mean = cv.mean(axis=0)
             with writer_mod.T2CsvWriter(path, pv, quadrature=False) as w:

@@ -68,16 +68,17 @@ def make_ensemble_sprint_fn(params: Params, mesh: Mesh, dtype=jnp.float32):
     """vmapped-over-trials sprint, trials sharded over the mesh.
 
     sprint(mnp_pos [T,N,3], mnp_M [T,N], keys [T,2], states (leading T),
-           tcps [T] uint32, cell_rs [T] f32)
+           tcps [T] uint32, cell_rs [T] f32, d_scales [T] f32)
         -> (states, wins [T, n_windows, 2])
 
-    ``tcps`` / ``cell_rs`` are the per-trial Carr-Purcell interval (steps)
-    and cell radius: runtime data, so a taucp / cell_r sweep rides one
-    compiled program exactly like an mmoment sweep.
+    ``tcps`` / ``cell_rs`` / ``d_scales`` are the per-trial Carr-Purcell
+    interval (steps), cell radius, and diffusion-coefficient scale:
+    runtime data, so a taucp / cell_r / D sweep rides one compiled
+    program exactly like an mmoment sweep.
     """
     local = reference_engine.make_sprint_fn(params, dtype)
-    vm = jax.vmap(lambda mp, mm, k, st, tc, cr: local(
-        mp, mm, k, st, 0, tcp=tc, cell_r=cr))
+    vm = jax.vmap(lambda mp, mm, k, st, tc, cr, ds: local(
+        mp, mm, k, st, 0, tcp=tc, cell_r=cr, d_scale=ds))
 
     tspec = P(TRIAL_AXIS)
     state_spec = reference_engine.WalkerState(
@@ -85,7 +86,7 @@ def make_ensemble_sprint_fn(params: Params, mesh: Mesh, dtype=jnp.float32):
         step=tspec, escapes=tspec, coverage=tspec)
     sharded = jax.shard_map(
         vm, mesh=mesh,
-        in_specs=(tspec, tspec, tspec, state_spec, tspec, tspec),
+        in_specs=(tspec, tspec, tspec, state_spec, tspec, tspec, tspec),
         out_specs=(state_spec, tspec), check_vma=False)
     return jax.jit(sharded)
 
@@ -101,25 +102,26 @@ def make_ensemble_pallas_sprint_fn(params: Params, mesh: Mesh,
     chip runs one kernel at a time anyway).
 
     sprint(mnp_pos [T,N,3], mnp_M [T,N], keys [T,2], planes (leading T),
-           tcps [T] uint32, cell_rs [T] f32)
+           tcps [T] uint32, cell_rs [T] f32, d_scales [T] f32)
         -> (planes, wins [T, n_windows, 2])
     """
     local = pallas_engine.make_sprint_fn(params, params.num_water, dtype,
                                          rng_impl, interpret)
 
-    def shard_fn(mnp_pos, mnp_M, keys, planes, tcps, cell_rs):
+    def shard_fn(mnp_pos, mnp_M, keys, planes, tcps, cell_rs, dscales):
         def body(_, xs):
-            mp, mm, key, ps, tc, cr = xs
+            mp, mm, key, ps, tc, cr, ds = xs
             # trials are distinguished by their per-trial key (run_seed+i),
             # exactly like single runs — lane_offset stays 0 so each trial
-            # is bitwise-identical to its standalone run.  tcp / cell_r
-            # ride the kernel's launch scalars (runtime sweep data).
+            # is bitwise-identical to its standalone run.  tcp / cell_r /
+            # d_scale ride the kernel's launch scalars (runtime sweep data).
             new_ps, wins = local(mp, mm, key, ps, jnp.uint32(0),
-                                 tcp=tc, cell_r=cr)
+                                 tcp=tc, cell_r=cr, d_scale=ds)
             return _, (new_ps, wins)
 
         _, (new_planes, wins) = jax.lax.scan(
-            body, 0, (mnp_pos, mnp_M, keys, planes, tcps, cell_rs))
+            body, 0, (mnp_pos, mnp_M, keys, planes, tcps, cell_rs,
+                      dscales))
         return new_planes, wins
 
     tspec = P(TRIAL_AXIS)
@@ -128,7 +130,7 @@ def make_ensemble_pallas_sprint_fn(params: Params, mesh: Mesh,
         phase_comp=tspec, step=tspec, escapes=tspec, coverage=tspec)
     sharded = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(tspec, tspec, tspec, planes_spec, tspec, tspec),
+        in_specs=(tspec, tspec, tspec, planes_spec, tspec, tspec, tspec),
         out_specs=(planes_spec, tspec), check_vma=False)
     return jax.jit(sharded)
 
@@ -176,6 +178,7 @@ def run_ensemble(params: Params, n_trials: int,
                  mmoments: Optional[Sequence[float]] = None,
                  taucps: Optional[Sequence[float]] = None,
                  cell_rs: Optional[Sequence[float]] = None,
+                 d_scales: Optional[Sequence[float]] = None,
                  dtype=jnp.float32, max_steps: Optional[int] = None,
                  engine: str = "scan",
                  rng_impl: str = pallas_engine.RNG_THREEFRY,
@@ -188,11 +191,14 @@ def run_ensemble(params: Params, n_trials: int,
     ``check_coverage`` validates near_k against every trial's scene (the
     same guard SimulationRunner applies to its single scene).
 
-    ``mmoments`` / ``taucps`` (ms) / ``cell_rs`` (µm), each len T, give
+    ``mmoments`` / ``taucps`` (ms) / ``cell_rs`` (µm) / ``d_scales``
+    (dimensionless, scales D_cell AND D_extra together), each len T, give
     per-trial values of the corresponding knob as *runtime data* — all
-    trials share one compiled program (the engines accept tcp / cell_r as
-    launch scalars).  Every taucp must keep tcp a multiple of pfreq
-    (checked here, like Params.validate does for the static knob).
+    trials share one compiled program (the engines accept tcp / cell_r /
+    d_scale as launch scalars).  Every taucp must keep tcp a multiple of
+    pfreq (checked here, like Params.validate does for the static knob).
+    d_scales > 1 walk farther per chunk, so the near-list coverage is
+    validated against the SCALED diffusion coefficients per trial.
     """
     params.validate()
     if taucps is not None:
@@ -203,6 +209,12 @@ def run_ensemble(params: Params, n_trials: int,
         # would otherwise only fail obscurely inside scene building
         for v in cell_rs:
             params.replace(cell_r=float(v)).validate()
+    if d_scales is not None:
+        for v in d_scales:
+            if not float(v) > 0:
+                raise ValueError(f"d_scales must be > 0; got {v}")
+            params.replace(D_cell=params.D_cell * float(v),
+                           D_extra=params.D_extra * float(v)).validate()
     from ..params import FIELD_EXPANSION
     if params.field_mode != FIELD_EXPANSION:
         raise ValueError(
@@ -219,6 +231,7 @@ def run_ensemble(params: Params, n_trials: int,
     mmoments = pad_vals(mmoments)
     taucps = pad_vals(taucps)
     cell_rs = pad_vals(cell_rs)
+    d_scales = pad_vals(d_scales)
     mnp_pos, mnp_M, waters, scenes = build_trial_scenes(
         params, n_padded, base_seed, mmoments, cell_rs)
     if check_coverage:
@@ -226,6 +239,11 @@ def run_ensemble(params: Params, n_trials: int,
         for i, s in enumerate(scenes[:n_trials]):
             p_i = params if cell_rs is None \
                 else params.replace(cell_r=float(cell_rs[i]))
+            if d_scales is not None and float(d_scales[i]) > 1:
+                # the chunk-travel bound scales with sqrt(D): validate
+                # the near-list coverage at the trial's actual reach
+                p_i = p_i.replace(D_cell=p_i.D_cell * float(d_scales[i]),
+                                  D_extra=p_i.D_extra * float(d_scales[i]))
             worst = expansion.validate_near_k(s.mnps[:, :3], p_i,
                                               n_probe=20_000)
             if worst > params.near_k:
@@ -261,11 +279,14 @@ def run_ensemble(params: Params, n_trials: int,
     crs = jnp.asarray(
         [params.cell_r if cell_rs is None else float(cell_rs[i])
          for i in range(n_padded)], jnp.float32)
+    dss = jnp.asarray(
+        [1.0 if d_scales is None else float(d_scales[i])
+         for i in range(n_padded)], jnp.float32)
 
     total = params.t if max_steps is None else min(params.t, max_steps)
     outs = []
     for _ in range(total // params.sprint_steps):
-        state, wins = sprint(mnp_pos, mnp_M, keys, state, tcps, crs)
+        state, wins = sprint(mnp_pos, mnp_M, keys, state, tcps, crs, dss)
         outs.append(wins)
     wins = jnp.concatenate(outs, axis=1) if outs \
         else jnp.zeros((n_padded, 0, 2), dtype)
@@ -289,20 +310,23 @@ def run_parameter_sweep(base_params: Params, name: str, values,
                         interpret: bool = False):
     """Sweep any Params field (e.g. cell_r, taucp, mmoment) across runs.
 
-    ``mmoment``, ``taucp``, and ``cell_r`` sweeps share ONE compiled
-    program via :func:`run_ensemble` — the moment is plain array data,
-    and tcp / cell_r ride the engines' launch scalars (the reference
-    recompiled with nvcc per value of any of these, README.md:13).  Every
-    other knob is a compile-time constant of the kernels, so each value
-    compiles its own program; scenes are rebuilt per value since geometry
-    knobs change cell placement (cell_r rebuilds scenes too — per *trial*
-    — but without recompiling).
+    ``mmoment``, ``taucp``, ``cell_r``, and ``D`` sweeps share ONE
+    compiled program via :func:`run_ensemble` — the moment is plain array
+    data, and tcp / cell_r / d_scale ride the engines' launch scalars
+    (the reference recompiled with nvcc per value of any of these,
+    README.md:13).  ``D`` is the global diffusion scale: value v scales
+    D_cell AND D_extra by v (parameters.h:84-85 individually remain
+    sweepable as compile-time knobs).  Every other knob is a compile-time
+    constant of the kernels, so each value compiles its own program;
+    scenes are rebuilt per value since geometry knobs change cell
+    placement (cell_r rebuilds scenes too — per *trial* — but without
+    recompiling).
 
     Returns (times_ms, curves [len(values), n_trials_each, n_windows]).
     """
-    if name in ("mmoment", "taucp", "cell_r"):
+    if name in ("mmoment", "taucp", "cell_r", "D"):
         key = {"mmoment": "mmoments", "taucp": "taucps",
-               "cell_r": "cell_rs"}[name]
+               "cell_r": "cell_rs", "D": "d_scales"}[name]
         per_trial = {key: [v for v in values for _ in range(n_trials_each)]}
         times, cos, _, _ = run_ensemble(
             base_params, n_trials=len(values) * n_trials_each,

@@ -151,6 +151,49 @@ class TestSweep:
                 sc, pv, seed=1000 + i, interpret=True)
             np.testing.assert_allclose(curves[i, 0], c2, atol=1e-4)
 
+    def test_d_sweep_shared_compile(self):
+        """The global diffusion scale D rides the engines' d_scale launch
+        scalar: one compiled program for the sweep, each value's curve
+        matching a statically-built run with D_cell/D_extra scaled.
+        0.25 is a power of four, so sqrt(d_scale) and the stdev products
+        are exact in f32 and the trajectories coincide."""
+        p = P.small_test_params(num_water=32, totaltime=0.0005,
+                                sprint_steps=500)
+        vals = [1.0, 0.25]
+        times, curves = ensemble.run_parameter_sweep(
+            p, "D", vals, n_trials_each=1)
+        for i, v in enumerate(vals):
+            pv = p.replace(D_cell=p.D_cell * v,
+                           D_extra=p.D_extra * v).validate()
+            sc = BacteriaBox(p, seed=i).populate()  # D: same geometry
+            _, c2, _, _ = re.run_simulation(sc, pv, seed=1000 + i)
+            np.testing.assert_allclose(curves[i, 0], c2, atol=1e-4)
+
+    def test_d_sweep_pallas_engine(self):
+        """The production kernel's d_scale launch scalar through the
+        ensemble layer."""
+        p = P.small_test_params(num_water=32, totaltime=0.0005,
+                                sprint_steps=500)
+        vals = [1.0, 0.25]
+        _, curves = ensemble.run_parameter_sweep(
+            p, "D", vals, n_trials_each=1, engine="pallas",
+            interpret=True)
+        from mri_nanoparticle_simulation_tpu.engine import pallas_engine
+        for i, v in enumerate(vals):
+            pv = p.replace(D_cell=p.D_cell * v,
+                           D_extra=p.D_extra * v).validate()
+            sc = BacteriaBox(p, seed=i).populate()
+            _, c2, _, _ = pallas_engine.run_simulation(
+                sc, pv, seed=1000 + i, interpret=True)
+            np.testing.assert_allclose(curves[i, 0], c2, atol=1e-4)
+
+    def test_invalid_d_scale_rejected(self):
+        p = P.small_test_params(num_water=16, totaltime=0.0002,
+                                sprint_steps=200)
+        with pytest.raises(ValueError, match="d_scales must be > 0"):
+            ensemble.run_ensemble(p, n_trials=2, base_seed=0, run_seed=1,
+                                  d_scales=[1.0, -1.0])
+
     def test_invalid_runtime_taucp_rejected(self):
         """A swept taucp that misaligns with pfreq fails fast at the host
         boundary, exactly like the static Params.validate check."""

@@ -218,6 +218,31 @@ class TestCliSweep:
             sim.main(["--sweep", "taucp",
                       "--out", str(tmp_path / "x.csv")])
 
+    def test_sweep_d_writes_per_value_curves(self, tmp_path):
+        """--sweep D: the global diffusion scale rides the engines'
+        d_scale launch scalar; one CSV per value."""
+        out = str(tmp_path / "dsweep.csv")
+        rc = sim.main(["--num-water", "32", "--num-cells", "8",
+                       "--totaltime", "0.002", "--sprint-steps", "1000",
+                       "--chunk-steps", "100", "--near-k", "6",
+                       "--taucp", "0.001", "--hash-dim", "8",
+                       "--engine", "scan",
+                       "--sweep", "D",
+                       "--sweep-values", "1,0.25",
+                       "--out", out])
+        assert rc == 0
+        d1 = np.loadtxt(str(tmp_path / "dsweep_D=1.csv"), delimiter=",")
+        d2 = np.loadtxt(str(tmp_path / "dsweep_D=0.25.csv"),
+                        delimiter=",")
+        assert d1.shape == (2, 2) and d2.shape == (2, 2)
+        assert np.all(np.abs(d1[:, 1]) <= 32.0 + 1e-5)
+        assert np.all(np.abs(d2[:, 1]) <= 32.0 + 1e-5)
+
+    def test_sweep_d_rejects_nonpositive(self, tmp_path):
+        with pytest.raises(SystemExit):
+            sim.main(["--sweep", "D", "--sweep-values", "1,-0.5",
+                      "--out", str(tmp_path / "x.csv")])
+
 
 class TestCliMomentScales:
     # mmoment is boosted 1e4x so the 2-window curve visibly dephases
