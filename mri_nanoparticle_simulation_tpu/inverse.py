@@ -261,6 +261,126 @@ def fit_diffusion_scale(target, params: Params, scene, *, seed: int = 0,
     )
 
 
+def make_engine_curve_fn(params: Params, scene, seed: int = 0,
+                         engine: str = "pallas",
+                         rng_impl: str = "threefry",
+                         interpret: bool = False, dtype=None) -> Callable:
+    """Build ``curve(d_scale) -> m[t]`` on the PRODUCTION engine (or the
+    scan engine): a plain forward evaluation at a concrete diffusion
+    scale — not differentiable through Pallas, but every call shares one
+    compiled program via the kernel's d_scale launch scalar, and the
+    Threefry / hardware-PRNG streams depend only on (seed, step), so all
+    evaluations see identical random draws (common random numbers)."""
+    import jax.numpy as jnp
+
+    from . import rng
+    from .engine import pallas_engine as pe
+    from .engine import reference_engine as re
+
+    dtype = dtype or jnp.float32
+    p = params.validate()
+    k = rng.key_from_seed(seed)
+    key_arr = jnp.asarray([np.uint32(k[0]), np.uint32(k[1])])
+    mnp_pos = jnp.asarray(np.asarray(scene.mnps[:, :3], np.float32), dtype)
+    mnp_M = jnp.asarray(np.asarray(scene.mnps[:, 4], np.float32), dtype)
+    n_sprints = p.t // p.sprint_steps
+    if engine == "pallas":
+        sprint = pe.make_sprint_fn(p, scene.waters.shape[0], dtype,
+                                   rng_impl, interpret)
+        st0 = pe.to_planes(re.init_state(scene.waters, p, dtype), p)
+    elif engine == "scan":
+        sprint = re.make_sprint_fn(p, dtype)
+        st0 = re.init_state(scene.waters, p, dtype)
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+
+    def curve(d_scale: float) -> np.ndarray:
+        st = st0
+        outs = []
+        for _ in range(n_sprints):
+            st, wins = sprint(mnp_pos, mnp_M, key_arr, st, 0,
+                              d_scale=float(d_scale))
+            outs.append(np.asarray(wins)[:, 0])
+        return np.concatenate(outs) / p.num_water
+
+    return curve
+
+
+def fit_diffusion_scale_crn(target, params: Params, scene, *,
+                            seed: int = 0,
+                            bracket: tuple = (0.05, 1.0),
+                            iters: int = 20, engine: str = "pallas",
+                            rng_impl: str = "threefry",
+                            interpret: bool = False,
+                            dtype=None) -> MomentFitResult:
+    """ADC recovery at PRODUCTION scale: golden-section search for the
+    diffusion scale minimizing the curve MSE, each evaluation a full
+    forward run of the production Pallas kernel at a runtime ``d_scale``
+    (one compiled program for the whole fit — the launch scalar).
+
+    Derivative-free by design: reverse-mode AD does not reach through a
+    Pallas kernel, but common random numbers (counter RNG keyed only by
+    (seed, step)) make the loss a deterministic, noise-free function of
+    d_scale, so a ~20-evaluation bracket search resolves the minimum to
+    ~1e-3 relative — each evaluation at the kernel's full 1.9e10
+    walker-steps/s.  The search runs on log(d) (scale parameters live on
+    a ratio scale).
+
+    The same coverage honesty note as :func:`fit_diffusion_scale`
+    applies: size ``params.D_cell/D_extra`` to the TOP of the search
+    bracket and keep ``bracket[1] <= 1`` so the K-coverage certificate
+    holds at every probed scale.
+
+    Returns a :class:`MomentFitResult`: ``scale`` is the fitted d_scale,
+    ``scale_history``/``loss_history`` record every probed point in
+    evaluation order (``mmoment`` is nan — not a moment fit)."""
+    lo, hi = float(bracket[0]), float(bracket[1])
+    if not (0 < lo < hi):
+        raise ValueError(f"bracket must satisfy 0 < lo < hi; got {bracket}")
+    curve = make_engine_curve_fn(params, scene, seed=seed, engine=engine,
+                                 rng_impl=rng_impl, interpret=interpret,
+                                 dtype=dtype)
+    target = np.asarray(target, np.float64)
+    n = params.t // params.pfreq
+    if target.shape != (n,):
+        raise ValueError(f"target must have one value per output window "
+                         f"([{n}]), got {target.shape}")
+
+    hist_d, hist_l = [], []
+
+    def loss(logd):
+        d = float(np.exp(logd))
+        val = float(np.mean((np.asarray(curve(d), np.float64)
+                             - target) ** 2))
+        hist_d.append(d)
+        hist_l.append(val)
+        return val
+
+    # golden-section on log d: unimodal within a sane bracket (the MSE
+    # of a monotone-in-D decay family against one of its members)
+    invphi = (np.sqrt(5.0) - 1.0) / 2.0
+    a, b = np.log(lo), np.log(hi)
+    c, d_ = b - invphi * (b - a), a + invphi * (b - a)
+    fc, fd = loss(c), loss(d_)
+    for _ in range(max(0, iters - 2)):
+        if fc < fd:
+            b, d_, fd = d_, c, fc
+            c = b - invphi * (b - a)
+            fc = loss(c)
+        else:
+            a, c, fc = c, d_, fd
+            d_ = a + invphi * (b - a)
+            fd = loss(d_)
+    best = int(np.argmin(hist_l))
+    return MomentFitResult(
+        scale=float(hist_d[best]),
+        mmoment=float("nan"),
+        loss=float(hist_l[best]),
+        scale_history=np.asarray(hist_d),
+        loss_history=np.asarray(hist_l),
+    )
+
+
 def fit_moment_scale_decomposed(target, A, B, *, mmoment: float = None,
                                 init_scale: float = 1.0, iters: int = 200,
                                 lr: float = 0.1) -> MomentFitResult:

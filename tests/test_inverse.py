@@ -114,3 +114,51 @@ class TestDiffusionRecovery:
         p, sc = _setup(num_water=64)
         with pytest.raises(ValueError, match="one value per output"):
             inv.fit_diffusion_scale(np.zeros(5), p, sc)
+
+
+class TestDiffusionRecoveryCRN:
+    """Derivative-free ADC recovery on the production path: golden-
+    section over the d_scale launch scalar with common random numbers —
+    the fit that runs at the Pallas kernel's full rate (AD does not
+    reach through Pallas; it doesn't need to)."""
+
+    def test_crn_recovery_scan_engine(self):
+        """Hidden d_scale=0.6; same seed -> the CRN loss is exactly zero
+        at the truth, and ~20 bracket evaluations resolve it to <1%."""
+        p, sc = _setup(num_water=128, mmoment=5e-14)
+        target = np.asarray(inv.make_engine_curve_fn(
+            p, sc, seed=2, engine="scan")(0.6))
+        fit = inv.fit_diffusion_scale_crn(
+            target, p, sc, seed=2, bracket=(0.2, 1.0), iters=20,
+            engine="scan")
+        assert abs(fit.scale - 0.6) / 0.6 < 0.01
+        assert fit.loss < 1e-7   # golden section lands ~1e-4 off the
+        # exact-zero point; the MSE there is quadratic in the offset
+        assert fit.scale_history.shape == (20,)
+        assert np.all(fit.scale_history >= 0.2 - 1e-9)
+        assert np.all(fit.scale_history <= 1.0 + 1e-9)
+        assert np.isnan(fit.mmoment)
+
+    def test_crn_pallas_engine(self):
+        """The production kernel path (interpret mode on CPU): the
+        launch-scalar curve matches the scan engine's, and a short
+        search narrows toward the hidden scale."""
+        p, sc = _setup(num_water=64, mmoment=5e-14)
+        target = np.asarray(inv.make_engine_curve_fn(
+            p, sc, seed=2, engine="scan")(0.25))
+        c_pallas = np.asarray(inv.make_engine_curve_fn(
+            p, sc, seed=2, engine="pallas", interpret=True)(0.25))
+        np.testing.assert_allclose(c_pallas, target, atol=1e-4)
+        fit = inv.fit_diffusion_scale_crn(
+            target, p, sc, seed=2, bracket=(0.1, 1.0), iters=8,
+            engine="pallas", interpret=True)
+        assert abs(fit.scale - 0.25) / 0.25 < 0.25
+
+    def test_bracket_validated(self):
+        p, sc = _setup(num_water=64)
+        n = p.t // p.pfreq
+        with pytest.raises(ValueError, match="bracket"):
+            inv.fit_diffusion_scale_crn(np.zeros(n), p, sc,
+                                        bracket=(1.0, 0.5))
+        with pytest.raises(ValueError, match="one value per output"):
+            inv.fit_diffusion_scale_crn(np.zeros(3), p, sc)

@@ -369,3 +369,41 @@ class TestInverseHardware:
         fit = inv.fit_moment_scale(target, pp, sc, seed=2, iters=60)
         assert abs(fit.scale - 1.4) / 1.4 < 0.03
         assert fit.loss < fit.loss_history[0] * 1e-2
+
+
+class TestDiffusionAxisHardware:
+    """The d_scale launch scalar under the real Mosaic compiler: the
+    runtime D axis on the production kernel, end to end."""
+
+    def test_d_sweep_matches_static_scaled_params(self, p):
+        """--sweep D semantics on-chip: each swept value's Pallas curve
+        equals a statically-compiled run with D_cell/D_extra scaled
+        (0.25 is a power of four, so sqrt(d_scale) and the stdev fold
+        are exact in f32)."""
+        from mri_nanoparticle_simulation_tpu.parallel import ensemble
+        vals = [1.0, 0.25]
+        _, curves = ensemble.run_parameter_sweep(
+            p, "D", vals, n_trials_each=1, engine="pallas",
+            rng_impl="threefry")
+        for i, v in enumerate(vals):
+            pv = p.replace(D_cell=p.D_cell * v,
+                           D_extra=p.D_extra * v).validate()
+            sc = BacteriaBox(p, seed=i).populate()
+            _, c2, _, _ = pe.run_simulation(sc, pv, seed=1000 + i)
+            np.testing.assert_allclose(curves[i, 0], c2, atol=1e-3)
+
+    def test_crn_adc_fit_on_chip(self):
+        """Production-path ADC recovery: golden-section over the launch
+        scalar, every evaluation a full Pallas forward run through the
+        real compiler with common random numbers (ONE compiled program
+        for the whole fit)."""
+        from mri_nanoparticle_simulation_tpu import inverse as inv
+        pp = P.small_test_params(num_water=64, mmoment=5e-14)
+        sc = BacteriaBox(pp, seed=1).populate()
+        target = np.asarray(inv.make_engine_curve_fn(
+            pp, sc, seed=2, engine="pallas")(0.6))
+        fit = inv.fit_diffusion_scale_crn(
+            target, pp, sc, seed=2, bracket=(0.2, 1.0), iters=16,
+            engine="pallas")
+        assert abs(fit.scale - 0.6) / 0.6 < 0.02
+        assert fit.loss < 1e-6
