@@ -155,7 +155,8 @@ def local_trial_mesh(n_trials: int):
 def run_ensemble_multihost(params, n_trials: int, base_seed: int = 0,
                            run_seed: int = 1000, engine: str = "scan",
                            rng_impl: str = "threefry", dtype=None,
-                           max_steps=None):
+                           max_steps=None, mmoments=None, taucps=None,
+                           cell_rs=None, d_scales=None):
     """Multi-trial ensemble partitioned across hosts over DCN.
 
     Trials [0, n_trials) are split into contiguous blocks, one per
@@ -169,6 +170,13 @@ def run_ensemble_multihost(params, n_trials: int, base_seed: int = 0,
     (the reference's PBS-resubmission workflow, T2_GPU_sim.cu:45, as one
     SPMD program).
 
+    ``mmoments`` / ``taucps`` / ``cell_rs`` / ``d_scales`` (each len
+    n_trials) are the per-trial sweep axes of
+    :func:`ensemble.run_ensemble`: each process receives its contiguous
+    slice, so a parameter sweep partitions across hosts exactly like a
+    plain ensemble (trial i keeps ITS value regardless of the
+    partition).
+
     Every process returns the same (times_ms, sum_cos [n_trials, n],
     sum_sin [n_trials, n]).
     """
@@ -177,11 +185,19 @@ def run_ensemble_multihost(params, n_trials: int, base_seed: int = 0,
     from . import ensemble
 
     dtype = dtype or jnp.float32
+    for name, vals in (("mmoments", mmoments), ("taucps", taucps),
+                       ("cell_rs", cell_rs), ("d_scales", d_scales)):
+        if vals is not None and len(vals) != n_trials:
+            raise ValueError(f"{name} must have one value per trial "
+                             f"([{n_trials}]), got {len(vals)}")
     pid, n_proc = jax.process_index(), jax.process_count()
     counts = [n_trials // n_proc + (i < n_trials % n_proc)
               for i in range(n_proc)]
     lo = sum(counts[:pid])
     mine = counts[pid]
+
+    def my_slice(vals):
+        return None if vals is None else list(vals[lo:lo + mine])
 
     total = params.t if max_steps is None else min(params.t, max_steps)
     n_windows = (total // params.sprint_steps) * \
@@ -193,7 +209,9 @@ def run_ensemble_multihost(params, n_trials: int, base_seed: int = 0,
             params, mine, mesh=local_trial_mesh(mine),
             base_seed=base_seed + lo, run_seed=run_seed + lo,
             engine=engine, rng_impl=rng_impl, dtype=dtype,
-            max_steps=max_steps)
+            max_steps=max_steps, mmoments=my_slice(mmoments),
+            taucps=my_slice(taucps), cell_rs=my_slice(cell_rs),
+            d_scales=my_slice(d_scales))
         local[:mine, :, 0] = cos
         local[:mine, :, 1] = sin
     # every process (including trial-less ones) derives the same axis
@@ -272,10 +290,16 @@ def _dryrun(num_processes: int, process_id: int, coordinator: str,
 
     # ensemble partitioning over DCN: 3 trials split 2+1 across the two
     # processes must reproduce the same per-trial curves (same seeds) as
-    # one process running all 3 trials on a single local device
+    # one process running all 3 trials on a single local device.  The
+    # trials carry per-trial sweep values (taucp + diffusion scale), so
+    # this also proves a parameter sweep is partition-invariant: trial i
+    # keeps ITS value no matter which host runs it.
     n_tr = 3
+    taucps = [0.0001, 0.0002, 0.0001]
+    dss = [1.0, 0.25, 0.5]
     _, cos_mh, sin_mh = run_ensemble_multihost(
-        p, n_tr, base_seed=11, run_seed=7, max_steps=p.sprint_steps)
+        p, n_tr, base_seed=11, run_seed=7, max_steps=p.sprint_steps,
+        taucps=taucps, d_scales=dss)
     from jax.sharding import Mesh
     from . import ensemble
     mesh1 = Mesh(np.asarray(jax.local_devices()[:1]),
@@ -285,7 +309,7 @@ def _dryrun(num_processes: int, process_id: int, coordinator: str,
         _w.simplefilter("ignore")   # 3 trials on 1 device: no padding
         _, cos_1p, sin_1p, _ = ensemble.run_ensemble(
             p, n_tr, mesh=mesh1, base_seed=11, run_seed=7,
-            max_steps=p.sprint_steps)
+            max_steps=p.sprint_steps, taucps=taucps, d_scales=dss)
     np.testing.assert_allclose(cos_mh, cos_1p, atol=1e-3)
     np.testing.assert_allclose(sin_mh, sin_1p, atol=1e-3)
 
