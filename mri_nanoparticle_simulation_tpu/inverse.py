@@ -458,29 +458,69 @@ def main(argv=None) -> int:
     ap.add_argument("--scene-seed", type=int, default=1)
     ap.add_argument("--seed", type=int, default=2,
                     help="simulation RNG seed (shared by target and fit)")
-    ap.add_argument("--method", choices=["ad", "decompose"], default="ad",
+    ap.add_argument("--method", choices=["ad", "decompose", "crn"],
+                    default="ad",
                     help="'ad': reverse-mode AD through the simulator "
                          "(general); 'decompose': one forward "
                          "phase-decomposition run + closed-form fit "
-                         "(exact for the moment axis, production-fast)")
+                         "(exact for the moment axis, production-fast); "
+                         "'crn': derivative-free golden-section with "
+                         "common random numbers on the production "
+                         "Pallas kernel (the production path for the "
+                         "D axis)")
+    ap.add_argument("--axis", choices=["moment", "D"], default="moment",
+                    help="which physical parameter to recover: the "
+                         "nanoparticle moment (default) or the global "
+                         "diffusion-coefficient scale (ADC)")
     args = ap.parse_args(argv)
     if not args.true_scale > 0 or not args.init_scale > 0:
         ap.error("scales must be > 0")
+    if args.axis == "D":
+        if args.method == "decompose":
+            ap.error("no decomposition shortcut exists for the D axis "
+                     "(diffusion BENDS trajectories); use 'ad' or 'crn'")
+        if not args.true_scale <= 1.0:
+            ap.error("--axis D fits within the certified bracket "
+                     "(0, 1]: size the params' D to the bracket top "
+                     "(see inverse.make_diffusion_curve_fn)")
+    elif args.method == "crn":
+        ap.error("'crn' searches the d_scale launch scalar; use it "
+                 "with --axis D (the moment axis has the exact "
+                 "'decompose' shortcut instead)")
 
     # ~20x the tiny-test moment: deep intra-window dephasing gives the
     # fit a strong signal (at 3.5e-15 the curve barely decays)
-    p = small_test_params(num_water=args.num_water, mmoment=2e-14)
+    p = small_test_params(num_water=args.num_water,
+                          mmoment=2e-14 if args.axis == "moment" else 5e-14)
     sc = BacteriaBox(p, seed=args.scene_seed).populate()
-    curve = make_curve_fn(p, sc, seed=args.seed)
+    if args.axis == "D":
+        curve = make_diffusion_curve_fn(p, sc, seed=args.seed)
+    else:
+        curve = make_curve_fn(p, sc, seed=args.seed)
     target = np.asarray(curve(args.true_scale))
     print(f"target: {len(target)} windows, final m = {target[-1]:.4f} "
-          f"(hidden scale {args.true_scale})")
+          f"(hidden {args.axis} scale {args.true_scale})")
     if args.method == "decompose":
         from .engine.decompose import run_decomposition
         rec = run_decomposition(sc, p, seed=args.seed, engine="scan")
         fit = fit_moment_scale_decomposed(
             target, rec.A, rec.B, mmoment=p.mmoment,
             init_scale=args.init_scale, iters=args.iters, lr=args.lr)
+    elif args.method == "crn":
+        # production engine on a chip; the scan engine elsewhere (a
+        # Pallas kernel only lowers on TPU, and the demo must run
+        # anywhere — the fit contract is engine-independent)
+        import jax
+        eng = ("pallas" if any(d.platform == "tpu"
+                               for d in jax.devices()) else "scan")
+        fit = fit_diffusion_scale_crn(
+            target, p, sc, seed=args.seed,
+            bracket=(max(0.05, args.true_scale / 5), 1.0),
+            iters=args.iters, engine=eng)
+    elif args.axis == "D":
+        fit = fit_diffusion_scale(target, p, sc, seed=args.seed,
+                                  init_scale=args.init_scale,
+                                  iters=args.iters, lr=args.lr)
     else:
         fit = fit_moment_scale(target, p, sc, seed=args.seed,
                                init_scale=args.init_scale, iters=args.iters,

@@ -162,3 +162,23 @@ class TestDiffusionRecoveryCRN:
                                         bracket=(1.0, 0.5))
         with pytest.raises(ValueError, match="one value per output"):
             inv.fit_diffusion_scale_crn(np.zeros(3), p, sc)
+
+    def test_cli_d_axis_crn(self, capsys):
+        assert inv.main(["--num-water", "64", "--axis", "D",
+                         "--method", "crn", "--true-scale", "0.6",
+                         "--iters", "20"]) == 0
+        out = capsys.readouterr().out
+        assert "hidden D scale" in out
+
+    def test_cli_d_axis_ad(self, capsys):
+        assert inv.main(["--num-water", "64", "--axis", "D",
+                         "--true-scale", "0.6", "--iters", "60"]) == 0
+        assert "recovered scale" in capsys.readouterr().out
+
+    def test_cli_rejects_bad_combinations(self):
+        with pytest.raises(SystemExit):
+            inv.main(["--axis", "D", "--method", "decompose"])
+        with pytest.raises(SystemExit):
+            inv.main(["--axis", "moment", "--method", "crn"])
+        with pytest.raises(SystemExit):
+            inv.main(["--axis", "D", "--true-scale", "1.5"])
