@@ -560,6 +560,12 @@ def main(argv=None):
                          "README.md:13)")
     ap.add_argument("--sweep-values", default=None, metavar="V1,V2,...",
                     help="comma-separated values for --sweep")
+    ap.add_argument("--paired", action="store_true",
+                    help="with --sweep: give trial k of every value the "
+                         "same scene and the same RNG stream (common "
+                         "random numbers), so differences along the "
+                         "sweep axis are the knob's effect alone — "
+                         "Monte-Carlo noise cancels in contrasts")
     ap.add_argument("--trials-per-value", type=int, default=1,
                     help="independent trials averaged per sweep value")
     ap.add_argument("--moment-scales", default=None, metavar="S1,S2,...",
@@ -724,6 +730,9 @@ def main(argv=None):
         cli_rng = pallas_engine.RNG_HARDWARE if args.engine == "pallas" \
             else pallas_engine.RNG_THREEFRY
 
+    if args.paired and not args.sweep:
+        ap.error("--paired is a --sweep modifier (common random numbers "
+                 "across sweep values)")
     if args.sweep:
         if not args.sweep_values:
             ap.error("--sweep requires --sweep-values")
@@ -763,7 +772,7 @@ def main(argv=None):
             times, curves = ens.run_parameter_sweep(
                 params, name, values, n_trials_each=args.trials_per_value,
                 base_seed=args.scene_seed, run_seed=args.seed + 1000,
-                engine=args.engine, rng_impl=cli_rng)
+                engine=args.engine, rng_impl=cli_rng, paired=args.paired)
         wall = time.perf_counter() - t0
         import os
         stem, ext = os.path.splitext(csv_path)

@@ -40,15 +40,20 @@ def window_times(params: Params, n_windows: int) -> np.ndarray:
 
 def build_trial_scenes(params: Params, n_trials: int, base_seed: int = 0,
                        mmoments: Optional[Sequence[float]] = None,
-                       cell_rs: Optional[Sequence[float]] = None):
+                       cell_rs: Optional[Sequence[float]] = None,
+                       scene_seeds: Optional[Sequence[int]] = None):
     """Build T scenes -> stacked (mnp_pos [T,N,3], mnp_M [T,N],
     waters [T,W,3]).  ``mmoments`` (len T) sweeps the per-cell moment;
     ``cell_rs`` (len T) sweeps the cell radius (a geometry knob: each
-    trial's scene is built with its own radius)."""
+    trial's scene is built with its own radius).  ``scene_seeds``
+    (len T) overrides the default ``base_seed + i`` per-trial seeds —
+    repeated seeds give trials the SAME scene (paired sweeps)."""
     trial_params = [params if cell_rs is None
                     else params.replace(cell_r=float(cell_rs[i]))
                     for i in range(n_trials)]
-    scenes = [BacteriaBox(trial_params[i], seed=base_seed + i).populate()
+    seeds = ([base_seed + i for i in range(n_trials)]
+             if scene_seeds is None else list(scene_seeds))
+    scenes = [BacteriaBox(trial_params[i], seed=seeds[i]).populate()
               for i in range(n_trials)]
     n_max = max(s.mnps.shape[0] for s in scenes)
     pos = np.full((n_trials, n_max, 3), 1e6)
@@ -179,6 +184,8 @@ def run_ensemble(params: Params, n_trials: int,
                  taucps: Optional[Sequence[float]] = None,
                  cell_rs: Optional[Sequence[float]] = None,
                  d_scales: Optional[Sequence[float]] = None,
+                 scene_seeds: Optional[Sequence[int]] = None,
+                 run_seeds: Optional[Sequence[int]] = None,
                  dtype=jnp.float32, max_steps: Optional[int] = None,
                  engine: str = "scan",
                  rng_impl: str = pallas_engine.RNG_THREEFRY,
@@ -199,8 +206,21 @@ def run_ensemble(params: Params, n_trials: int,
     pfreq (checked here, like Params.validate does for the static knob).
     d_scales > 1 walk farther per chunk, so the near-list coverage is
     validated against the SCALED diffusion coefficients per trial.
+
+    ``scene_seeds`` / ``run_seeds`` (each len T) override the default
+    ``base_seed + i`` / ``run_seed + i`` per-trial seeds.  Repeating a
+    seed across trials gives them the same scene and the same RNG
+    stream — PAIRED sweeps: two trials differing only in a swept knob
+    see identical scenes and identical random draws, so their curve
+    difference is the knob's effect alone, with the Monte-Carlo noise
+    common-mode cancelled (run_parameter_sweep(paired=True)).
     """
     params.validate()
+    for name, vals in (("scene_seeds", scene_seeds),
+                       ("run_seeds", run_seeds)):
+        if vals is not None and len(vals) != n_trials:
+            raise ValueError(f"{name} must have one value per trial "
+                             f"([{n_trials}]), got {len(vals)}")
     if taucps is not None:
         for v in taucps:
             params.replace(taucp=float(v)).validate()
@@ -232,8 +252,11 @@ def run_ensemble(params: Params, n_trials: int,
     taucps = pad_vals(taucps)
     cell_rs = pad_vals(cell_rs)
     d_scales = pad_vals(d_scales)
+    scene_seeds = pad_vals(scene_seeds)
+    run_seeds = pad_vals(run_seeds)
     mnp_pos, mnp_M, waters, scenes = build_trial_scenes(
-        params, n_padded, base_seed, mmoments, cell_rs)
+        params, n_padded, base_seed, mmoments, cell_rs,
+        scene_seeds=scene_seeds)
     if check_coverage:
         from ..fields import expansion
         for i, s in enumerate(scenes[:n_trials]):
@@ -247,14 +270,17 @@ def run_ensemble(params: Params, n_trials: int,
             worst = expansion.validate_near_k(s.mnps[:, :3], p_i,
                                               n_probe=20_000)
             if worst > params.near_k:
+                seed_i = (base_seed + i if scene_seeds is None
+                          else scene_seeds[i])
                 raise ValueError(
-                    f"trial {i} (scene seed {base_seed + i}) requires "
+                    f"trial {i} (scene seed {seed_i}) requires "
                     f"near_k >= {worst} (configured {params.near_k}); "
                     f"raise near_k or lower chunk_steps")
 
     keys = []
     for i in range(n_padded):
-        k = rng.key_from_seed(run_seed + i)
+        k = rng.key_from_seed(run_seed + i if run_seeds is None
+                              else int(run_seeds[i]))
         keys.append([np.uint32(k[0]), np.uint32(k[1])])
     keys = jnp.asarray(keys)
 
@@ -307,7 +333,7 @@ def run_parameter_sweep(base_params: Params, name: str, values,
                         run_seed: int = 1000, dtype=jnp.float32,
                         max_steps=None, engine: str = "scan",
                         rng_impl: str = pallas_engine.RNG_THREEFRY,
-                        interpret: bool = False):
+                        interpret: bool = False, paired: bool = False):
     """Sweep any Params field (e.g. cell_r, taucp, mmoment) across runs.
 
     ``mmoment``, ``taucp``, ``cell_r``, and ``D`` sweeps share ONE
@@ -322,12 +348,28 @@ def run_parameter_sweep(base_params: Params, name: str, values,
     placement (cell_r rebuilds scenes too — per *trial* — but without
     recompiling).
 
+    ``paired=True`` gives trial k of EVERY value the same scene seed
+    (``base_seed + k``) and the same RNG stream (``run_seed + k``):
+    common random numbers across the sweep axis, so the difference
+    between two values' curves is the knob's effect alone — the
+    Monte-Carlo noise is common-mode and cancels in contrasts (the
+    default, ``paired=False``, keeps every trial independent, which is
+    what you want for an unbiased ensemble average but wastes variance
+    when the question is a CONTRAST along the axis).  For geometry
+    knobs (cell_r) pairing means the same throw sequence: scenes share
+    their cell placement pattern at each trial index.
+
     Returns (times_ms, curves [len(values), n_trials_each, n_windows]).
     """
     if name in ("mmoment", "taucp", "cell_r", "D"):
         key = {"mmoment": "mmoments", "taucp": "taucps",
                "cell_r": "cell_rs", "D": "d_scales"}[name]
         per_trial = {key: [v for v in values for _ in range(n_trials_each)]}
+        if paired:
+            per_trial["scene_seeds"] = [base_seed + k for _ in values
+                                        for k in range(n_trials_each)]
+            per_trial["run_seeds"] = [run_seed + k for _ in values
+                                     for k in range(n_trials_each)]
         times, cos, _, _ = run_ensemble(
             base_params, n_trials=len(values) * n_trials_each,
             base_seed=base_seed, run_seed=run_seed, **per_trial,
@@ -341,7 +383,8 @@ def run_parameter_sweep(base_params: Params, name: str, values,
         p = base_params.replace(**{name: v}).validate()
         times, cos, _, _ = run_ensemble(
             p, n_trials=n_trials_each, base_seed=base_seed,
-            run_seed=run_seed + i * 10000, dtype=dtype,
+            run_seed=run_seed if paired else run_seed + i * 10000,
+            dtype=dtype,
             max_steps=max_steps, engine=engine, rng_impl=rng_impl,
             interpret=interpret)
         curves.append(cos)

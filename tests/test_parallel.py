@@ -187,6 +187,46 @@ class TestSweep:
                 sc, pv, seed=1000 + i, interpret=True)
             np.testing.assert_allclose(curves[i, 0], c2, atol=1e-4)
 
+    def test_paired_sweep_shares_scene_and_stream(self):
+        """paired=True: trial k of every value gets scene seed
+        base_seed+k and run seed run_seed+k.  Two identical sweep
+        values must then produce BITWISE-identical curves (same scene,
+        same draws, same knob) — while the default independent sweep
+        gives them different scenes and streams."""
+        p = P.small_test_params(num_water=32, totaltime=0.0005,
+                                sprint_steps=500)
+        _, paired = ensemble.run_parameter_sweep(
+            p, "D", [0.5, 0.5], n_trials_each=1, paired=True)
+        np.testing.assert_array_equal(paired[0], paired[1])
+        _, indep = ensemble.run_parameter_sweep(
+            p, "D", [0.5, 0.5], n_trials_each=1)
+        assert not np.array_equal(indep[0], indep[1])
+
+    def test_paired_sweep_matches_static_oracle(self):
+        """Every paired trial still equals a statically-built run on
+        the SHARED scene seed (seed pairing changes which scene each
+        trial sees, not the physics)."""
+        p = P.small_test_params(num_water=32, totaltime=0.0005,
+                                sprint_steps=500)
+        vals = [1.0, 0.25]
+        _, curves = ensemble.run_parameter_sweep(
+            p, "D", vals, n_trials_each=1, paired=True, base_seed=7,
+            run_seed=1000)
+        sc = BacteriaBox(p, seed=7).populate()  # shared by BOTH values
+        for i, v in enumerate(vals):
+            pv = p.replace(D_cell=p.D_cell * v,
+                           D_extra=p.D_extra * v).validate()
+            _, c2, _, _ = re.run_simulation(sc, pv, seed=1000)
+            np.testing.assert_allclose(curves[i, 0], c2, atol=1e-4)
+
+    def test_seed_override_length_validated(self):
+        p = P.small_test_params(num_water=16, totaltime=0.0002,
+                                sprint_steps=200)
+        with pytest.raises(ValueError, match="scene_seeds"):
+            ensemble.run_ensemble(p, n_trials=2, scene_seeds=[1])
+        with pytest.raises(ValueError, match="run_seeds"):
+            ensemble.run_ensemble(p, n_trials=2, run_seeds=[1, 2, 3])
+
     def test_invalid_d_scale_rejected(self):
         p = P.small_test_params(num_water=16, totaltime=0.0002,
                                 sprint_steps=200)

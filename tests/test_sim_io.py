@@ -243,6 +243,34 @@ class TestCliSweep:
             sim.main(["--sweep", "D", "--sweep-values", "1,-0.5",
                       "--out", str(tmp_path / "x.csv")])
 
+    def test_paired_sweep_identical_values_identical_csvs(self, tmp_path):
+        """--paired: common random numbers across sweep values.  In a
+        paired taucp sweep the first output window ends before either
+        value's phases have been flipped, so the two CSVs must share
+        that row's sum bitwise (same scene, same draws)."""
+        out = str(tmp_path / "p.csv")
+        rc = sim.main(["--num-water", "32", "--num-cells", "8",
+                       "--totaltime", "0.002", "--sprint-steps", "1000",
+                       "--chunk-steps", "100", "--near-k", "6",
+                       "--taucp", "0.001", "--hash-dim", "8",
+                       "--engine", "scan", "--paired",
+                       "--sweep", "taucp",
+                       "--sweep-values", "0.001,0.002",
+                       "--out", out])
+        assert rc == 0
+        d1 = np.loadtxt(str(tmp_path / "p_taucp=0.001.csv"),
+                        delimiter=",")
+        d2 = np.loadtxt(str(tmp_path / "p_taucp=0.002.csv"),
+                        delimiter=",")
+        # window 1 (t=0.001 ms) ends exactly AT the first echo of
+        # taucp=0.001 and before any echo of taucp=0.002; phases only
+        # FLIP after the window sum, so paired trials share it bitwise
+        assert d1[0, 1] == d2[0, 1]
+
+    def test_paired_requires_sweep(self, tmp_path):
+        with pytest.raises(SystemExit):
+            sim.main(["--paired", "--out", str(tmp_path / "x.csv")])
+
 
 class TestCliMomentScales:
     # mmoment is boosted 1e4x so the 2-window curve visibly dephases
