@@ -72,12 +72,13 @@ def _wrap_compiled(compiled):
     that (args, kwargs) structure exactly, so runtime overrides are
     rejected rather than silently mis-bound."""
     def sprint(mnp_pos, mnp_M, key_arr, ps, lane_offset,
-               cache=None, tcp=None, cell_r=None):
-        if cache is not None or tcp is not None or cell_r is not None:
+               cache=None, tcp=None, cell_r=None, d_scale=None):
+        if cache is not None or tcp is not None or cell_r is not None \
+                or d_scale is not None:
             raise ValueError("AOT sprint supports the plain production "
                              "call only")
         return compiled(mnp_pos, mnp_M, key_arr, ps, lane_offset,
-                        cache=None, tcp=None, cell_r=None)
+                        cache=None, tcp=None, cell_r=None, d_scale=None)
     return sprint
 
 
@@ -106,7 +107,8 @@ def compile_and_save(jit_sprint, params: Params, num_water: int,
     n_mnp = int(example_args[0].shape[0])
     try:
         lowered = jit_sprint.lower(*example_args,
-                                   cache=None, tcp=None, cell_r=None)
+                                   cache=None, tcp=None, cell_r=None,
+                                   d_scale=None)
         compiled = lowered.compile()
         from jax.experimental.serialize_executable import serialize
         payload, in_tree, out_tree = serialize(compiled)

@@ -560,6 +560,14 @@ def main(argv=None):
                          "README.md:13)")
     ap.add_argument("--sweep-values", default=None, metavar="V1,V2,...",
                     help="comma-separated values for --sweep")
+    ap.add_argument("--fit-t2", default=None, metavar="PATH",
+                    help="with --sweep: fit each value's mean curve "
+                         "(spin-echo envelope at its taucp) and write "
+                         "the dispersion table "
+                         "KNOB,r2_per_ms,t2_ms,r_squared,n_echoes to "
+                         "PATH — e.g. R2(D) from --sweep D, or R2(taucp) "
+                         "by fresh simulation (--echo-taucps + --fit-r2 "
+                         "gets the same axis from ONE run)")
     ap.add_argument("--paired", action="store_true",
                     help="with --sweep: give trial k of every value the "
                          "same scene and the same RNG stream (common "
@@ -733,6 +741,10 @@ def main(argv=None):
     if args.paired and not args.sweep:
         ap.error("--paired is a --sweep modifier (common random numbers "
                  "across sweep values)")
+    if args.fit_t2 and not args.sweep:
+        ap.error("--fit-t2 is the dispersion over the --sweep axis; "
+                 "pass the knob and values to sweep (the echo axis has "
+                 "--echo-taucps + --fit-r2)")
     if args.sweep:
         if not args.sweep_values:
             ap.error("--sweep requires --sweep-values")
@@ -776,16 +788,39 @@ def main(argv=None):
         wall = time.perf_counter() - t0
         import os
         stem, ext = os.path.splitext(csv_path)
+        fit_rows = []
         for v, cv in zip(values, curves):
-            pv = (params.replace(D_cell=params.D_cell * v,
-                                 D_extra=params.D_extra * v)
-                  if name == "D" else params.replace(**{name: v})).validate()
+            pv = (params.scale_D(v) if name == "D"
+                  else params.replace(**{name: v})).validate()
             path = f"{stem}_{name}={v:g}{ext or '.csv'}"
             mean = cv.mean(axis=0)
             with writer_mod.T2CsvWriter(path, pv, quadrature=False) as w:
                 w.append_windows(0, np.stack([mean,
                                               np.zeros_like(mean)], -1))
             print(f"  {name}={v:g}: wrote {path}", file=sys.stderr)
+            if args.fit_t2:
+                # each value's spin-echo envelope fitted at ITS echo
+                # spacing (pv.taucp follows a taucp sweep's value)
+                from .. import analysis
+                try:
+                    te, me = analysis.sample_at_echoes(times, mean,
+                                                       pv.taucp)
+                    fit = analysis.fit_t2(te, me)
+                    fit_rows.append((v, 1.0 / fit.t2_ms, fit.t2_ms,
+                                     fit.r_squared, fit.n_used))
+                except ValueError as e:
+                    print(f"  fit-t2: {name}={v:g} unfittable ({e})",
+                          file=sys.stderr)
+                    fit_rows.append((v, float("nan"), float("nan"),
+                                     float("nan"), 0))
+        if args.fit_t2:
+            with open(args.fit_t2, "w") as f:
+                f.write(f"{name},r2_per_ms,t2_ms,r_squared,n_echoes\n")
+                for row in fit_rows:
+                    f.write(f"{row[0]:g},{row[1]},{row[2]},{row[3]},"
+                            f"{row[4]}\n")
+            print(f"Sweep dispersion table written: {args.fit_t2}",
+                  file=sys.stderr)
         n_runs = len(values) * args.trials_per_value
         rate = n_runs * params.t * params.num_water / wall
         print(f"Sweep complete: {len(values)} values x "

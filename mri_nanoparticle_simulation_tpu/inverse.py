@@ -493,7 +493,20 @@ def main(argv=None) -> int:
     p = small_test_params(num_water=args.num_water,
                           mmoment=2e-14 if args.axis == "moment" else 5e-14)
     sc = BacteriaBox(p, seed=args.scene_seed).populate()
-    if args.axis == "D":
+    if args.method == "crn":
+        # production engine on a chip; the scan engine elsewhere (a
+        # Pallas kernel only lowers on TPU, and the demo must run
+        # anywhere).  The TARGET comes from the SAME engine as the fit:
+        # the engines fold sqrt(d_scale) in different multiply orders,
+        # so a cross-engine target at a non-power-of-two scale would
+        # put a trajectory-divergence noise floor under the CRN loss —
+        # exactly the premise ('deterministic, zero at truth') the fit
+        # rests on.
+        import jax
+        eng = ("pallas" if any(d.platform == "tpu"
+                               for d in jax.devices()) else "scan")
+        curve = make_engine_curve_fn(p, sc, seed=args.seed, engine=eng)
+    elif args.axis == "D":
         curve = make_diffusion_curve_fn(p, sc, seed=args.seed)
     else:
         curve = make_curve_fn(p, sc, seed=args.seed)
@@ -507,15 +520,12 @@ def main(argv=None) -> int:
             target, rec.A, rec.B, mmoment=p.mmoment,
             init_scale=args.init_scale, iters=args.iters, lr=args.lr)
     elif args.method == "crn":
-        # production engine on a chip; the scan engine elsewhere (a
-        # Pallas kernel only lowers on TPU, and the demo must run
-        # anywhere — the fit contract is engine-independent)
-        import jax
-        eng = ("pallas" if any(d.platform == "tpu"
-                               for d in jax.devices()) else "scan")
+        # bracket straddles the hidden truth: lo never above half of it
+        # (a truth below a fixed lo would silently converge to the
+        # bracket edge), hi at the certified 1.0
+        lo = min(max(0.05, args.true_scale / 5), args.true_scale / 2)
         fit = fit_diffusion_scale_crn(
-            target, p, sc, seed=args.seed,
-            bracket=(max(0.05, args.true_scale / 5), 1.0),
+            target, p, sc, seed=args.seed, bracket=(lo, 1.0),
             iters=args.iters, engine=eng)
     elif args.axis == "D":
         fit = fit_diffusion_scale(target, p, sc, seed=args.seed,

@@ -53,8 +53,16 @@ def build_trial_scenes(params: Params, n_trials: int, base_seed: int = 0,
                     for i in range(n_trials)]
     seeds = ([base_seed + i for i in range(n_trials)]
              if scene_seeds is None else list(scene_seeds))
-    scenes = [BacteriaBox(trial_params[i], seed=seeds[i]).populate()
-              for i in range(n_trials)]
+    # paired sweeps repeat (seed, geometry) across values: build each
+    # distinct scene once and share the object (scenes are read-only)
+    built = {}
+    scenes = []
+    for i in range(n_trials):
+        key = (seeds[i], trial_params[i].cell_r)
+        if key not in built:
+            built[key] = BacteriaBox(trial_params[i],
+                                     seed=seeds[i]).populate()
+        scenes.append(built[key])
     n_max = max(s.mnps.shape[0] for s in scenes)
     pos = np.full((n_trials, n_max, 3), 1e6)
     mom = np.zeros((n_trials, n_max))
@@ -233,8 +241,7 @@ def run_ensemble(params: Params, n_trials: int,
         for v in d_scales:
             if not float(v) > 0:
                 raise ValueError(f"d_scales must be > 0; got {v}")
-            params.replace(D_cell=params.D_cell * float(v),
-                           D_extra=params.D_extra * float(v)).validate()
+            params.scale_D(float(v)).validate()
     from ..params import FIELD_EXPANSION
     if params.field_mode != FIELD_EXPANSION:
         raise ValueError(
@@ -259,16 +266,20 @@ def run_ensemble(params: Params, n_trials: int,
         scene_seeds=scene_seeds)
     if check_coverage:
         from ..fields import expansion
+        validated = {}    # (scene, effective params) -> worst count;
+        # paired sweeps repeat both, so each distinct case runs once
         for i, s in enumerate(scenes[:n_trials]):
             p_i = params if cell_rs is None \
                 else params.replace(cell_r=float(cell_rs[i]))
             if d_scales is not None and float(d_scales[i]) > 1:
                 # the chunk-travel bound scales with sqrt(D): validate
                 # the near-list coverage at the trial's actual reach
-                p_i = p_i.replace(D_cell=p_i.D_cell * float(d_scales[i]),
-                                  D_extra=p_i.D_extra * float(d_scales[i]))
-            worst = expansion.validate_near_k(s.mnps[:, :3], p_i,
-                                              n_probe=20_000)
+                p_i = p_i.scale_D(float(d_scales[i]))
+            vkey = (id(s), p_i)
+            if vkey not in validated:
+                validated[vkey] = expansion.validate_near_k(
+                    s.mnps[:, :3], p_i, n_probe=20_000)
+            worst = validated[vkey]
             if worst > params.near_k:
                 seed_i = (base_seed + i if scene_seeds is None
                           else scene_seeds[i])

@@ -242,6 +242,15 @@ class Params:
     def replace(self, **kw) -> "Params":
         return dataclasses.replace(self, **kw)
 
+    def scale_D(self, v: float) -> "Params":
+        """The global diffusion axis: scale D_cell AND D_extra together
+        by ``v`` (the semantics of the engines' d_scale launch scalar,
+        the --sweep D axis, and ensemble d_scales — defined HERE once
+        so validation, coverage re-checks and CSV metadata cannot
+        drift apart)."""
+        return self.replace(D_cell=self.D_cell * v,
+                            D_extra=self.D_extra * v)
+
     def validate(self) -> "Params":
         if self.sprint_steps % self.pfreq != 0:
             raise ValueError(

@@ -170,6 +170,14 @@ class TestDiffusionRecoveryCRN:
         out = capsys.readouterr().out
         assert "hidden D scale" in out
 
+    def test_cli_d_axis_crn_low_truth(self, capsys):
+        """A hidden scale below the old fixed 0.05 bracket floor: the
+        bracket must widen to straddle it (converging to the bracket
+        edge and reporting ~0.05 was the failure mode)."""
+        assert inv.main(["--num-water", "64", "--axis", "D",
+                         "--method", "crn", "--true-scale", "0.03",
+                         "--iters", "22"]) == 0
+
     def test_cli_d_axis_ad(self, capsys):
         assert inv.main(["--num-water", "64", "--axis", "D",
                          "--true-scale", "0.6", "--iters", "60"]) == 0

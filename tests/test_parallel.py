@@ -219,6 +219,18 @@ class TestSweep:
             _, c2, _, _ = re.run_simulation(sc, pv, seed=1000)
             np.testing.assert_allclose(curves[i, 0], c2, atol=1e-4)
 
+    def test_paired_sweep_builds_each_scene_once(self):
+        """Repeated (seed, geometry) across values share ONE scene
+        object and one coverage validation (paired sweeps would
+        otherwise rebuild and re-validate per value)."""
+        p = P.small_test_params(num_water=16, totaltime=0.0002,
+                                sprint_steps=200)
+        _, _, _, scenes = ensemble.build_trial_scenes(
+            p, 4, scene_seeds=[0, 1, 0, 1])
+        assert scenes[0] is scenes[2]
+        assert scenes[1] is scenes[3]
+        assert scenes[0] is not scenes[1]
+
     def test_seed_override_length_validated(self):
         p = P.small_test_params(num_water=16, totaltime=0.0002,
                                 sprint_steps=200)

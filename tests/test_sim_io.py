@@ -271,6 +271,31 @@ class TestCliSweep:
         with pytest.raises(SystemExit):
             sim.main(["--paired", "--out", str(tmp_path / "x.csv")])
 
+    def test_fit_t2_writes_dispersion_table(self, tmp_path):
+        """--fit-t2 with --sweep: one table row per swept value (this
+        2-window test curve has too few echoes to fit, so the rows
+        carry the documented nan sentinel — the real fit is pinned by
+        tests/test_analysis.py on synthetic decays)."""
+        out = str(tmp_path / "s.csv")
+        table = str(tmp_path / "disp.csv")
+        rc = sim.main(["--num-water", "32", "--num-cells", "8",
+                       "--totaltime", "0.002", "--sprint-steps", "1000",
+                       "--chunk-steps", "100", "--near-k", "6",
+                       "--taucp", "0.001", "--hash-dim", "8",
+                       "--engine", "scan",
+                       "--sweep", "D", "--sweep-values", "1,0.25",
+                       "--fit-t2", table, "--out", out])
+        assert rc == 0
+        lines = open(table).read().strip().splitlines()
+        assert lines[0] == "D,r2_per_ms,t2_ms,r_squared,n_echoes"
+        assert len(lines) == 3
+        assert lines[1].startswith("1,") and lines[2].startswith("0.25,")
+
+    def test_fit_t2_requires_sweep(self, tmp_path):
+        with pytest.raises(SystemExit):
+            sim.main(["--fit-t2", str(tmp_path / "t.csv"),
+                      "--out", str(tmp_path / "x.csv")])
+
 
 class TestCliMomentScales:
     # mmoment is boosted 1e4x so the 2-window curve visibly dephases
@@ -563,6 +588,25 @@ class TestAotWarmStart:
         with open(aot._path(key), "wb") as f:
             f.write(b"not a pickle")
         assert aot.load_sprint(p, 64, 100, jnp.float32, "hardware") is None
+
+    def test_wrapper_rejects_every_runtime_override(self):
+        """The AOT guard's checklist must cover EVERY sprint override
+        (an uncovered kwarg would surface as a raw TypeError or a
+        silent mis-binding instead of the clean rejection)."""
+        import inspect
+
+        from mri_nanoparticle_simulation_tpu.engine import aot
+        sprint = aot._wrap_compiled(lambda *a, **k: "ran")
+        assert sprint(1, 2, 3, 4, 0) == "ran"
+        for kw in ("cache", "tcp", "cell_r", "d_scale"):
+            with pytest.raises(ValueError, match="plain production"):
+                sprint(1, 2, 3, 4, 0, **{kw: 1.0})
+        # the wrapper's signature must track the real sprint's
+        # overrides exactly (pallas_engine.make_sprint_fn's guarded())
+        wrap = inspect.signature(sprint).parameters
+        assert set(wrap) == {"mnp_pos", "mnp_M", "key_arr", "ps",
+                             "lane_offset", "cache", "tcp", "cell_r",
+                             "d_scale"}
 
     def test_runner_falls_back_on_cpu(self, p):
         """On backends whose executables can't be serialized (CPU),
