@@ -461,6 +461,12 @@ def main(argv=None):
     ap.add_argument("--impermeable", action="store_true",
                     help="reflectIO = reflectOI = 1")
     ap.add_argument("--engine", default="pallas", choices=ENGINES)
+    ap.add_argument("--walker-shards", type=int, default=1,
+                    metavar="N",
+                    help="with --ensemble/--sweep: shard each trial's "
+                         "walkers over N devices on a 2D "
+                         "(trials x walkers) mesh — the pod layout "
+                         "(single runs use --shard-walkers)")
     ap.add_argument("--shard-walkers", action="store_true",
                     help="shard walkers over ALL local devices "
                          "(jax.sharding.Mesh; window sums psum over "
@@ -722,9 +728,15 @@ def main(argv=None):
                  "timestamp, so the resumed rows would land in a NEW "
                  "file while the original keeps its untrimmed overhang")
     if args.shard_walkers and (args.sweep or args.ensemble > 1):
-        ap.error("--shard-walkers shards ONE population; ensembles/"
-                 "sweeps already parallelize over the device mesh "
-                 "per trial — drop one of the flags")
+        ap.error("--shard-walkers shards ONE population; for "
+                 "ensembles/sweeps use --walker-shards N (the 2D "
+                 "trials x walkers mesh)")
+    if args.walker_shards != 1:
+        if args.walker_shards < 1:
+            ap.error("--walker-shards must be >= 1")
+        if not (args.sweep or args.ensemble > 1):
+            ap.error("--walker-shards is the ensemble/sweep 2D-mesh "
+                     "knob; single runs shard with --shard-walkers")
     if args.scene_family != "bacteria" and (args.sweep or
                                             args.ensemble > 1):
         ap.error("--scene-family is a single-run feature (ensembles/"
@@ -784,7 +796,8 @@ def main(argv=None):
             times, curves = ens.run_parameter_sweep(
                 params, name, values, n_trials_each=args.trials_per_value,
                 base_seed=args.scene_seed, run_seed=args.seed + 1000,
-                engine=args.engine, rng_impl=cli_rng, paired=args.paired)
+                engine=args.engine, rng_impl=cli_rng, paired=args.paired,
+                walker_shards=args.walker_shards)
         wall = time.perf_counter() - t0
         import os
         stem, ext = os.path.splitext(csv_path)
@@ -839,7 +852,7 @@ def main(argv=None):
             times, cos, sin, _ = ens.run_ensemble(
                 params, n_trials=args.ensemble, base_seed=args.scene_seed,
                 run_seed=args.seed + 1000, engine=args.engine,
-                rng_impl=cli_rng)
+                rng_impl=cli_rng, walker_shards=args.walker_shards)
         wall = time.perf_counter() - t0
         with writer_mod.T2CsvWriter(csv_path, params,
                                     args.quadrature) as w:

@@ -148,6 +148,107 @@ def make_ensemble_pallas_sprint_fn(params: Params, mesh: Mesh,
     return jax.jit(sharded)
 
 
+def make_ensemble_sprint_fn_2d(params: Params, mesh: Mesh,
+                               dtype=jnp.float32):
+    """Trials x walker-sharding on ONE 2D mesh — the pod layout: trials
+    are embarrassingly parallel across one axis while each trial's
+    walkers shard over the other (ICI-adjacent) axis with a per-window
+    psum, composing parallel/sharding.py's exact-lane contract with the
+    ensemble layout.  Physics is bitwise per walker vs the single-device
+    run (global Threefry lanes); curves differ only by f32 summation
+    order.
+
+    sprint(mnp_pos [T,N,3], mnp_M [T,N], keys [T,2], states (leading T,
+           walker dims sharded), tcps [T], cell_rs [T], d_scales [T])
+        -> (states, wins [T, n_windows, 2] — per-trial GLOBAL sums)
+    """
+    from . import sharding
+    n_wshards = mesh.shape[sharding.WALKER_AXIS]
+    if params.num_water % n_wshards != 0:
+        raise ValueError(
+            f"num_water ({params.num_water}) must divide evenly over "
+            f"{n_wshards} walker shards")
+    local_w = params.num_water // n_wshards
+    local = reference_engine.make_sprint_fn(params, dtype)
+
+    def per_trial(mp, mm, key, st, tc, cr, ds):
+        widx = jax.lax.axis_index(sharding.WALKER_AXIS)
+        lane_offset = (widx * local_w).astype(jnp.uint32)
+        esc0, cov0 = st.escapes, st.coverage
+        new, wins = local(mp, mm, key, st, lane_offset,
+                          tcp=tc, cell_r=cr, d_scale=ds)
+        wins = jax.lax.psum(wins, sharding.WALKER_AXIS)
+        esc = jax.lax.psum(new.escapes - esc0,
+                           sharding.WALKER_AXIS) + esc0
+        cov = jax.lax.psum(new.coverage - cov0,
+                           sharding.WALKER_AXIS) + cov0
+        return new._replace(escapes=esc, coverage=cov), wins
+
+    vm = jax.vmap(per_trial)
+
+    tspec = P(TRIAL_AXIS)
+    trow = P(TRIAL_AXIS, sharding.WALKER_AXIS)
+    state_spec = reference_engine.WalkerState(
+        pos=trow, in_cell=trow, phase=trow, phase_comp=trow,
+        step=tspec, escapes=tspec, coverage=tspec)
+    sharded = jax.shard_map(
+        vm, mesh=mesh,
+        in_specs=(tspec, tspec, tspec, state_spec, tspec, tspec, tspec),
+        out_specs=(state_spec, tspec), check_vma=False)
+    return jax.jit(sharded)
+
+
+def make_ensemble_pallas_sprint_fn_2d(params: Params, mesh: Mesh,
+                                      dtype=jnp.float32,
+                                      rng_impl: str = pallas_engine.RNG_THREEFRY,
+                                      interpret: bool = False):
+    """The production engine on the 2D (trials x walkers) mesh: each
+    shard scans its local trials through a chunk kernel sized for its
+    LOCAL walkers (per-shard plane packing, sharding.to_planes_sharded
+    per trial), per-window psum over the walker axis."""
+    from . import sharding
+    n_wshards = mesh.shape[sharding.WALKER_AXIS]
+    if params.num_water % n_wshards != 0:
+        raise ValueError(
+            f"num_water ({params.num_water}) must divide evenly over "
+            f"{n_wshards} walker shards")
+    local_w = params.num_water // n_wshards
+    local = pallas_engine.make_sprint_fn(params, local_w, dtype,
+                                         rng_impl, interpret)
+
+    def shard_fn(mnp_pos, mnp_M, keys, planes, tcps, cell_rs, dscales):
+        widx = jax.lax.axis_index(sharding.WALKER_AXIS)
+        lane_offset = (widx * local_w).astype(jnp.uint32)
+
+        def body(_, xs):
+            mp, mm, key, ps, tc, cr, ds = xs
+            esc0, cov0 = ps.escapes, ps.coverage
+            new_ps, wins = local(mp, mm, key, ps, lane_offset,
+                                 tcp=tc, cell_r=cr, d_scale=ds)
+            wins = jax.lax.psum(wins, sharding.WALKER_AXIS)
+            esc = jax.lax.psum(new_ps.escapes - esc0,
+                               sharding.WALKER_AXIS) + esc0
+            cov = jax.lax.psum(new_ps.coverage - cov0,
+                               sharding.WALKER_AXIS) + cov0
+            return _, (new_ps._replace(escapes=esc, coverage=cov), wins)
+
+        _, (new_planes, wins) = jax.lax.scan(
+            body, 0, (mnp_pos, mnp_M, keys, planes, tcps, cell_rs,
+                      dscales))
+        return new_planes, wins
+
+    tspec = P(TRIAL_AXIS)
+    trow = P(TRIAL_AXIS, sharding.WALKER_AXIS)
+    planes_spec = pallas_engine.PlaneState(
+        px=trow, py=trow, pz=trow, in_cell=trow, phase=trow,
+        phase_comp=trow, step=tspec, escapes=tspec, coverage=tspec)
+    sharded = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(tspec, tspec, tspec, planes_spec, tspec, tspec, tspec),
+        out_specs=(planes_spec, tspec), check_vma=False)
+    return jax.jit(sharded)
+
+
 def _trial_mesh(n_trials: int, mesh: Optional[Mesh]):
     """Pick a trial mesh; returns (mesh, padded_n_trials).
 
@@ -185,6 +286,45 @@ def _trial_mesh(n_trials: int, mesh: Optional[Mesh]):
     return mesh, rounds * d
 
 
+def _trial_mesh_2d(n_trials: int, walker_shards: int,
+                   mesh: Optional[Mesh]):
+    """2D (trials x walkers) mesh; same right-sizing rule as
+    _trial_mesh applied to the trial axis with len(devices) //
+    walker_shards slots."""
+    from . import sharding
+    if mesh is not None:
+        if set(mesh.axis_names) != {TRIAL_AXIS, sharding.WALKER_AXIS}:
+            raise ValueError(
+                f"a walker-sharded ensemble mesh needs axes "
+                f"({TRIAL_AXIS!r}, {sharding.WALKER_AXIS!r}); got "
+                f"{mesh.axis_names}")
+        n_dev = mesh.shape[TRIAL_AXIS]
+        pad = (-n_trials) % n_dev
+        if pad:
+            warnings.warn(
+                f"n_trials={n_trials} does not divide over the given "
+                f"{n_dev}-trial-slot mesh; running {pad} extra padding "
+                f"trial(s).", stacklevel=3)
+        return mesh, n_trials + pad
+    devs = jax.devices()
+    if len(devs) % walker_shards != 0 or walker_shards > len(devs):
+        raise ValueError(
+            f"walker_shards ({walker_shards}) must divide the device "
+            f"count ({len(devs)})")
+    avail = len(devs) // walker_shards
+    rounds = -(-n_trials // avail)
+    d = -(-n_trials // rounds)
+    mesh = Mesh(np.asarray(devs[:d * walker_shards]).reshape(
+        d, walker_shards), (TRIAL_AXIS, sharding.WALKER_AXIS))
+    pad = rounds * d - n_trials
+    if pad:
+        warnings.warn(
+            f"n_trials={n_trials} pads to {rounds * d} on a right-sized "
+            f"{d}x{walker_shards} mesh ({pad} discarded padding "
+            f"trial(s)).", stacklevel=3)
+    return mesh, rounds * d
+
+
 def run_ensemble(params: Params, n_trials: int,
                  mesh: Optional[Mesh] = None, base_seed: int = 0,
                  run_seed: int = 1000,
@@ -194,6 +334,7 @@ def run_ensemble(params: Params, n_trials: int,
                  d_scales: Optional[Sequence[float]] = None,
                  scene_seeds: Optional[Sequence[int]] = None,
                  run_seeds: Optional[Sequence[int]] = None,
+                 walker_shards: int = 1,
                  dtype=jnp.float32, max_steps: Optional[int] = None,
                  engine: str = "scan",
                  rng_impl: str = pallas_engine.RNG_THREEFRY,
@@ -222,6 +363,12 @@ def run_ensemble(params: Params, n_trials: int,
     see identical scenes and identical random draws, so their curve
     difference is the knob's effect alone, with the Monte-Carlo noise
     common-mode cancelled (run_parameter_sweep(paired=True)).
+
+    ``walker_shards`` > 1 runs each trial's walkers sharded over that
+    many devices on a 2D (trials x walkers) mesh — the pod layout:
+    trials across one axis, per-trial psum over the other.  Per-walker
+    physics stays bitwise-identical to the single-device run (global
+    Threefry lanes).
     """
     params.validate()
     for name, vals in (("scene_seeds", scene_seeds),
@@ -248,7 +395,10 @@ def run_ensemble(params: Params, n_trials: int,
             f"ensembles run the expansion field backend; field_mode="
             f"{params.field_mode!r} is only wired into single-scene "
             f"SimulationRunner/scan runs")
-    mesh, n_padded = _trial_mesh(n_trials, mesh)
+    if walker_shards > 1:
+        mesh, n_padded = _trial_mesh_2d(n_trials, walker_shards, mesh)
+    else:
+        mesh, n_padded = _trial_mesh(n_trials, mesh)
 
     def pad_vals(vals):
         if vals is not None and n_padded > n_trials:
@@ -298,14 +448,25 @@ def run_ensemble(params: Params, n_trials: int,
     states = [reference_engine.init_state(waters[i], params, dtype)
               for i in range(n_padded)]
     if engine == "pallas":
-        state = jax.tree.map(
-            lambda *xs: jnp.stack(xs),
-            *[pallas_engine.to_planes(s, params) for s in states])
-        sprint = make_ensemble_pallas_sprint_fn(params, mesh, dtype,
-                                                rng_impl, interpret)
+        if walker_shards > 1:
+            from . import sharding as sharding_mod
+            state = jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[sharding_mod.to_planes_sharded(s, params, walker_shards)
+                  for s in states])
+            sprint = make_ensemble_pallas_sprint_fn_2d(
+                params, mesh, dtype, rng_impl, interpret)
+        else:
+            state = jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[pallas_engine.to_planes(s, params) for s in states])
+            sprint = make_ensemble_pallas_sprint_fn(params, mesh, dtype,
+                                                    rng_impl, interpret)
     elif engine == "scan":
         state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-        sprint = make_ensemble_sprint_fn(params, mesh, dtype)
+        sprint = (make_ensemble_sprint_fn_2d(params, mesh, dtype)
+                  if walker_shards > 1
+                  else make_ensemble_sprint_fn(params, mesh, dtype))
     else:
         raise ValueError(f"unknown engine {engine!r}")
     mnp_pos = jnp.asarray(mnp_pos, dtype)
@@ -328,9 +489,16 @@ def run_ensemble(params: Params, n_trials: int,
     wins = jnp.concatenate(outs, axis=1) if outs \
         else jnp.zeros((n_padded, 0, 2), dtype)
     if engine == "pallas":
-        state = jax.vmap(
-            lambda ps: pallas_engine.from_planes(ps, params.num_water))(
-            state)
+        if walker_shards > 1:
+            from . import sharding as sharding_mod
+            per_trial = [sharding_mod.from_planes_sharded(
+                jax.tree.map(lambda x: x[i], state), params.num_water,
+                walker_shards) for i in range(n_padded)]
+            state = jax.tree.map(lambda *xs: jnp.stack(xs), *per_trial)
+        else:
+            state = jax.vmap(
+                lambda ps: pallas_engine.from_planes(
+                    ps, params.num_water))(state)
     # drop padding trials
     wins = wins[:n_trials]
     state = jax.tree.map(
@@ -344,7 +512,8 @@ def run_parameter_sweep(base_params: Params, name: str, values,
                         run_seed: int = 1000, dtype=jnp.float32,
                         max_steps=None, engine: str = "scan",
                         rng_impl: str = pallas_engine.RNG_THREEFRY,
-                        interpret: bool = False, paired: bool = False):
+                        interpret: bool = False, paired: bool = False,
+                        walker_shards: int = 1):
     """Sweep any Params field (e.g. cell_r, taucp, mmoment) across runs.
 
     ``mmoment``, ``taucp``, ``cell_r``, and ``D`` sweeps share ONE
@@ -385,7 +554,8 @@ def run_parameter_sweep(base_params: Params, name: str, values,
             base_params, n_trials=len(values) * n_trials_each,
             base_seed=base_seed, run_seed=run_seed, **per_trial,
             dtype=dtype, max_steps=max_steps, engine=engine,
-            rng_impl=rng_impl, interpret=interpret)
+            rng_impl=rng_impl, interpret=interpret,
+            walker_shards=walker_shards)
         return times, cos.reshape(len(values), n_trials_each, -1)
 
     curves = []
@@ -397,6 +567,6 @@ def run_parameter_sweep(base_params: Params, name: str, values,
             run_seed=run_seed if paired else run_seed + i * 10000,
             dtype=dtype,
             max_steps=max_steps, engine=engine, rng_impl=rng_impl,
-            interpret=interpret)
+            interpret=interpret, walker_shards=walker_shards)
         curves.append(cos)
     return times, np.stack(curves)

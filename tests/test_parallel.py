@@ -308,6 +308,61 @@ class TestEnsemblePallas:
             np.testing.assert_allclose(cos[i], c1, atol=1e-4)
 
 
+class TestEnsemble2D:
+    """Trials x walker-sharding on one 2D mesh (the pod layout):
+    per-walker physics must stay bitwise vs the plain trial-parallel
+    run; curves agree to summation order."""
+
+    def test_scan_2d_matches_1d(self):
+        p = P.small_test_params(num_water=32, totaltime=0.0005,
+                                sprint_steps=500)
+        _, cos1, sin1, st1 = ensemble.run_ensemble(
+            p, n_trials=2, base_seed=0, run_seed=50)
+        _, cos2, sin2, st2 = ensemble.run_ensemble(
+            p, n_trials=2, base_seed=0, run_seed=50, walker_shards=4)
+        np.testing.assert_allclose(cos2, cos1, atol=1e-3)
+        np.testing.assert_allclose(sin2, sin1, atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(st2.pos),
+                                      np.asarray(st1.pos))
+        np.testing.assert_array_equal(np.asarray(st2.phase),
+                                      np.asarray(st1.phase))
+
+    def test_pallas_2d_matches_1d(self):
+        p = P.small_test_params(num_water=32, totaltime=0.0005,
+                                sprint_steps=500)
+        _, cos1, _, st1 = ensemble.run_ensemble(
+            p, n_trials=2, base_seed=0, run_seed=50, engine="pallas",
+            rng_impl="threefry", interpret=True)
+        _, cos2, _, st2 = ensemble.run_ensemble(
+            p, n_trials=2, base_seed=0, run_seed=50, engine="pallas",
+            rng_impl="threefry", interpret=True, walker_shards=4)
+        np.testing.assert_allclose(cos2, cos1, atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(st2.pos),
+                                      np.asarray(st1.pos))
+
+    def test_2d_sweep_axes_ride_along(self):
+        """The launch-scalar sweep axes work on the 2D mesh too."""
+        p = P.small_test_params(num_water=32, totaltime=0.0005,
+                                sprint_steps=500)
+        _, cos1, _, _ = ensemble.run_ensemble(
+            p, n_trials=2, base_seed=0, run_seed=50,
+            d_scales=[1.0, 0.25])
+        _, cos2, _, _ = ensemble.run_ensemble(
+            p, n_trials=2, base_seed=0, run_seed=50,
+            d_scales=[1.0, 0.25], walker_shards=2)
+        np.testing.assert_allclose(cos2, cos1, atol=1e-3)
+
+    def test_invalid_walker_shards_rejected(self):
+        p = P.small_test_params(num_water=30, totaltime=0.0002,
+                                sprint_steps=200)
+        with pytest.raises(ValueError, match="divide evenly"):
+            ensemble.run_ensemble(p, n_trials=2, walker_shards=4)
+        p2 = P.small_test_params(num_water=32, totaltime=0.0002,
+                                 sprint_steps=200)
+        with pytest.raises(ValueError, match="device count"):
+            ensemble.run_ensemble(p2, n_trials=2, walker_shards=3)
+
+
 class TestEnsemblePadding:
     """Round-3 behavior (VERDICT r2 weak #6): when we pick the mesh it
     is right-sized, so indivisible trial counts no longer burn up to

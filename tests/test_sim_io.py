@@ -187,6 +187,29 @@ class TestCliEnsemble:
         assert d.shape == (2, 3)
         assert np.all(np.abs(d[:, 1]) <= 32.0 + 1e-5)
 
+    def test_ensemble_walker_shards_matches_plain(self, tmp_path):
+        """--walker-shards N: the 2D (trials x walkers) mesh writes the
+        same ensemble curve as the trial-parallel run (same seeds,
+        bitwise per walker; the mean differs only by summation order)."""
+        args = ["--num-water", "32", "--num-cells", "8",
+                "--totaltime", "0.002", "--sprint-steps", "1000",
+                "--chunk-steps", "100", "--near-k", "6",
+                "--taucp", "0.001", "--hash-dim", "8",
+                "--engine", "scan", "--ensemble", "2"]
+        o1 = str(tmp_path / "e1.csv")
+        o2 = str(tmp_path / "e2.csv")
+        assert sim.main(args + ["--out", o1]) == 0
+        assert sim.main(args + ["--walker-shards", "4",
+                                "--out", o2]) == 0
+        d1 = np.loadtxt(o1, delimiter=",")
+        d2 = np.loadtxt(o2, delimiter=",")
+        np.testing.assert_allclose(d2, d1, atol=1e-3)
+
+    def test_walker_shards_requires_ensemble_or_sweep(self, tmp_path):
+        with pytest.raises(SystemExit):
+            sim.main(["--walker-shards", "4",
+                      "--out", str(tmp_path / "x.csv")])
+
 
 class TestCliSweep:
     def test_sweep_flag_writes_per_value_curves(self, tmp_path):
