@@ -566,6 +566,15 @@ def main(argv=None):
                          "README.md:13)")
     ap.add_argument("--sweep-values", default=None, metavar="V1,V2,...",
                     help="comma-separated values for --sweep")
+    ap.add_argument("--sweep-grid", default=None, metavar="SPEC",
+                    help="cross-product sweep over launch-scalar knobs "
+                         "in ONE compiled program, e.g. "
+                         "'D=0.25,0.5,1;taucp=0.001,0.002' runs every "
+                         "combination as a trial (the full dispersion "
+                         "surface; knobs: mmoment/taucp/cell_r/D); "
+                         "writes one CSV per grid point and composes "
+                         "with --paired/--trials-per-value/"
+                         "--walker-shards/--fit-t2")
     ap.add_argument("--fit-t2", default=None, metavar="PATH",
                     help="with --sweep: fit each value's mean curve "
                          "(spin-echo envelope at its taucp) and write "
@@ -692,13 +701,17 @@ def main(argv=None):
           file=sys.stderr)
 
     decomp_mode = bool(args.moment_scales or args.echo_taucps)
-    if (args.sweep or args.ensemble > 1 or decomp_mode) and \
+    sweepish = bool(args.sweep or args.sweep_grid)
+    if args.sweep and args.sweep_grid:
+        ap.error("--sweep is one knob, --sweep-grid a cross product; "
+                 "use one")
+    if (sweepish or args.ensemble > 1 or decomp_mode) and \
             (args.checkpoint or args.resume or args.checkpoint_every
              or args.max_retries):
         ap.error("--checkpoint/--resume/--max-retries are single-run "
                  "features; drop them for --ensemble/--sweep/"
                  "--moment-scales/--echo-taucps runs")
-    if decomp_mode and (args.sweep or args.ensemble > 1):
+    if decomp_mode and (sweepish or args.ensemble > 1):
         ap.error("--moment-scales/--echo-taucps are themselves sweeps "
                  "over the (moment, taucp) plane; drop --sweep/--ensemble")
     if decomp_mode and args.shard_walkers:
@@ -727,17 +740,17 @@ def main(argv=None):
                  "continued): the default output filename embeds a "
                  "timestamp, so the resumed rows would land in a NEW "
                  "file while the original keeps its untrimmed overhang")
-    if args.shard_walkers and (args.sweep or args.ensemble > 1):
+    if args.shard_walkers and (sweepish or args.ensemble > 1):
         ap.error("--shard-walkers shards ONE population; for "
                  "ensembles/sweeps use --walker-shards N (the 2D "
                  "trials x walkers mesh)")
     if args.walker_shards != 1:
         if args.walker_shards < 1:
             ap.error("--walker-shards must be >= 1")
-        if not (args.sweep or args.ensemble > 1):
+        if not (sweepish or args.ensemble > 1):
             ap.error("--walker-shards is the ensemble/sweep 2D-mesh "
                      "knob; single runs shard with --shard-walkers")
-    if args.scene_family != "bacteria" and (args.sweep or
+    if args.scene_family != "bacteria" and (sweepish or
                                             args.ensemble > 1):
         ap.error("--scene-family is a single-run feature (ensembles/"
                  "sweeps build their per-trial BacteriaBox scenes "
@@ -750,13 +763,101 @@ def main(argv=None):
         cli_rng = pallas_engine.RNG_HARDWARE if args.engine == "pallas" \
             else pallas_engine.RNG_THREEFRY
 
-    if args.paired and not args.sweep:
-        ap.error("--paired is a --sweep modifier (common random numbers "
-                 "across sweep values)")
-    if args.fit_t2 and not args.sweep:
-        ap.error("--fit-t2 is the dispersion over the --sweep axis; "
-                 "pass the knob and values to sweep (the echo axis has "
-                 "--echo-taucps + --fit-r2)")
+    if args.paired and not sweepish:
+        ap.error("--paired is a --sweep/--sweep-grid modifier (common "
+                 "random numbers across sweep values)")
+    if args.fit_t2 and not sweepish:
+        ap.error("--fit-t2 is the dispersion over the --sweep/"
+                 "--sweep-grid axes; pass the knob(s) and values to "
+                 "sweep (the echo axis has --echo-taucps + --fit-r2)")
+    if args.sweep_grid:
+        if args.quadrature:
+            ap.error("--sweep-grid writes the reference's cos-only "
+                     "schema; drop --quadrature")
+        if args.ensemble > 1:
+            ap.error("--sweep-grid runs --trials-per-value trials per "
+                     "grid point; drop --ensemble")
+        from ..parallel import ensemble as ens
+        axes = {}
+        try:
+            for part in args.sweep_grid.split(";"):
+                knob, eq, vals = part.partition("=")
+                knob = knob.strip()
+                if not eq or knob in axes:
+                    raise ValueError(part)
+                axes[knob] = [float(v) for v in vals.split(",")]
+                if knob == "D" and any(not v > 0 for v in axes[knob]):
+                    ap.error("--sweep-grid D values must be > 0")
+        except ValueError:
+            ap.error("--sweep-grid wants 'KNOB=V1,V2;KNOB2=V1,V2' with "
+                     "distinct knobs and numeric values")
+        bad = [n for n in axes if n not in ens.SCALAR_AXES]
+        if bad:
+            ap.error(f"--sweep-grid knobs must be launch scalars "
+                     f"{ens.SCALAR_AXES}; got {bad}")
+        from ..utils import profiling
+        t0 = time.perf_counter()
+        with profiling.device_trace(args.trace):
+            times, curves = ens.run_parameter_grid(
+                params, axes, n_trials_each=args.trials_per_value,
+                base_seed=args.scene_seed, run_seed=args.seed + 1000,
+                engine=args.engine, rng_impl=cli_rng,
+                paired=args.paired, walker_shards=args.walker_shards)
+        wall = time.perf_counter() - t0
+        import itertools
+        import os
+        stem, ext = os.path.splitext(csv_path)
+        names = list(axes)
+        flat = curves.reshape(-1, args.trials_per_value,
+                              curves.shape[-1])
+        combos = list(itertools.product(*[axes[n] for n in names]))
+        fit_rows = []
+        for ci, combo in enumerate(combos):
+            pv = params
+            for n, v in zip(names, combo):
+                pv = pv.scale_D(v) if n == "D" \
+                    else pv.replace(**{n: v})
+            pv = pv.validate()
+            tag = "_".join(f"{n}={v:g}" for n, v in zip(names, combo))
+            path = f"{stem}_{tag}{ext or '.csv'}"
+            mean = flat[ci].mean(axis=0)
+            with writer_mod.T2CsvWriter(path, pv, quadrature=False) as w:
+                w.append_windows(0, np.stack([mean,
+                                              np.zeros_like(mean)], -1))
+            print(f"  {tag}: wrote {path}", file=sys.stderr)
+            if args.fit_t2:
+                from .. import analysis
+                try:
+                    te, me = analysis.sample_at_echoes(times, mean,
+                                                       pv.taucp)
+                    fit = analysis.fit_t2(te, me)
+                    fit_rows.append(combo + (1.0 / fit.t2_ms, fit.t2_ms,
+                                             fit.r_squared, fit.n_used))
+                except ValueError as e:
+                    print(f"  fit-t2: {tag} unfittable ({e})",
+                          file=sys.stderr)
+                    fit_rows.append(combo + (float("nan"), float("nan"),
+                                             float("nan"), 0))
+        if args.fit_t2:
+            with open(args.fit_t2, "w") as f:
+                f.write(",".join(names)
+                        + ",r2_per_ms,t2_ms,r_squared,n_echoes\n")
+                for row in fit_rows:
+                    f.write(",".join(
+                        [f"{v:g}" for v in row[:len(names)]]
+                        + [str(v) for v in row[len(names):]]) + "\n")
+            print(f"Grid dispersion table written: {args.fit_t2}",
+                  file=sys.stderr)
+        n_runs = len(combos) * args.trials_per_value
+        rate = n_runs * params.t * params.num_water / wall
+        print(f"Grid sweep complete: {len(combos)} grid points x "
+              f"{args.trials_per_value} trial(s) in {wall:.1f}s "
+              f"({rate:.3e} walker-steps/s)", file=sys.stderr)
+        if args.trace:
+            print(f"Profiler trace written to {args.trace}",
+                  file=sys.stderr)
+        return 0
+
     if args.sweep:
         if not args.sweep_values:
             ap.error("--sweep requires --sweep-values")

@@ -507,6 +507,66 @@ def run_ensemble(params: Params, n_trials: int,
     return times, np.asarray(wins[..., 0]), np.asarray(wins[..., 1]), state
 
 
+#: Params knobs the engines accept as launch scalars (runtime data, one
+#: compiled program across values); everything else recompiles per value
+SCALAR_AXES = ("mmoment", "taucp", "cell_r", "D")
+
+
+def run_parameter_grid(base_params: Params, axes: dict,
+                       n_trials_each: int = 1, base_seed: int = 0,
+                       run_seed: int = 1000, dtype=jnp.float32,
+                       max_steps=None, engine: str = "scan",
+                       rng_impl: str = pallas_engine.RNG_THREEFRY,
+                       interpret: bool = False, paired: bool = False,
+                       walker_shards: int = 1):
+    """Cross-product sweep over MULTIPLE launch-scalar knobs in ONE
+    compiled program: ``axes`` maps knob names (a subset of
+    :data:`SCALAR_AXES`) to value lists; every combination runs as a
+    trial of one ensemble — e.g. ``{"D": [.25, .5, 1], "taucp":
+    [1, 2, 5.5]}`` is the full 9-point motional-narrowing surface
+    R2(D, taucp), a single device computation where the reference
+    re-ran nvcc + a ~14-minute job per point.
+
+    ``paired=True`` gives trial k of EVERY grid point the same scene
+    and RNG stream (common random numbers across the whole surface).
+
+    Returns ``(times_ms, curves)`` with curves shaped
+    ``[n1, n2, ..., n_trials_each, n_windows]`` — one leading axis per
+    key of ``axes`` in iteration order.
+    """
+    import itertools
+    names = list(axes.keys())
+    bad = [n for n in names if n not in SCALAR_AXES]
+    if bad:
+        raise ValueError(
+            f"run_parameter_grid sweeps launch-scalar knobs only "
+            f"({SCALAR_AXES}); {bad} would need a recompile per value "
+            f"— loop run_parameter_sweep for those")
+    if not names:
+        raise ValueError("axes must name at least one knob")
+    value_lists = [list(axes[n]) for n in names]
+    combos = list(itertools.product(*value_lists))   # row-major
+    key_map = {"mmoment": "mmoments", "taucp": "taucps",
+               "cell_r": "cell_rs", "D": "d_scales"}
+    per_trial = {}
+    for ai, n in enumerate(names):
+        per_trial[key_map[n]] = [c[ai] for c in combos
+                                 for _ in range(n_trials_each)]
+    if paired:
+        per_trial["scene_seeds"] = [base_seed + k for _ in combos
+                                    for k in range(n_trials_each)]
+        per_trial["run_seeds"] = [run_seed + k for _ in combos
+                                  for k in range(n_trials_each)]
+    times, cos, _, _ = run_ensemble(
+        base_params, n_trials=len(combos) * n_trials_each,
+        base_seed=base_seed, run_seed=run_seed, **per_trial,
+        dtype=dtype, max_steps=max_steps, engine=engine,
+        rng_impl=rng_impl, interpret=interpret,
+        walker_shards=walker_shards)
+    shape = [len(v) for v in value_lists] + [n_trials_each, -1]
+    return times, cos.reshape(shape)
+
+
 def run_parameter_sweep(base_params: Params, name: str, values,
                         n_trials_each: int = 1, base_seed: int = 0,
                         run_seed: int = 1000, dtype=jnp.float32,
@@ -541,7 +601,7 @@ def run_parameter_sweep(base_params: Params, name: str, values,
 
     Returns (times_ms, curves [len(values), n_trials_each, n_windows]).
     """
-    if name in ("mmoment", "taucp", "cell_r", "D"):
+    if name in SCALAR_AXES:
         key = {"mmoment": "mmoments", "taucp": "taucps",
                "cell_r": "cell_rs", "D": "d_scales"}[name]
         per_trial = {key: [v for v in values for _ in range(n_trials_each)]}

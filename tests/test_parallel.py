@@ -219,6 +219,41 @@ class TestSweep:
             _, c2, _, _ = re.run_simulation(sc, pv, seed=1000)
             np.testing.assert_allclose(curves[i, 0], c2, atol=1e-4)
 
+    def test_parameter_grid_matches_singles(self):
+        """run_parameter_grid: every (D, taucp) combination runs as a
+        trial of ONE program; each grid point equals a statically-built
+        run on its trial's scene/seed."""
+        p = P.small_test_params(num_water=32, totaltime=0.0005,
+                                sprint_steps=500)
+        axes = {"D": [1.0, 0.25], "taucp": [0.0005, 0.0003]}
+        times, curves = ensemble.run_parameter_grid(p, axes)
+        assert curves.shape == (2, 2, 1, 5)
+        import itertools
+        for ci, (d, tc) in enumerate(itertools.product(*axes.values())):
+            pv = p.scale_D(d).replace(taucp=tc).validate()
+            sc = BacteriaBox(p, seed=ci).populate()
+            _, c2, _, _ = re.run_simulation(sc, pv, seed=1000 + ci)
+            di, ti = ci // 2, ci % 2
+            np.testing.assert_allclose(curves[di, ti, 0], c2, atol=1e-4)
+
+    def test_parameter_grid_paired_shares_scene(self):
+        """paired grid: every grid point's trial k shares scene seed
+        base_seed+k — two grid points with identical knob values give
+        bitwise-identical curves."""
+        p = P.small_test_params(num_water=32, totaltime=0.0005,
+                                sprint_steps=500)
+        _, curves = ensemble.run_parameter_grid(
+            p, {"D": [0.5, 0.5]}, paired=True)
+        np.testing.assert_array_equal(curves[0], curves[1])
+
+    def test_parameter_grid_rejects_compile_knobs(self):
+        p = P.small_test_params(num_water=16, totaltime=0.0002,
+                                sprint_steps=200)
+        with pytest.raises(ValueError, match="launch-scalar"):
+            ensemble.run_parameter_grid(p, {"num_water": [8, 16]})
+        with pytest.raises(ValueError, match="at least one"):
+            ensemble.run_parameter_grid(p, {})
+
     def test_paired_sweep_builds_each_scene_once(self):
         """Repeated (seed, geometry) across values share ONE scene
         object and one coverage validation (paired sweeps would

@@ -319,6 +319,39 @@ class TestCliSweep:
             sim.main(["--fit-t2", str(tmp_path / "t.csv"),
                       "--out", str(tmp_path / "x.csv")])
 
+    def test_sweep_grid_writes_every_combination(self, tmp_path):
+        """--sweep-grid: the (D x taucp) cross product from ONE
+        compiled program — one CSV per grid point plus the dispersion
+        table with one knob column per axis."""
+        out = str(tmp_path / "g.csv")
+        table = str(tmp_path / "gt.csv")
+        rc = sim.main(["--num-water", "32", "--num-cells", "8",
+                       "--totaltime", "0.002", "--sprint-steps", "1000",
+                       "--chunk-steps", "100", "--near-k", "6",
+                       "--taucp", "0.001", "--hash-dim", "8",
+                       "--engine", "scan",
+                       "--sweep-grid", "D=1,0.25;taucp=0.001,0.002",
+                       "--fit-t2", table, "--out", out])
+        assert rc == 0
+        for d in ("1", "0.25"):
+            for tc in ("0.001", "0.002"):
+                path = str(tmp_path / f"g_D={d}_taucp={tc}.csv")
+                rows = np.loadtxt(path, delimiter=",")
+                assert rows.shape == (2, 2)
+        lines = open(table).read().strip().splitlines()
+        assert lines[0] == "D,taucp,r2_per_ms,t2_ms,r_squared,n_echoes"
+        assert len(lines) == 5
+
+    def test_sweep_grid_rejects_bad_spec(self, tmp_path):
+        out = str(tmp_path / "x.csv")
+        with pytest.raises(SystemExit):
+            sim.main(["--sweep-grid", "bogus", "--out", out])
+        with pytest.raises(SystemExit):
+            sim.main(["--sweep-grid", "num_water=8,16", "--out", out])
+        with pytest.raises(SystemExit):
+            sim.main(["--sweep-grid", "D=1", "--sweep", "taucp",
+                      "--sweep-values", "0.001", "--out", out])
+
 
 class TestCliMomentScales:
     # mmoment is boosted 1e4x so the 2-window curve visibly dephases
