@@ -39,6 +39,8 @@ _SOURCE_MODULES = (
     "fields/dipole.py",
     "rng.py",
     "params.py",
+    "parallel/ensemble.py",
+    "parallel/sharding.py",
 )
 
 
@@ -96,6 +98,58 @@ def load_sprint(params: Params, num_water: int, n_mnp: int, dtype,
     except Exception:
         return None
     return _wrap_compiled(compiled)
+
+
+def _ensemble_key(params: Params, n_trials: int, n_mnp: int,
+                  dtype, rng_impl: str) -> str:
+    h = hashlib.sha256()
+    h.update(b"ensemble|")
+    h.update(_source_digest())
+    h.update(repr(params).encode())
+    h.update(f"{n_trials}|{n_mnp}|{np.dtype(dtype).name}|{rng_impl}|"
+             f"{jax.__version__}|"
+             f"{jax.devices()[0].device_kind}".encode())
+    return h.hexdigest()[:32]
+
+
+def load_ensemble_sprint(params: Params, n_trials: int, n_mnp: int,
+                         dtype, rng_impl: str):
+    """Ensemble/sweep analogue of :func:`load_sprint`: the compiled
+    trial-mesh program (positional 7-argument call, no runtime-override
+    kwargs — tcp/cell_r/d_scale are per-trial ARRAYS here, part of the
+    traced signature).  None on any miss; caller keeps its jit."""
+    try:
+        with open(_path(_ensemble_key(params, n_trials, n_mnp, dtype,
+                                      rng_impl)), "rb") as f:
+            payload, in_tree, out_tree = pickle.load(f)
+        from jax.experimental.serialize_executable import \
+            deserialize_and_load
+        return deserialize_and_load(payload, in_tree, out_tree)
+    except Exception:
+        return None
+
+
+def compile_and_save_ensemble(jit_fn, params: Params, n_trials: int,
+                              example_args: tuple, dtype,
+                              rng_impl: str):
+    """AOT-compile the ensemble sprint on its first real inputs and
+    persist the executable; None if this build cannot be serialized."""
+    n_mnp = int(example_args[0].shape[1])
+    try:
+        lowered = jit_fn.lower(*example_args)
+        compiled = lowered.compile()
+        from jax.experimental.serialize_executable import serialize
+        payload, in_tree, out_tree = serialize(compiled)
+        key = _ensemble_key(params, n_trials, n_mnp, dtype, rng_impl)
+        d = os.path.dirname(_path(key))
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d)
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump((payload, in_tree, out_tree), f)
+        os.replace(tmp, _path(key))
+    except Exception:
+        return None
+    return compiled
 
 
 def compile_and_save(jit_sprint, params: Params, num_water: int,

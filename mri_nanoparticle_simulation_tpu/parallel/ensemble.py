@@ -481,6 +481,26 @@ def run_ensemble(params: Params, n_trials: int,
         [1.0 if d_scales is None else float(d_scales[i])
          for i in range(n_padded)], jnp.float32)
 
+    # AOT warm-start for repeat sweeps (single-device trial mesh, the
+    # real-TPU CLI case where trace + Mosaic lowering costs ~30 s):
+    # same key discipline as the single-run cache (engine/aot.py) with
+    # the trial count and padded MNP width in the key.  Any failure
+    # falls back to the jit path — the cache is only an accelerator.
+    if engine == "pallas" and walker_shards == 1 and not interpret \
+            and mesh.devices.size == 1:
+        from ..engine import aot
+        loaded = aot.load_ensemble_sprint(
+            params, n_padded, mnp_pos.shape[1], dtype, rng_impl)
+        if loaded is not None:
+            sprint = loaded
+        else:
+            saved = aot.compile_and_save_ensemble(
+                sprint, params, n_padded,
+                (mnp_pos, mnp_M, keys, state, tcps, crs, dss), dtype,
+                rng_impl)
+            if saved is not None:
+                sprint = saved
+
     total = params.t if max_steps is None else min(params.t, max_steps)
     outs = []
     for _ in range(total // params.sprint_steps):

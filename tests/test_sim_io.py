@@ -645,6 +645,28 @@ class TestAotWarmStart:
             f.write(b"not a pickle")
         assert aot.load_sprint(p, 64, 100, jnp.float32, "hardware") is None
 
+    def test_ensemble_key_sensitivity(self):
+        from mri_nanoparticle_simulation_tpu.engine import aot
+        import jax.numpy as jnp
+        p = P.small_test_params(num_water=64)
+        k1 = aot._ensemble_key(p, 2, 100, jnp.float32, "threefry")
+        assert k1 == aot._ensemble_key(p, 2, 100, jnp.float32, "threefry")
+        assert k1 != aot._ensemble_key(p, 3, 100, jnp.float32, "threefry")
+        assert k1 != aot._ensemble_key(p, 2, 101, jnp.float32, "threefry")
+        assert k1 != aot._ensemble_key(p, 2, 100, jnp.float32, "hardware")
+        # ensemble keys never collide with single-run keys
+        assert k1 != aot._cache_key(p, 64, 100, jnp.float32, "threefry")
+
+    def test_ensemble_aot_miss_falls_back(self, tmp_path, monkeypatch):
+        """On backends whose executables can't serialize (CPU), the
+        ensemble hook must silently keep the jit path."""
+        from mri_nanoparticle_simulation_tpu.engine import aot
+        import jax.numpy as jnp
+        monkeypatch.setenv("MRI_TPU_COMPILE_CACHE", str(tmp_path))
+        p = P.small_test_params(num_water=64)
+        assert aot.load_ensemble_sprint(p, 2, 100, jnp.float32,
+                                        "threefry") is None
+
     def test_wrapper_rejects_every_runtime_override(self):
         """The AOT guard's checklist must cover EVERY sprint override
         (an uncovered kwarg would surface as a raw TypeError or a
