@@ -407,3 +407,21 @@ class TestDiffusionAxisHardware:
             engine="pallas")
         assert abs(fit.scale - 0.6) / 0.6 < 0.02
         assert fit.loss < 1e-6
+
+
+class TestGridAotHardware:
+    def test_grid_repeat_bitwise_with_ensemble_aot(self, p, tmp_path,
+                                                   monkeypatch):
+        """--sweep-grid semantics under the real compiler, twice with a
+        fresh AOT cache: run 1 compiles + serializes the ensemble
+        program, run 2 deserializes it — curves must be bitwise
+        identical across the two paths."""
+        monkeypatch.setenv("MRI_TPU_COMPILE_CACHE", str(tmp_path))
+        from mri_nanoparticle_simulation_tpu.parallel import ensemble
+        axes = {"D": [1.0, 0.25], "taucp": [0.001, 0.002]}
+        _, c1 = ensemble.run_parameter_grid(
+            p, axes, engine="pallas", rng_impl="threefry", paired=True)
+        _, c2 = ensemble.run_parameter_grid(
+            p, axes, engine="pallas", rng_impl="threefry", paired=True)
+        assert c1.shape == (2, 2, 1, 20)
+        np.testing.assert_array_equal(c1, c2)
