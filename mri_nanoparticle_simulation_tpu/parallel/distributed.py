@@ -156,7 +156,8 @@ def run_ensemble_multihost(params, n_trials: int, base_seed: int = 0,
                            run_seed: int = 1000, engine: str = "scan",
                            rng_impl: str = "threefry", dtype=None,
                            max_steps=None, mmoments=None, taucps=None,
-                           cell_rs=None, d_scales=None):
+                           cell_rs=None, d_scales=None,
+                           scene_seeds=None, run_seeds=None):
     """Multi-trial ensemble partitioned across hosts over DCN.
 
     Trials [0, n_trials) are split into contiguous blocks, one per
@@ -186,7 +187,9 @@ def run_ensemble_multihost(params, n_trials: int, base_seed: int = 0,
 
     dtype = dtype or jnp.float32
     for name, vals in (("mmoments", mmoments), ("taucps", taucps),
-                       ("cell_rs", cell_rs), ("d_scales", d_scales)):
+                       ("cell_rs", cell_rs), ("d_scales", d_scales),
+                       ("scene_seeds", scene_seeds),
+                       ("run_seeds", run_seeds)):
         if vals is not None and len(vals) != n_trials:
             raise ValueError(f"{name} must have one value per trial "
                              f"([{n_trials}]), got {len(vals)}")
@@ -211,7 +214,9 @@ def run_ensemble_multihost(params, n_trials: int, base_seed: int = 0,
             engine=engine, rng_impl=rng_impl, dtype=dtype,
             max_steps=max_steps, mmoments=my_slice(mmoments),
             taucps=my_slice(taucps), cell_rs=my_slice(cell_rs),
-            d_scales=my_slice(d_scales))
+            d_scales=my_slice(d_scales),
+            scene_seeds=my_slice(scene_seeds),
+            run_seeds=my_slice(run_seeds))
         local[:mine, :, 0] = cos
         local[:mine, :, 1] = sin
     # every process (including trial-less ones) derives the same axis
@@ -226,6 +231,52 @@ def run_ensemble_multihost(params, n_trials: int, base_seed: int = 0,
     else:
         allw = local[:mine]
     return times, allw[..., 0], allw[..., 1]
+
+
+def run_parameter_grid_multihost(params, axes: dict,
+                                 n_trials_each: int = 1,
+                                 base_seed: int = 0, run_seed: int = 1000,
+                                 engine: str = "scan",
+                                 rng_impl: str = "threefry", dtype=None,
+                                 max_steps=None, paired: bool = False):
+    """Cross-product launch-scalar grid partitioned across hosts:
+    ensemble.run_parameter_grid's contract (one compiled program per
+    process, curves shaped [n1, ..., n_trials_each, n_windows]) with
+    grid points split into contiguous per-process blocks over DCN.
+    Seeds are assigned by GLOBAL trial index (explicit overrides when
+    ``paired``), so the partition is invisible: every process returns
+    the same surface a single-process run produces.
+    """
+    import itertools
+    from . import ensemble
+
+    names = list(axes.keys())
+    bad = [n for n in names if n not in ensemble.SCALAR_AXES]
+    if bad:
+        raise ValueError(
+            f"run_parameter_grid_multihost sweeps launch-scalar knobs "
+            f"only ({ensemble.SCALAR_AXES}); got {bad}")
+    if not names:
+        raise ValueError("axes must name at least one knob")
+    value_lists = [list(axes[n]) for n in names]
+    combos = list(itertools.product(*value_lists))
+    key_map = {"mmoment": "mmoments", "taucp": "taucps",
+               "cell_r": "cell_rs", "D": "d_scales"}
+    per_trial = {}
+    for ai, n in enumerate(names):
+        per_trial[key_map[n]] = [c[ai] for c in combos
+                                 for _ in range(n_trials_each)]
+    if paired:
+        per_trial["scene_seeds"] = [base_seed + k for _ in combos
+                                    for k in range(n_trials_each)]
+        per_trial["run_seeds"] = [run_seed + k for _ in combos
+                                  for k in range(n_trials_each)]
+    times, cos, _ = run_ensemble_multihost(
+        params, len(combos) * n_trials_each, base_seed=base_seed,
+        run_seed=run_seed, engine=engine, rng_impl=rng_impl,
+        dtype=dtype, max_steps=max_steps, **per_trial)
+    shape = [len(v) for v in value_lists] + [n_trials_each, -1]
+    return times, cos.reshape(shape)
 
 
 def _dryrun(num_processes: int, process_id: int, coordinator: str,
@@ -312,6 +363,20 @@ def _dryrun(num_processes: int, process_id: int, coordinator: str,
             max_steps=p.sprint_steps, taucps=taucps, d_scales=dss)
     np.testing.assert_allclose(cos_mh, cos_1p, atol=1e-3)
     np.testing.assert_allclose(sin_mh, sin_1p, atol=1e-3)
+
+    # paired parameter grid across DCN: grid points split 2+2 over the
+    # processes, each point sharing scene seed base_seed (paired), must
+    # equal the single-process grid exactly
+    axes = {"D": [1.0, 0.5], "taucp": [0.0001, 0.0002]}
+    _, grid_mh = run_parameter_grid_multihost(
+        p, axes, base_seed=11, run_seed=7, max_steps=p.sprint_steps,
+        paired=True)
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        _, grid_1p = ensemble.run_parameter_grid(
+            p, axes, base_seed=11, run_seed=7, mesh=mesh1,
+            max_steps=p.sprint_steps, paired=True)
+    np.testing.assert_allclose(grid_mh, grid_1p, atol=1e-3)
 
     print(f"multihost dryrun OK: process {process_id}/{num_processes} "
           f"verified {checked} local walkers bitwise vs single-device; "

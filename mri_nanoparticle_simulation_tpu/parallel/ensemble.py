@@ -538,7 +538,8 @@ def run_parameter_grid(base_params: Params, axes: dict,
                        max_steps=None, engine: str = "scan",
                        rng_impl: str = pallas_engine.RNG_THREEFRY,
                        interpret: bool = False, paired: bool = False,
-                       walker_shards: int = 1):
+                       walker_shards: int = 1,
+                       mesh: Optional[Mesh] = None):
     """Cross-product sweep over MULTIPLE launch-scalar knobs in ONE
     compiled program: ``axes`` maps knob names (a subset of
     :data:`SCALAR_AXES`) to value lists; every combination runs as a
@@ -582,7 +583,7 @@ def run_parameter_grid(base_params: Params, axes: dict,
         base_seed=base_seed, run_seed=run_seed, **per_trial,
         dtype=dtype, max_steps=max_steps, engine=engine,
         rng_impl=rng_impl, interpret=interpret,
-        walker_shards=walker_shards)
+        walker_shards=walker_shards, mesh=mesh)
     shape = [len(v) for v in value_lists] + [n_trials_each, -1]
     return times, cos.reshape(shape)
 
