@@ -236,6 +236,23 @@ class TestSweep:
             di, ti = ci // 2, ci % 2
             np.testing.assert_allclose(curves[di, ti, 0], c2, atol=1e-4)
 
+    def test_parameter_grid_geometry_axis(self):
+        """cell_r in a grid rebuilds each trial's scene with its radius
+        while D rides the launch scalar — the combination must equal
+        statically-built runs point by point."""
+        p = P.small_test_params(num_water=16, totaltime=0.0002,
+                                sprint_steps=200, num_cells=4)
+        axes = {"cell_r": [0.4, 0.8], "D": [1.0, 0.25]}
+        _, curves = ensemble.run_parameter_grid(p, axes)
+        import itertools
+        for ci, (cr, d) in enumerate(itertools.product(*axes.values())):
+            pv = p.replace(cell_r=cr).scale_D(d).validate()
+            sc = BacteriaBox(p.replace(cell_r=cr).validate(),
+                             seed=ci).populate()
+            _, c2, _, _ = re.run_simulation(sc, pv, seed=1000 + ci)
+            np.testing.assert_allclose(curves[ci // 2, ci % 2, 0], c2,
+                                       atol=1e-4)
+
     def test_parameter_grid_paired_shares_scene(self):
         """paired grid: every grid point's trial k shares scene seed
         base_seed+k — two grid points with identical knob values give
