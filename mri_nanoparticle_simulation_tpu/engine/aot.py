@@ -138,6 +138,13 @@ def compile_and_save_ensemble(jit_fn, params: Params, n_trials: int,
     try:
         lowered = jit_fn.lower(*example_args)
         compiled = lowered.compile()
+    except Exception:
+        return None
+    # persistence is best-effort: the trace + compile above is the
+    # expensive part and the executable is valid either way — a
+    # serialize/write failure (CPU backends, read-only cache) must not
+    # force the caller's jit path into a SECOND identical compile
+    try:
         from jax.experimental.serialize_executable import serialize
         payload, in_tree, out_tree = serialize(compiled)
         key = _ensemble_key(params, n_trials, n_mnp, dtype, rng_impl)
@@ -148,7 +155,7 @@ def compile_and_save_ensemble(jit_fn, params: Params, n_trials: int,
             pickle.dump((payload, in_tree, out_tree), f)
         os.replace(tmp, _path(key))
     except Exception:
-        return None
+        pass
     return compiled
 
 
@@ -164,6 +171,9 @@ def compile_and_save(jit_sprint, params: Params, num_water: int,
                                    cache=None, tcp=None, cell_r=None,
                                    d_scale=None)
         compiled = lowered.compile()
+    except Exception:
+        return None
+    try:    # persistence is best-effort (see compile_and_save_ensemble)
         from jax.experimental.serialize_executable import serialize
         payload, in_tree, out_tree = serialize(compiled)
         key = _cache_key(params, num_water, n_mnp, dtype, rng_impl)
@@ -174,5 +184,5 @@ def compile_and_save(jit_sprint, params: Params, num_water: int,
             pickle.dump((payload, in_tree, out_tree), f)
         os.replace(tmp, _path(key))
     except Exception:
-        return None
+        pass
     return _wrap_compiled(compiled)

@@ -62,6 +62,50 @@ def fit_sprint_steps(params: Params, requested: int) -> int:
     return best
 
 
+def _emit_sweep_outputs(csv_path, times, names, combos, flat, pv_fn,
+                        fit_path):
+    """Per-grid-point outputs shared by --sweep and --sweep-grid: one
+    reference-schema CSV per point (suffix KNOB=V[_KNOB2=V2]) and,
+    when ``fit_path`` is set, the fitted dispersion table with one knob
+    column per axis.  ``flat`` is [n_points, trials, n_windows];
+    ``pv_fn(combo)`` yields the point's physical Params (header
+    metadata AND the echo spacing each point is fitted at)."""
+    import os
+    stem, ext = os.path.splitext(csv_path)
+    fit_rows = []
+    for ci, combo in enumerate(combos):
+        pv = pv_fn(combo).validate()
+        tag = "_".join(f"{n}={v:g}" for n, v in zip(names, combo))
+        path = f"{stem}_{tag}{ext or '.csv'}"
+        mean = flat[ci].mean(axis=0)
+        with writer_mod.T2CsvWriter(path, pv, quadrature=False) as w:
+            w.append_windows(0, np.stack([mean,
+                                          np.zeros_like(mean)], -1))
+        print(f"  {tag}: wrote {path}", file=sys.stderr)
+        if fit_path:
+            from .. import analysis
+            try:
+                te, me = analysis.sample_at_echoes(times, mean, pv.taucp)
+                fit = analysis.fit_t2(te, me)
+                fit_rows.append(combo + (1.0 / fit.t2_ms, fit.t2_ms,
+                                         fit.r_squared, fit.n_used))
+            except ValueError as e:
+                print(f"  fit-t2: {tag} unfittable ({e})",
+                      file=sys.stderr)
+                fit_rows.append(combo + (float("nan"), float("nan"),
+                                         float("nan"), 0))
+    if fit_path:
+        with open(fit_path, "w") as f:
+            f.write(",".join(names)
+                    + ",r2_per_ms,t2_ms,r_squared,n_echoes\n")
+            for row in fit_rows:
+                f.write(",".join(
+                    [f"{v:g}" for v in row[:len(names)]]
+                    + [str(v) for v in row[len(names):]]) + "\n")
+        print(f"Sweep dispersion table written: {fit_path}",
+              file=sys.stderr)
+
+
 class SimulationRunner:
     """Owns the scene, the compiled sprint function, and walker state."""
 
@@ -805,49 +849,20 @@ def main(argv=None):
                 paired=args.paired, walker_shards=args.walker_shards)
         wall = time.perf_counter() - t0
         import itertools
-        import os
-        stem, ext = os.path.splitext(csv_path)
         names = list(axes)
         flat = curves.reshape(-1, args.trials_per_value,
                               curves.shape[-1])
         combos = list(itertools.product(*[axes[n] for n in names]))
-        fit_rows = []
-        for ci, combo in enumerate(combos):
+
+        def pv_fn(combo):
             pv = params
             for n, v in zip(names, combo):
                 pv = pv.scale_D(v) if n == "D" \
                     else pv.replace(**{n: v})
-            pv = pv.validate()
-            tag = "_".join(f"{n}={v:g}" for n, v in zip(names, combo))
-            path = f"{stem}_{tag}{ext or '.csv'}"
-            mean = flat[ci].mean(axis=0)
-            with writer_mod.T2CsvWriter(path, pv, quadrature=False) as w:
-                w.append_windows(0, np.stack([mean,
-                                              np.zeros_like(mean)], -1))
-            print(f"  {tag}: wrote {path}", file=sys.stderr)
-            if args.fit_t2:
-                from .. import analysis
-                try:
-                    te, me = analysis.sample_at_echoes(times, mean,
-                                                       pv.taucp)
-                    fit = analysis.fit_t2(te, me)
-                    fit_rows.append(combo + (1.0 / fit.t2_ms, fit.t2_ms,
-                                             fit.r_squared, fit.n_used))
-                except ValueError as e:
-                    print(f"  fit-t2: {tag} unfittable ({e})",
-                          file=sys.stderr)
-                    fit_rows.append(combo + (float("nan"), float("nan"),
-                                             float("nan"), 0))
-        if args.fit_t2:
-            with open(args.fit_t2, "w") as f:
-                f.write(",".join(names)
-                        + ",r2_per_ms,t2_ms,r_squared,n_echoes\n")
-                for row in fit_rows:
-                    f.write(",".join(
-                        [f"{v:g}" for v in row[:len(names)]]
-                        + [str(v) for v in row[len(names):]]) + "\n")
-            print(f"Grid dispersion table written: {args.fit_t2}",
-                  file=sys.stderr)
+            return pv
+
+        _emit_sweep_outputs(csv_path, times, names, combos, flat,
+                            pv_fn, args.fit_t2)
         n_runs = len(combos) * args.trials_per_value
         rate = n_runs * params.t * params.num_water / wall
         print(f"Grid sweep complete: {len(combos)} grid points x "
@@ -900,41 +915,11 @@ def main(argv=None):
                 engine=args.engine, rng_impl=cli_rng, paired=args.paired,
                 walker_shards=args.walker_shards)
         wall = time.perf_counter() - t0
-        import os
-        stem, ext = os.path.splitext(csv_path)
-        fit_rows = []
-        for v, cv in zip(values, curves):
-            pv = (params.scale_D(v) if name == "D"
-                  else params.replace(**{name: v})).validate()
-            path = f"{stem}_{name}={v:g}{ext or '.csv'}"
-            mean = cv.mean(axis=0)
-            with writer_mod.T2CsvWriter(path, pv, quadrature=False) as w:
-                w.append_windows(0, np.stack([mean,
-                                              np.zeros_like(mean)], -1))
-            print(f"  {name}={v:g}: wrote {path}", file=sys.stderr)
-            if args.fit_t2:
-                # each value's spin-echo envelope fitted at ITS echo
-                # spacing (pv.taucp follows a taucp sweep's value)
-                from .. import analysis
-                try:
-                    te, me = analysis.sample_at_echoes(times, mean,
-                                                       pv.taucp)
-                    fit = analysis.fit_t2(te, me)
-                    fit_rows.append((v, 1.0 / fit.t2_ms, fit.t2_ms,
-                                     fit.r_squared, fit.n_used))
-                except ValueError as e:
-                    print(f"  fit-t2: {name}={v:g} unfittable ({e})",
-                          file=sys.stderr)
-                    fit_rows.append((v, float("nan"), float("nan"),
-                                     float("nan"), 0))
-        if args.fit_t2:
-            with open(args.fit_t2, "w") as f:
-                f.write(f"{name},r2_per_ms,t2_ms,r_squared,n_echoes\n")
-                for row in fit_rows:
-                    f.write(f"{row[0]:g},{row[1]},{row[2]},{row[3]},"
-                            f"{row[4]}\n")
-            print(f"Sweep dispersion table written: {args.fit_t2}",
-                  file=sys.stderr)
+        _emit_sweep_outputs(
+            csv_path, times, [name], [(v,) for v in values],
+            np.asarray(curves), lambda combo: (
+                params.scale_D(combo[0]) if name == "D"
+                else params.replace(**{name: combo[0]})), args.fit_t2)
         n_runs = len(values) * args.trials_per_value
         rate = n_runs * params.t * params.num_water / wall
         print(f"Sweep complete: {len(values)} values x "

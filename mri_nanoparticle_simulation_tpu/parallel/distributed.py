@@ -247,30 +247,10 @@ def run_parameter_grid_multihost(params, axes: dict,
     ``paired``), so the partition is invisible: every process returns
     the same surface a single-process run produces.
     """
-    import itertools
     from . import ensemble
 
-    names = list(axes.keys())
-    bad = [n for n in names if n not in ensemble.SCALAR_AXES]
-    if bad:
-        raise ValueError(
-            f"run_parameter_grid_multihost sweeps launch-scalar knobs "
-            f"only ({ensemble.SCALAR_AXES}); got {bad}")
-    if not names:
-        raise ValueError("axes must name at least one knob")
-    value_lists = [list(axes[n]) for n in names]
-    combos = list(itertools.product(*value_lists))
-    key_map = {"mmoment": "mmoments", "taucp": "taucps",
-               "cell_r": "cell_rs", "D": "d_scales"}
-    per_trial = {}
-    for ai, n in enumerate(names):
-        per_trial[key_map[n]] = [c[ai] for c in combos
-                                 for _ in range(n_trials_each)]
-    if paired:
-        per_trial["scene_seeds"] = [base_seed + k for _ in combos
-                                    for k in range(n_trials_each)]
-        per_trial["run_seeds"] = [run_seed + k for _ in combos
-                                  for k in range(n_trials_each)]
+    value_lists, combos, per_trial = ensemble.grid_per_trial(
+        axes, n_trials_each, paired, base_seed, run_seed)
     times, cos, _ = run_ensemble_multihost(
         params, len(combos) * n_trials_each, base_seed=base_seed,
         run_seed=run_seed, engine=engine, rng_impl=rng_impl,

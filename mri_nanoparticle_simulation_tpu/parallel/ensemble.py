@@ -298,6 +298,13 @@ def _trial_mesh_2d(n_trials: int, walker_shards: int,
                 f"a walker-sharded ensemble mesh needs axes "
                 f"({TRIAL_AXIS!r}, {sharding.WALKER_AXIS!r}); got "
                 f"{mesh.axis_names}")
+        if mesh.shape[sharding.WALKER_AXIS] != walker_shards:
+            # the pallas path packs planes with walker_shards but sizes
+            # the kernel and RNG lane offsets from the mesh axis — a
+            # mismatch would silently misassign walkers to streams
+            raise ValueError(
+                f"mesh walker axis ({mesh.shape[sharding.WALKER_AXIS]}) "
+                f"must equal walker_shards ({walker_shards})")
         n_dev = mesh.shape[TRIAL_AXIS]
         pad = (-n_trials) % n_dev
         if pad:
@@ -511,10 +518,12 @@ def run_ensemble(params: Params, n_trials: int,
     if engine == "pallas":
         if walker_shards > 1:
             from . import sharding as sharding_mod
-            per_trial = [sharding_mod.from_planes_sharded(
-                jax.tree.map(lambda x: x[i], state), params.num_water,
-                walker_shards) for i in range(n_padded)]
-            state = jax.tree.map(lambda *xs: jnp.stack(xs), *per_trial)
+            # one vmapped conversion over the trial axis (the static
+            # per-shard slicing inside from_planes_sharded batches
+            # fine) instead of n_trials x walker_shards host dispatches
+            state = jax.vmap(
+                lambda ps: sharding_mod.from_planes_sharded(
+                    ps, params.num_water, walker_shards))(state)
         else:
             state = jax.vmap(
                 lambda ps: pallas_engine.from_planes(
@@ -530,6 +539,41 @@ def run_ensemble(params: Params, n_trials: int,
 #: Params knobs the engines accept as launch scalars (runtime data, one
 #: compiled program across values); everything else recompiles per value
 SCALAR_AXES = ("mmoment", "taucp", "cell_r", "D")
+
+
+def grid_per_trial(axes: dict, n_trials_each: int, paired: bool,
+                   base_seed: int, run_seed: int):
+    """Shared grid expansion (single-process and multihost callers):
+    validates that every axis is a launch scalar, expands the cross
+    product, and returns (value_lists, combos, per_trial_kwargs) where
+    per_trial_kwargs holds the per-trial axis vectors for
+    :func:`run_ensemble` (+ paired seed overrides when asked).  ONE
+    definition so the paired-seed assignment and axis mapping cannot
+    diverge between the local and DCN paths."""
+    import itertools
+    names = list(axes.keys())
+    bad = [n for n in names if n not in SCALAR_AXES]
+    if bad:
+        raise ValueError(
+            f"parameter grids sweep launch-scalar knobs only "
+            f"({SCALAR_AXES}); {bad} would need a recompile per value "
+            f"— loop run_parameter_sweep for those")
+    if not names:
+        raise ValueError("axes must name at least one knob")
+    value_lists = [list(axes[n]) for n in names]
+    combos = list(itertools.product(*value_lists))   # row-major
+    key_map = {"mmoment": "mmoments", "taucp": "taucps",
+               "cell_r": "cell_rs", "D": "d_scales"}
+    per_trial = {}
+    for ai, n in enumerate(names):
+        per_trial[key_map[n]] = [c[ai] for c in combos
+                                 for _ in range(n_trials_each)]
+    if paired:
+        per_trial["scene_seeds"] = [base_seed + k for _ in combos
+                                    for k in range(n_trials_each)]
+        per_trial["run_seeds"] = [run_seed + k for _ in combos
+                                  for k in range(n_trials_each)]
+    return value_lists, combos, per_trial
 
 
 def run_parameter_grid(base_params: Params, axes: dict,
@@ -555,29 +599,8 @@ def run_parameter_grid(base_params: Params, axes: dict,
     ``[n1, n2, ..., n_trials_each, n_windows]`` — one leading axis per
     key of ``axes`` in iteration order.
     """
-    import itertools
-    names = list(axes.keys())
-    bad = [n for n in names if n not in SCALAR_AXES]
-    if bad:
-        raise ValueError(
-            f"run_parameter_grid sweeps launch-scalar knobs only "
-            f"({SCALAR_AXES}); {bad} would need a recompile per value "
-            f"— loop run_parameter_sweep for those")
-    if not names:
-        raise ValueError("axes must name at least one knob")
-    value_lists = [list(axes[n]) for n in names]
-    combos = list(itertools.product(*value_lists))   # row-major
-    key_map = {"mmoment": "mmoments", "taucp": "taucps",
-               "cell_r": "cell_rs", "D": "d_scales"}
-    per_trial = {}
-    for ai, n in enumerate(names):
-        per_trial[key_map[n]] = [c[ai] for c in combos
-                                 for _ in range(n_trials_each)]
-    if paired:
-        per_trial["scene_seeds"] = [base_seed + k for _ in combos
-                                    for k in range(n_trials_each)]
-        per_trial["run_seeds"] = [run_seed + k for _ in combos
-                                  for k in range(n_trials_each)]
+    value_lists, combos, per_trial = grid_per_trial(
+        axes, n_trials_each, paired, base_seed, run_seed)
     times, cos, _, _ = run_ensemble(
         base_params, n_trials=len(combos) * n_trials_each,
         base_seed=base_seed, run_seed=run_seed, **per_trial,

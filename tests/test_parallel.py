@@ -404,6 +404,19 @@ class TestEnsemble2D:
             d_scales=[1.0, 0.25], walker_shards=2)
         np.testing.assert_allclose(cos2, cos1, atol=1e-3)
 
+    def test_caller_mesh_walker_axis_must_match(self):
+        """A caller-provided 2D mesh whose walker axis disagrees with
+        walker_shards would silently misassign walkers to RNG lanes on
+        the pallas path — it must be rejected at the boundary."""
+        from jax.sharding import Mesh
+        p = P.small_test_params(num_water=32, totaltime=0.0002,
+                                sprint_steps=200)
+        devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+        mesh = Mesh(devs, (ensemble.TRIAL_AXIS, sharding.WALKER_AXIS))
+        with pytest.raises(ValueError, match="must equal walker_shards"):
+            ensemble.run_ensemble(p, n_trials=2, walker_shards=2,
+                                  mesh=mesh)
+
     def test_invalid_walker_shards_rejected(self):
         p = P.small_test_params(num_water=30, totaltime=0.0002,
                                 sprint_steps=200)
