@@ -39,7 +39,12 @@
  * as the 40 ms production run without rebuilding the octree.
  *
  * Usage: ref_t2_oracle <scene_seed> <rng_seed> <out_csv> [n_water]
- *                      [steps] [pfreq] [tcp] [moment_scale]
+ *                      [steps] [pfreq] [tcp] [moment_scale] [d_scale]
+ *
+ * d_scale scales BOTH diffusion coefficients: the derived stdevs are
+ * sqrt(pi * D * tau) (parameters.h:120-121), so the displacement
+ * magnitudes multiply by sqrt(d_scale) — reference physics with a
+ * rescaled D, the oracle arm for the framework's runtime D axis.
  */
 
 #include <cmath>
@@ -98,7 +103,7 @@ int main(int argc, char **argv) {
         fprintf(stderr,
                 "usage: %s <scene_seed> <rng_seed> <out_csv> [n_water=4032] "
                 "[steps=1000000] [pfreq=1000] [tcp=250000] "
-                "[moment_scale=1]\n",
+                "[moment_scale=1] [d_scale=1]\n",
                 argv[0]);
         return 2;
     }
@@ -110,6 +115,7 @@ int main(int argc, char **argv) {
     int pfreq = argc > 6 ? atoi(argv[6]) : 1000;
     long tcp = argc > 7 ? atol(argv[7]) : 250000;
     double mscale = argc > 8 ? atof(argv[8]) : 1.0;
+    double dstd = sqrt(argc > 9 ? atof(argv[9]) : 1.0);
     if (n_water > p.num_water) n_water = p.num_water;
     long n_windows = steps / pfreq;
 
@@ -161,7 +167,8 @@ int main(int argc, char **argv) {
                 double dy = U(prng) * 2 - 1.0;
                 double dz = U(prng) * 2 - 1.0;
                 double norm =
-                    N(prng) * (w.in_cell ? p.in_stdev : p.out_stdev);
+                    N(prng) * (w.in_cell ? p.in_stdev : p.out_stdev)
+                    * dstd;
                 double nC = norm / sqrt(NORMSQ(dx, dy, dz));
                 w.x += dx * nC;
                 w.y += dy * nC;

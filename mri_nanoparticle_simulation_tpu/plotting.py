@@ -1,0 +1,198 @@
+"""Publication plots for the simulator's CSV products (``mri-t2-plot``).
+
+The reference's data product is a bare CSV eyeballed in external tools
+(README.md:16 suggests gnuplot-style offline plotting); this module
+closes the loop: decay curves (the reference schema ``time_ms,sum_cos``
+with our optional quadrature column) and fitted dispersion tables
+(``--fit-t2`` / ``--fit-r2`` output) render to PNG with a consistent,
+colorblind-validated style.
+
+Style notes (the repo-wide data-viz conventions):
+
+* one chart form per job — decay curves are change-over-time (lines);
+  dispersion tables are a few ordered numeric points (line + markers);
+* ONE y-axis per figure, never a dual axis;
+* categorical series colors come from a fixed, validated palette and
+  are assigned in slot order (never cycled, never rainbow);
+* thin 2-pt lines, recessive grid, text in ink colors (never the series
+  color), a legend whenever there are >= 2 series (a single series is
+  named by the title instead).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+#: fixed categorical slot order (validated default palette: lightness
+#: band, chroma floor, CVD-pair and normal-vision separation, contrast
+#: on the light surface — see the palette's provenance note)
+SERIES = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100",
+          "#e87ba4", "#008300", "#4a3aa7"]
+SURFACE = "#fcfcfb"
+INK = "#0b0b0b"
+INK_2 = "#52514e"
+GRID = "#e4e3df"
+
+
+def _style_axes(ax):
+    ax.set_facecolor(SURFACE)
+    for side in ("top", "right"):
+        ax.spines[side].set_visible(False)
+    for side in ("left", "bottom"):
+        ax.spines[side].set_color(GRID)
+    ax.tick_params(colors=INK_2, labelsize=9)
+    ax.grid(True, color=GRID, linewidth=0.6, alpha=0.8)
+    ax.set_axisbelow(True)
+
+
+def _series_label(path: str) -> str:
+    base = os.path.splitext(os.path.basename(path))[0]
+    return base
+
+
+def plot_curves(csv_paths: Sequence[str], out_png: str,
+                num_water: Optional[int] = None,
+                title: Optional[str] = None,
+                logy: bool = False) -> str:
+    """One decay-curve figure: each CSV (reference schema, cos column;
+    quadrature column ignored for the magnitude trace) becomes a line.
+    ``num_water`` normalizes sum_cos to m(t) in [0, 1]; omitted, the
+    raw sums are plotted."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if len(csv_paths) > len(SERIES):
+        raise ValueError(
+            f"{len(csv_paths)} curves exceed the fixed {len(SERIES)}-slot "
+            f"palette; fold extra runs into separate figures (hues are "
+            f"never generated or cycled)")
+    fig, ax = plt.subplots(figsize=(7.0, 4.2), dpi=160)
+    fig.patch.set_facecolor(SURFACE)
+    _style_axes(ax)
+    for i, path in enumerate(csv_paths):
+        d = np.loadtxt(path, delimiter=",", ndmin=2)
+        y = d[:, 1] / (num_water or 1)
+        ax.plot(d[:, 0], y, color=SERIES[i], linewidth=2.0,
+                label=_series_label(path))
+    ax.set_xlabel("time (ms)", color=INK_2, fontsize=10)
+    ax.set_ylabel("m(t) = Σcos φ" + (" / W" if num_water else ""),
+                  color=INK_2, fontsize=10)
+    if logy:
+        ax.set_yscale("log")
+    if title:
+        ax.set_title(title, color=INK, fontsize=12, loc="left")
+    if len(csv_paths) >= 2:
+        leg = ax.legend(frameon=False, fontsize=9, loc="best")
+        for t in leg.get_texts():
+            t.set_color(INK)
+    fig.tight_layout()
+    fig.savefig(out_png, facecolor=SURFACE)
+    plt.close(fig)
+    return out_png
+
+
+def plot_dispersion(table_path: str, out_png: str,
+                    ycol: str = "r2_per_ms",
+                    title: Optional[str] = None) -> str:
+    """Dispersion-table figure (``--fit-t2`` / ``--fit-r2`` output):
+    ``ycol`` against the FIRST knob column; tables with extra knob
+    columns (a --sweep-grid surface) get one line per distinct value
+    combination of the remaining knobs.  nan rows (unfittable points)
+    are dropped from their series."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with open(table_path) as f:
+        rows = list(csv.reader(f))
+    header, data = rows[0], rows[1:]
+    fit_cols = ("r2_per_ms", "t2_ms", "r_squared", "n_echoes")
+    knobs = [c for c in header if c not in fit_cols]
+    if not knobs:
+        raise ValueError(f"no knob columns in {table_path} ({header})")
+    if ycol not in header:
+        raise ValueError(f"column {ycol!r} not in {table_path} ({header})")
+    xi = header.index(knobs[0])
+    yi = header.index(ycol)
+    rest = [header.index(k) for k in knobs[1:]]
+
+    groups: dict = {}
+    for r in data:
+        key = tuple(r[j] for j in rest)
+        groups.setdefault(key, []).append((float(r[xi]), float(r[yi])))
+    if len(groups) > len(SERIES):
+        raise ValueError(
+            f"{len(groups)} series exceed the fixed {len(SERIES)}-slot "
+            f"palette; facet the surface into multiple figures instead")
+
+    fig, ax = plt.subplots(figsize=(6.0, 4.0), dpi=160)
+    fig.patch.set_facecolor(SURFACE)
+    _style_axes(ax)
+    for i, (key, pts) in enumerate(groups.items()):
+        pts = sorted(p for p in pts if np.isfinite(p[1]))
+        if not pts:
+            continue
+        xs, ys = zip(*pts)
+        label = ", ".join(f"{k}={v}" for k, v in zip(knobs[1:], key)) \
+            or ycol
+        ax.plot(xs, ys, color=SERIES[i], linewidth=2.0, marker="o",
+                markersize=5.5, label=label)
+    ax.set_xlabel(knobs[0], color=INK_2, fontsize=10)
+    unit = {"r2_per_ms": "R2 (1/ms)", "t2_ms": "T2 (ms)",
+            "r_squared": "fit R²", "n_echoes": "echoes"}.get(ycol, ycol)
+    ax.set_ylabel(unit, color=INK_2, fontsize=10)
+    if title:
+        ax.set_title(title, color=INK, fontsize=12, loc="left")
+    if len(groups) >= 2:
+        leg = ax.legend(frameon=False, fontsize=9, loc="best")
+        for t in leg.get_texts():
+            t.set_color(INK)
+    fig.tight_layout()
+    fig.savefig(out_png, facecolor=SURFACE)
+    plt.close(fig)
+    return out_png
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description="Plot simulator CSV products: decay curves or "
+                    "fitted dispersion tables -> PNG")
+    ap.add_argument("inputs", nargs="+",
+                    help="T2 CSVs (decay curves, one line each) or, "
+                         "with --table, ONE dispersion table")
+    ap.add_argument("--out", required=True, help="output PNG path")
+    ap.add_argument("--table", action="store_true",
+                    help="inputs[0] is a --fit-t2/--fit-r2 dispersion "
+                         "table (r2/t2 vs the swept knob) instead of "
+                         "decay CSVs")
+    ap.add_argument("--ycol", default="r2_per_ms",
+                    choices=["r2_per_ms", "t2_ms", "r_squared"],
+                    help="table column to plot (with --table)")
+    ap.add_argument("--num-water", type=int, default=None,
+                    help="normalize sum_cos by the walker count")
+    ap.add_argument("--title", default=None)
+    ap.add_argument("--logy", action="store_true",
+                    help="log magnetization axis (decay curves)")
+    args = ap.parse_args(argv)
+
+    if args.table:
+        if len(args.inputs) != 1:
+            ap.error("--table plots ONE dispersion table")
+        plot_dispersion(args.inputs[0], args.out, ycol=args.ycol,
+                        title=args.title)
+    else:
+        plot_curves(args.inputs, args.out, num_water=args.num_water,
+                    title=args.title, logy=args.logy)
+    print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

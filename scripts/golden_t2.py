@@ -59,40 +59,44 @@ TCP = 125_000
 MSCALE = 20.0
 
 
-def oracle_csv(work_dir: str, trial: int) -> str:
-    return os.path.join(work_dir, f"oracle_{trial}.csv")
+def oracle_csv(work_dir: str, trial: int, d_scale: float = 1.0) -> str:
+    tag = "" if d_scale == 1.0 else f"_d{d_scale:g}"
+    return os.path.join(work_dir, f"oracle{tag}_{trial}.csv")
 
 
-def run_oracle_trials(work_dir: str, n_trials: int):
+def run_oracle_trials(work_dir: str, n_trials: int,
+                      d_scale: float = 1.0):
     exe = os.path.join(GOLDEN, "build", "ref_t2_oracle")
     if not os.path.exists(exe):
         subprocess.run(["bash", os.path.join(GOLDEN, "build.sh")],
                        check=True, capture_output=True)
     for t in range(n_trials):
-        path = oracle_csv(work_dir, t)
+        path = oracle_csv(work_dir, t, d_scale)
         if os.path.exists(path):
             continue
-        print(f"[oracle] trial {t} ...", file=sys.stderr, flush=True)
+        print(f"[oracle] trial {t} (d_scale={d_scale:g}) ...",
+              file=sys.stderr, flush=True)
         subprocess.run(
             [exe, str(5000 + t), str(900 + t), path, str(N_WATER),
-             str(STEPS), str(PFREQ), str(TCP), str(MSCALE)],
+             str(STEPS), str(PFREQ), str(TCP), str(MSCALE),
+             str(d_scale)],
             check=True, capture_output=True)
 
 
-def load_oracle(work_dir: str):
+def load_oracle(work_dir: str, d_scale: float = 1.0):
     curves = []
     t = 0
-    while os.path.exists(oracle_csv(work_dir, t)):
-        d = np.loadtxt(oracle_csv(work_dir, t), delimiter=",")
+    while os.path.exists(oracle_csv(work_dir, t, d_scale)):
+        d = np.loadtxt(oracle_csv(work_dir, t, d_scale), delimiter=",")
         curves.append(d[:, 1] / N_WATER)
         t += 1
     if not curves:
         raise SystemExit("no oracle CSVs found; run without --skip-oracle")
     return np.asarray(curves), np.loadtxt(
-        oracle_csv(work_dir, 0), delimiter=",")[:, 0]
+        oracle_csv(work_dir, 0, d_scale), delimiter=",")[:, 0]
 
 
-def run_framework_trials(n_trials: int):
+def run_framework_trials(n_trials: int, d_scale: float = 1.0):
     """Production engine (pallas, hardware RNG when on TPU), matched
     params: as-written kick + cube direction + per-window CP schedule —
     the reference-physics compatibility mode."""
@@ -114,7 +118,8 @@ def run_framework_trials(n_trials: int):
     _, cos, _, _ = ensemble.run_ensemble(
         p, n_trials=n_trials, base_seed=7000, run_seed=8000,
         engine="pallas",
-        rng_impl="hardware" if on_tpu else "threefry")
+        rng_impl="hardware" if on_tpu else "threefry",
+        d_scales=None if d_scale == 1.0 else [d_scale] * n_trials)
     return np.asarray(cos)[:, :] / N_WATER
 
 
@@ -125,14 +130,20 @@ def main():
     ap.add_argument("--skip-oracle", action="store_true",
                     help="reuse cached oracle CSVs only")
     ap.add_argument("--out", default="GOLDEN_T2.json")
+    ap.add_argument("--d-scale", type=float, default=1.0,
+                    help="diffusion scale applied to BOTH arms: the "
+                         "oracle scales the reference's derived stdevs "
+                         "by sqrt(d), the framework rides its d_scale "
+                         "launch scalar — the reference-physics "
+                         "equivalence arm for the runtime D axis")
     args = ap.parse_args()
     os.makedirs(args.work_dir, exist_ok=True)
 
     if not args.skip_oracle:
-        run_oracle_trials(args.work_dir, args.trials)
-    oracle, times = load_oracle(args.work_dir)
+        run_oracle_trials(args.work_dir, args.trials, args.d_scale)
+    oracle, times = load_oracle(args.work_dir, args.d_scale)
     print(f"[framework] {args.trials} trials ...", file=sys.stderr)
-    ours = run_framework_trials(args.trials)
+    ours = run_framework_trials(args.trials, args.d_scale)
     n = min(oracle.shape[1], ours.shape[1])
     oracle, ours = oracle[:, :n], ours[:, :n]
 
@@ -148,6 +159,7 @@ def main():
     report = {
         "config": {"n_water": N_WATER, "steps": STEPS, "pfreq": PFREQ,
                    "tcp": TCP, "moment_scale": MSCALE,
+                   "d_scale": args.d_scale,
                    "oracle_trials": int(len(oracle)),
                    "framework_trials": int(len(ours))},
         "oracle_final_mean": float(mo[-1]),

@@ -1,0 +1,71 @@
+"""mri-t2-plot: decay-curve and dispersion-table figures (plotting.py)."""
+
+import numpy as np
+import pytest
+
+from mri_nanoparticle_simulation_tpu import plotting
+
+
+def _curve_csv(path, t2=0.01, w=64):
+    t = np.linspace(0.001, 0.02, 20)
+    np.savetxt(path, np.c_[t, w * np.exp(-t / t2)], delimiter=",")
+    return str(path)
+
+
+def _table_csv(path):
+    path.write_text(
+        "D,taucp,r2_per_ms,t2_ms,r_squared,n_echoes\n"
+        "0.25,2.5,0.023,42.4,0.999,8\n"
+        "1,2.5,0.053,18.8,0.999,8\n"
+        "0.25,5.5,0.025,39.3,0.999,3\n"
+        "1,5.5,nan,nan,nan,0\n")
+    return str(path)
+
+
+class TestCurves:
+    def test_writes_png(self, tmp_path):
+        c1 = _curve_csv(tmp_path / "a.csv", 0.01)
+        c2 = _curve_csv(tmp_path / "b.csv", 0.005)
+        out = str(tmp_path / "curves.png")
+        assert plotting.main([c1, c2, "--out", out, "--num-water", "64",
+                              "--title", "decay"]) == 0
+        assert (tmp_path / "curves.png").stat().st_size > 10_000
+
+    def test_single_curve_no_legend(self, tmp_path):
+        c1 = _curve_csv(tmp_path / "a.csv")
+        out = str(tmp_path / "one.png")
+        assert plotting.main([c1, "--out", out, "--logy"]) == 0
+        assert (tmp_path / "one.png").stat().st_size > 5_000
+
+    def test_palette_slots_enforced(self, tmp_path):
+        """Hues are never generated or cycled: more curves than slots is
+        an error, not an improvised palette."""
+        paths = [_curve_csv(tmp_path / f"c{i}.csv") for i in range(8)]
+        with pytest.raises(ValueError, match="palette"):
+            plotting.plot_curves(paths, str(tmp_path / "x.png"))
+
+
+class TestDispersion:
+    def test_writes_png_and_drops_nan(self, tmp_path):
+        tbl = _table_csv(tmp_path / "t.csv")
+        out = str(tmp_path / "disp.png")
+        assert plotting.main([tbl, "--table", "--out", out]) == 0
+        assert (tmp_path / "disp.png").stat().st_size > 10_000
+
+    def test_t2_column(self, tmp_path):
+        tbl = _table_csv(tmp_path / "t.csv")
+        out = str(tmp_path / "t2.png")
+        assert plotting.main([tbl, "--table", "--ycol", "t2_ms",
+                              "--out", out]) == 0
+
+    def test_table_wants_one_input(self, tmp_path):
+        tbl = _table_csv(tmp_path / "t.csv")
+        with pytest.raises(SystemExit):
+            plotting.main([tbl, tbl, "--table",
+                           "--out", str(tmp_path / "x.png")])
+
+    def test_bad_column_rejected(self, tmp_path):
+        tbl = str(tmp_path / "bad.csv")
+        open(tbl, "w").write("a,b\n1,2\n")
+        with pytest.raises(ValueError, match="not in"):
+            plotting.plot_dispersion(tbl, str(tmp_path / "x.png"))
