@@ -680,6 +680,16 @@ def main(argv=None):
                     help="write a jax.profiler device trace of the run "
                          "to DIR (TensorBoard-viewable) — kernel-level "
                          "observability the reference's Timer never had")
+    ap.add_argument("--scene-file", default=None, metavar="PATH",
+                    help="simulate a user-provided geometry: a .csv of "
+                         "x,y,z cell centers (µm; dipoles, images, "
+                         "lookup table and waters are built around "
+                         "them — num_cells follows the file), or a "
+                         ".npz scene archive from scene.save_scene "
+                         "(exact array round trip; params must match). "
+                         "The reference hard-codes its generator "
+                         "(BacteriaBox.cpp) — geometry here is runtime "
+                         "data")
     ap.add_argument("--dump-stats", default=None, metavar="PATH",
                     help="write the scene statistics CSV (MNPs, waters, "
                          "cells) to PATH and exit — the reference's "
@@ -708,9 +718,30 @@ def main(argv=None):
         params = params.impermeable()
     params.validate()
 
+    custom_cells = None
+    if args.scene_file:
+        if args.scene_family != "bacteria":
+            ap.error("--scene-file IS the geometry; drop --scene-family")
+        if not args.scene_file.endswith(".npz"):
+            from ..scene import io as scene_io
+            custom_cells = scene_io.load_cells_csv(args.scene_file)
+            if len(custom_cells) != params.num_cells:
+                # the file defines the cell count; --num-cells is the
+                # generator knob and silently disagreeing would build a
+                # scene inconsistent with its params
+                params = params.replace(
+                    num_cells=len(custom_cells)).validate()
+
     def build_scene():
-        """The --scene-family geometry (None = the runner's default
-        BacteriaBox, so the production path is untouched)."""
+        """The --scene-family / --scene-file geometry (None = the
+        runner's default BacteriaBox, so the production path is
+        untouched)."""
+        if args.scene_file:
+            from ..scene import io as scene_io
+            if args.scene_file.endswith(".npz"):
+                return scene_io.load_scene(args.scene_file, params)
+            return scene_io.CustomBox(params, custom_cells,
+                                      seed=args.scene_seed).populate()
         if args.scene_family == "clustered":
             from ..scene import ClusteredBacteriaBox
             return ClusteredBacteriaBox(
@@ -794,11 +825,11 @@ def main(argv=None):
         if not (sweepish or args.ensemble > 1):
             ap.error("--walker-shards is the ensemble/sweep 2D-mesh "
                      "knob; single runs shard with --shard-walkers")
-    if args.scene_family != "bacteria" and (sweepish or
-                                            args.ensemble > 1):
-        ap.error("--scene-family is a single-run feature (ensembles/"
-                 "sweeps build their per-trial BacteriaBox scenes "
-                 "internally)")
+    if (args.scene_family != "bacteria" or args.scene_file) and \
+            (sweepish or args.ensemble > 1):
+        ap.error("--scene-family/--scene-file are single-run features "
+                 "(ensembles/sweeps build their per-trial BacteriaBox "
+                 "scenes internally)")
     # ensembles/sweeps run the same RNG the single-run path would
     # (SimulationRunner defaults to the hardware PRNG on pallas)
     if args.rng is not None:
