@@ -318,7 +318,8 @@ class SimulationRunner:
     def resume(self, path: str):
         state, seed, scene_seed = ckpt_mod.load_checkpoint(
             path, self.params, self.dtype,
-            engine=self.engine, rng_impl=self.rng_impl)
+            engine=self.engine, rng_impl=self.rng_impl,
+            scene_fp=ckpt_mod.scene_fingerprint(self.scene))
         if seed != self.seed or scene_seed != self.scene_seed:
             raise ValueError(
                 f"checkpoint seeds (run={seed}, scene={scene_seed}) do not "
@@ -412,7 +413,9 @@ class SimulationRunner:
                         ckpt_mod.save_checkpoint(
                             checkpoint_path, self.state, p, self.seed,
                             self.scene_seed, engine=self.engine,
-                            rng_impl=self.rng_impl)
+                            rng_impl=self.rng_impl,
+                            scene_fp=ckpt_mod.scene_fingerprint(
+                                self.scene))
                     self._guarded(_sync_and_save)
                 if progress and (i + 1) % max(1, n_sprints // 20) == 0:
                     done = (i + 1) * p.sprint_steps
@@ -431,7 +434,8 @@ class SimulationRunner:
                 ckpt_mod.save_checkpoint(
                     checkpoint_path, self.state, p, self.seed,
                     self.scene_seed, engine=self.engine,
-                    rng_impl=self.rng_impl)
+                    rng_impl=self.rng_impl,
+                    scene_fp=ckpt_mod.scene_fingerprint(self.scene))
         self._guarded(_final_sync)
 
         wins = np.concatenate(all_wins, 0) if all_wins else np.zeros((0, 2))

@@ -33,9 +33,22 @@ def params_fingerprint(params: Params) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
+def scene_fingerprint(scene) -> str:
+    """Content hash of the geometry the walkers move through.  With
+    user-provided scenes (--scene-file, scene.CustomBox) the
+    (params, scene_seed) pair no longer determines the geometry, so a
+    resume must check the arrays themselves — a different cells file
+    would otherwise silently continue the walk in a different box."""
+    h = hashlib.sha256()
+    for arr in (scene.cells, scene.mnps, scene.waters):
+        h.update(np.ascontiguousarray(arr).tobytes())
+    return h.hexdigest()[:16]
+
+
 def save_checkpoint(path: str, state: WalkerState, params: Params,
                     seed: int, scene_seed: int,
-                    engine: str = "", rng_impl: str = "") -> None:
+                    engine: str = "", rng_impl: str = "",
+                    scene_fp: str = "") -> None:
     """Atomic: writes to a temp file in the same directory and renames,
     so a process death mid-save can never leave a torn checkpoint (the
     elastic-recovery re-run contract depends on the file being either
@@ -63,6 +76,9 @@ def save_checkpoint(path: str, state: WalkerState, params: Params,
         # exactly the silent divergence the fingerprint exists to stop
         engine=engine,
         rng_impl=rng_impl,
+        # geometry content hash: (params, scene_seed) no longer pins
+        # the scene once --scene-file geometries exist
+        scene_fp=scene_fp,
     )
     os.replace(tmp, path)
 
@@ -76,10 +92,12 @@ def _write_npz(path: str, **arrays) -> None:
 
 def load_checkpoint(path: str, params: Params,
                     dtype=jnp.float32, engine: str = "",
-                    rng_impl: str = "") -> Tuple[WalkerState, int, int]:
+                    rng_impl: str = "",
+                    scene_fp: str = "") -> Tuple[WalkerState, int, int]:
     """Returns (state, seed, scene_seed); raises on params mismatch, and
-    on engine / rng_impl mismatch when both sides recorded one (pass the
-    resuming runner's values; empty string skips the check)."""
+    on engine / rng_impl / scene-content mismatch when both sides
+    recorded one (pass the resuming runner's values; empty string skips
+    the check)."""
     z = np.load(path)
     if int(z["version"]) not in (1, FORMAT_VERSION):
         raise ValueError(f"unknown checkpoint version {z['version']}")
@@ -97,6 +115,13 @@ def load_checkpoint(path: str, params: Params,
                 f"being resumed under {name}={ours!r}; the random "
                 f"sequence would silently diverge — resume with the "
                 f"original {name}")
+    theirs = str(z["scene_fp"]) if "scene_fp" in z.files else ""
+    if scene_fp and theirs and scene_fp != theirs:
+        raise ValueError(
+            f"checkpoint was written for a different scene (geometry "
+            f"hash {theirs} != {scene_fp}); the walk would silently "
+            f"continue in a different box — resume with the original "
+            f"scene (same --scene-file / scene seed)")
     state = WalkerState(
         pos=jnp.asarray(z["pos"], dtype),
         in_cell=jnp.asarray(z["in_cell"], bool),

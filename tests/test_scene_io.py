@@ -91,6 +91,35 @@ class TestSceneRoundTrip:
         np.testing.assert_array_equal(sc2.mnps, sc.mnps)
 
 
+class TestSceneFingerprint:
+    def test_resume_rejects_different_geometry(self, tmp_path):
+        """With user geometries, (params, scene_seed) no longer pins
+        the scene: the checkpoint's content hash must refuse a resume
+        in a different box."""
+        from mri_nanoparticle_simulation_tpu.engine.sim import \
+            SimulationRunner
+        p = _params()
+        ckpt = str(tmp_path / "c.npz")
+        sc_a = CustomBox(p, CENTERS, seed=1).populate()
+        r1 = SimulationRunner(p, scene_seed=1, seed=2, engine="scan",
+                              scene=sc_a)
+        r1.run(max_steps=p.sprint_steps, checkpoint_path=ckpt)
+
+        other = CENTERS + 0.5
+        sc_b = CustomBox(p, other, seed=1).populate()
+        r2 = SimulationRunner(p, scene_seed=1, seed=2, engine="scan",
+                              scene=sc_b)
+        with pytest.raises(ValueError, match="different scene"):
+            r2.resume(ckpt)
+
+        # the same geometry resumes fine
+        r3 = SimulationRunner(p, scene_seed=1, seed=2, engine="scan",
+                              scene=CustomBox(p, CENTERS,
+                                              seed=1).populate())
+        r3.resume(ckpt)
+        assert int(np.asarray(r3.state.step)) == p.sprint_steps
+
+
 class TestCellsCsvAndCli:
     def test_load_cells_csv(self, tmp_path):
         f = tmp_path / "cells.csv"
