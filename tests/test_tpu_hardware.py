@@ -425,3 +425,29 @@ class TestGridAotHardware:
             p, axes, engine="pallas", rng_impl="threefry", paired=True)
         assert c1.shape == (2, 2, 1, 20)
         np.testing.assert_array_equal(c1, c2)
+
+
+class TestCustomSceneHardware:
+    def test_scene_file_geometry_through_pallas(self, tmp_path):
+        """A user-provided geometry (scene.CustomBox — the --scene-file
+        path) through the real compiler, with a checkpoint round trip
+        whose scene-content fingerprint must hold."""
+        from mri_nanoparticle_simulation_tpu.io import checkpoint as ck
+        from mri_nanoparticle_simulation_tpu.scene import CustomBox
+        pp = P.small_test_params(num_water=128, totaltime=0.002,
+                                 sprint_steps=500, num_cells=3,
+                                 near_k=3)
+        centers = np.array([[2.0, 2.0, 2.0], [5.0, 5.0, 5.0],
+                            [2.0, 5.5, 3.0]])
+        sc = CustomBox(pp, centers, seed=1).populate()
+        ckpt = str(tmp_path / "c.npz")
+        r1 = SimulationRunner(pp, scene_seed=1, seed=2, engine="pallas",
+                              scene=sc)
+        _, cos, _, _ = r1.run(checkpoint_path=ckpt)
+        assert np.isfinite(cos).all()
+        # resume with a shifted geometry must be refused on content
+        sc_b = CustomBox(pp, centers + 0.25, seed=1).populate()
+        r2 = SimulationRunner(pp, scene_seed=1, seed=2, engine="pallas",
+                              scene=sc_b)
+        with pytest.raises(ValueError, match="different scene"):
+            r2.resume(ckpt)
