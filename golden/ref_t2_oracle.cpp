@@ -115,7 +115,13 @@ int main(int argc, char **argv) {
     int pfreq = argc > 6 ? atoi(argv[6]) : 1000;
     long tcp = argc > 7 ? atol(argv[7]) : 250000;
     double mscale = argc > 8 ? atof(argv[8]) : 1.0;
-    double dstd = sqrt(argc > 9 ? atof(argv[9]) : 1.0);
+    double dsc = argc > 9 ? atof(argv[9]) : 1.0;
+    if (!(dsc > 0) || dsc != dsc) {   /* atof returns 0 on garbage */
+        fprintf(stderr, "d_scale must be a positive number; got '%s'\n",
+                argc > 9 ? argv[9] : "1");
+        return 2;
+    }
+    double dstd = sqrt(dsc);
     if (n_water > p.num_water) n_water = p.num_water;
     long n_windows = steps / pfreq;
 

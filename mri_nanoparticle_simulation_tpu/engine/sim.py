@@ -138,6 +138,9 @@ class SimulationRunner:
 
         self.scene = scene if scene is not None \
             else BacteriaBox(params, seed=scene_seed).populate()
+        # geometry content hash for checkpoints: pure function of the
+        # (immutable) scene — computed once, not per periodic save
+        self._scene_fp = ckpt_mod.scene_fingerprint(self.scene)
         # whether this engine will actually consult the cube-candidate
         # tables: the pallas engine only leaves its in-kernel rebuild
         # (which never touches cubes) above REBUILD_MAX_MNPS dipoles;
@@ -319,7 +322,7 @@ class SimulationRunner:
         state, seed, scene_seed = ckpt_mod.load_checkpoint(
             path, self.params, self.dtype,
             engine=self.engine, rng_impl=self.rng_impl,
-            scene_fp=ckpt_mod.scene_fingerprint(self.scene))
+            scene_fp=self._scene_fp)
         if seed != self.seed or scene_seed != self.scene_seed:
             raise ValueError(
                 f"checkpoint seeds (run={seed}, scene={scene_seed}) do not "
@@ -414,8 +417,7 @@ class SimulationRunner:
                             checkpoint_path, self.state, p, self.seed,
                             self.scene_seed, engine=self.engine,
                             rng_impl=self.rng_impl,
-                            scene_fp=ckpt_mod.scene_fingerprint(
-                                self.scene))
+                            scene_fp=self._scene_fp)
                     self._guarded(_sync_and_save)
                 if progress and (i + 1) % max(1, n_sprints // 20) == 0:
                     done = (i + 1) * p.sprint_steps
@@ -435,7 +437,7 @@ class SimulationRunner:
                     checkpoint_path, self.state, p, self.seed,
                     self.scene_seed, engine=self.engine,
                     rng_impl=self.rng_impl,
-                    scene_fp=ckpt_mod.scene_fingerprint(self.scene))
+                    scene_fp=self._scene_fp)
         self._guarded(_final_sync)
 
         wins = np.concatenate(all_wins, 0) if all_wins else np.zeros((0, 2))

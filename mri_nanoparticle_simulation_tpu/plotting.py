@@ -76,10 +76,11 @@ def plot_curves(csv_paths: Sequence[str], out_png: str,
     fig, ax = plt.subplots(figsize=(7.0, 4.2), dpi=160)
     fig.patch.set_facecolor(SURFACE)
     _style_axes(ax)
+    from .io.writer import read_t2_csv
     for i, path in enumerate(csv_paths):
-        d = np.loadtxt(path, delimiter=",", ndmin=2)
-        y = d[:, 1] / (num_water or 1)
-        ax.plot(d[:, 0], y, color=SERIES[i], linewidth=2.0,
+        cols = read_t2_csv(path)
+        y = cols[1] / (num_water or 1)
+        ax.plot(cols[0], y, color=SERIES[i], linewidth=2.0,
                 label=_series_label(path))
     ax.set_xlabel("time (ms)", color=INK_2, fontsize=10)
     ax.set_ylabel("m(t) = Σcos φ" + (" / W" if num_water else ""),
@@ -102,10 +103,10 @@ def plot_dispersion(table_path: str, out_png: str,
                     ycol: str = "r2_per_ms",
                     title: Optional[str] = None) -> str:
     """Dispersion-table figure (``--fit-t2`` / ``--fit-r2`` output):
-    ``ycol`` against the FIRST knob column; tables with extra knob
-    columns (a --sweep-grid surface) get one line per distinct value
-    combination of the remaining knobs.  nan rows (unfittable points)
-    are dropped from their series."""
+    ``ycol`` against the knob column with the most distinct values;
+    the remaining knob columns (a --sweep-grid surface, or --fit-r2's
+    mscale) each get one line per distinct value combination.  nan
+    rows (unfittable points) are dropped from their series."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -119,9 +120,18 @@ def plot_dispersion(table_path: str, out_png: str,
         raise ValueError(f"no knob columns in {table_path} ({header})")
     if ycol not in header:
         raise ValueError(f"column {ycol!r} not in {table_path} ({header})")
-    xi = header.index(knobs[0])
+    # the x axis is the knob with the MOST distinct values — for the
+    # --fit-r2 schema (mscale,taucp_ms,...) with one mscale that is the
+    # taucp axis, for a 1-knob --fit-t2 table it is that knob, and for
+    # a grid surface the denser axis; the sparser knobs become series
+    def distinct(col):
+        j = header.index(col)
+        return len({r[j] for r in data})
+    x_knob = max(knobs, key=distinct)
+    rest_knobs = [k for k in knobs if k != x_knob]
+    xi = header.index(x_knob)
     yi = header.index(ycol)
-    rest = [header.index(k) for k in knobs[1:]]
+    rest = [header.index(k) for k in rest_knobs]
 
     groups: dict = {}
     for r in data:
@@ -140,11 +150,11 @@ def plot_dispersion(table_path: str, out_png: str,
         if not pts:
             continue
         xs, ys = zip(*pts)
-        label = ", ".join(f"{k}={v}" for k, v in zip(knobs[1:], key)) \
+        label = ", ".join(f"{k}={v}" for k, v in zip(rest_knobs, key)) \
             or ycol
         ax.plot(xs, ys, color=SERIES[i], linewidth=2.0, marker="o",
                 markersize=5.5, label=label)
-    ax.set_xlabel(knobs[0], color=INK_2, fontsize=10)
+    ax.set_xlabel(x_knob, color=INK_2, fontsize=10)
     unit = {"r2_per_ms": "R2 (1/ms)", "t2_ms": "T2 (ms)",
             "r_squared": "fit R²", "n_echoes": "echoes"}.get(ycol, ycol)
     ax.set_ylabel(unit, color=INK_2, fontsize=10)

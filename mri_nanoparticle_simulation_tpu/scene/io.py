@@ -50,6 +50,9 @@ class CustomBox(BacteriaBox):
                 f"params.num_cells ({params.num_cells}) must equal the "
                 f"provided cell count ({len(cells)}); use "
                 f"params.replace(num_cells=...)")
+        if not np.isfinite(cells).all():
+            bad = np.argwhere(~np.isfinite(cells).all(axis=1))[0][0]
+            raise ValueError(f"cell {bad} has a non-finite coordinate")
         lo, hi = params.cell_r, params.bound - params.cell_r
         if np.any(cells < lo) or np.any(cells > hi):
             raise ValueError(
@@ -57,8 +60,40 @@ class CustomBox(BacteriaBox):
                 f"axis (sphere fully inside the box)")
         self._custom_cells = cells
 
+    #: bound on rejection throws per water — generator families
+    #: guarantee free space by construction; a measured geometry does
+    #: not, and an unbounded loop would hang instead of diagnosing
+    MAX_THROWS = 100_000
+
     def init_cells(self) -> np.ndarray:
         return self._custom_cells.copy()
+
+    def init_waters(self, cells: np.ndarray) -> np.ndarray:
+        p = self.params
+        if not p.avoid_intracellular_throw:
+            return super().init_waters(cells)
+        from .box import _STREAM_WATERS
+        from .nprng import CounterRNG
+        gen = CounterRNG(self.seed, _STREAM_WATERS)
+        offset = (p.bound - p.water_start_bound) / 2.0
+        waters = np.empty((p.num_water, 3))
+        r2 = p.cell_r ** 2
+        for i in range(p.num_water):
+            for _ in range(self.MAX_THROWS):
+                xyz = offset + gen.uniform3() * p.water_start_bound
+                d2 = np.sum((cells - xyz) ** 2, axis=1)
+                if d2.min() >= r2:
+                    break
+            else:
+                raise ValueError(
+                    f"could not place water {i}: {self.MAX_THROWS} "
+                    f"throws all landed inside the provided cells — the "
+                    f"geometry covers (nearly) the whole "
+                    f"water_start_bound sub-cube; shrink the cells, "
+                    f"enlarge water_start_bound, or run with "
+                    f"avoid_intracellular_throw=False")
+            waters[i] = xyz
+        return waters
 
 
 def load_cells_csv(path: str) -> np.ndarray:
@@ -68,17 +103,36 @@ def load_cells_csv(path: str) -> np.ndarray:
     if cells.shape[1] != 3:
         raise ValueError(f"{path}: expected 3 columns (x,y,z µm), got "
                          f"{cells.shape[1]}")
+    if not np.isfinite(cells).all():
+        bad = np.argwhere(~np.isfinite(cells).all(axis=1))[0][0]
+        raise ValueError(f"{path}: row {bad} has a non-finite value")
     return cells
+
+
+#: Params fields baked into the stored scene arrays: a load under
+#: different values of THESE silently breaks the geometry's invariants
+#: (cell_r in the lookup reach and water rejection, border in the
+#: images, mmoment in the dipole column, ...).  Purely-simulation knobs
+#: (taucp, chunk_steps, D, ...) are deliberately NOT compared: re-running
+#: an archived geometry under new sequence parameters is the point.
+GEOMETRY_FIELDS = ("num_cells", "num_water", "cell_r", "bound", "border",
+                   "water_start_bound", "hash_dim", "max_neighbors",
+                   "mmoment", "avoid_intracellular_throw", "scale")
+
+
+def _geometry_repr(params: Params) -> str:
+    return ";".join(f"{n}={getattr(params, n)!r}"
+                    for n in GEOMETRY_FIELDS)
 
 
 def save_scene(scene: Scene, path: str) -> str:
     """Archive a populated Scene to ``.npz`` (arrays verbatim + the
-    params repr for a mismatch check at load)."""
+    geometry-affecting params fields for a mismatch check at load)."""
     np.savez_compressed(
         path, cells=scene.cells, mnps=scene.mnps, waters=scene.waters,
         lookup_table=scene.lookup_table,
         num_intra_mnps=np.int64(scene.num_intra_mnps),
-        params_repr=np.bytes_(repr(scene.params).encode()))
+        geom_repr=np.bytes_(_geometry_repr(scene.params).encode()))
     return path
 
 
@@ -86,20 +140,25 @@ def load_scene(path: str, params: Params,
                strict_params: bool = True) -> Scene:
     """Rebuild the exact Scene from :func:`save_scene` output.
 
-    ``strict_params`` (default) requires the loading params to equal the
-    saving params — geometry-affecting knobs baked into the stored
-    arrays (cell_r in the lookup table, border in the images, ...) would
-    silently diverge otherwise.  Pass False to adopt the stored arrays
-    under different *simulation* knobs deliberately (e.g. a new taucp —
-    but then you own the geometry consistency)."""
+    ``strict_params`` (default) requires the loading params to match
+    the saving params on the GEOMETRY-affecting fields
+    (:data:`GEOMETRY_FIELDS`) baked into the stored arrays; simulation
+    knobs (taucp, D, chunk/sprint sizing, ...) are free to differ —
+    re-running an archived geometry under new sequence parameters is
+    the point of the archive.  Pass False to skip even the geometry
+    check (then you own the consistency)."""
     with np.load(path) as z:
-        stored = bytes(z["params_repr"]).decode()
-        if strict_params and stored != repr(params):
+        stored = bytes(z["geom_repr"]).decode() \
+            if "geom_repr" in z.files else ""
+        want = _geometry_repr(params)
+        if strict_params and stored and stored != want:
+            diffs = [f"{a}  vs  {b}"
+                     for a, b in zip(stored.split(";"), want.split(";"))
+                     if a != b]
             raise ValueError(
-                f"{path} was saved under different params; pass the "
-                f"saving params (or strict_params=False to adopt the "
-                f"stored geometry deliberately).\n  stored: {stored}\n"
-                f"  given:  {params!r}")
+                f"{path} was saved under different geometry params "
+                f"(simulation knobs may differ; these may not):\n  "
+                + "\n  ".join(diffs))
         return Scene(params=params,
                      cells=z["cells"], mnps=z["mnps"],
                      waters=z["waters"],

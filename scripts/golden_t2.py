@@ -129,7 +129,10 @@ def main():
     ap.add_argument("--trials", type=int, default=8)
     ap.add_argument("--skip-oracle", action="store_true",
                     help="reuse cached oracle CSVs only")
-    ap.add_argument("--out", default="GOLDEN_T2.json")
+    ap.add_argument("--out", default=None,
+                    help="report path; default GOLDEN_T2.json, or "
+                         "GOLDEN_T2_dD.json for --d-scale != 1 so the "
+                         "d=1 baseline is never silently overwritten")
     ap.add_argument("--d-scale", type=float, default=1.0,
                     help="diffusion scale applied to BOTH arms: the "
                          "oracle scales the reference's derived stdevs "
@@ -137,6 +140,9 @@ def main():
                          "launch scalar — the reference-physics "
                          "equivalence arm for the runtime D axis")
     args = ap.parse_args()
+    if args.out is None:
+        args.out = ("GOLDEN_T2.json" if args.d_scale == 1.0
+                    else f"GOLDEN_T2_d{args.d_scale:g}.json")
     os.makedirs(args.work_dir, exist_ok=True)
 
     if not args.skip_oracle:

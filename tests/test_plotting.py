@@ -64,6 +64,24 @@ class TestDispersion:
             plotting.main([tbl, tbl, "--table",
                            "--out", str(tmp_path / "x.png")])
 
+    def test_fit_r2_schema_uses_dense_axis(self, tmp_path):
+        """--fit-r2 tables lead with a constant mscale column; the x
+        axis must be the DENSE knob (taucp_ms), not the first one —
+        otherwise every echo spacing collapses into a one-point series
+        at x=mscale."""
+        tbl = tmp_path / "r2.csv"
+        tbl.write_text(
+            "mscale,taucp_ms,r2_per_ms,t2_ms,r_squared,n_echoes\n"
+            "1,2.5,0.023,42.4,0.999,8\n"
+            "1,5.5,0.025,39.3,0.999,3\n"
+            "1,11,0.027,37.0,0.99,1\n")
+        out = str(tmp_path / "r2.png")
+        plotting.plot_dispersion(str(tbl), out)
+        # one series (single mscale) spanning the three taucp points —
+        # with mscale as x it would have been 3 one-point series and
+        # >7 spacings would even trip the palette guard
+        assert (tmp_path / "r2.png").stat().st_size > 10_000
+
     def test_bad_column_rejected(self, tmp_path):
         tbl = str(tmp_path / "bad.csv")
         open(tbl, "w").write("a,b\n1,2\n")

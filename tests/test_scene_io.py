@@ -78,17 +78,48 @@ class TestSceneRoundTrip:
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
 
     def test_params_mismatch_guard(self, tmp_path):
+        """Geometry-affecting fields are pinned; simulation knobs are
+        free — re-running an archived geometry under a new sequence is
+        the point of the archive."""
         p = _params(n_cells=4)
         sc = BacteriaBox(p, seed=3).populate()
         path = str(tmp_path / "scene.npz")
         save_scene(sc, path)
         other = p.replace(cell_r=0.4).validate()
-        with pytest.raises(ValueError, match="different params"):
+        with pytest.raises(ValueError, match="geometry params"):
             load_scene(path, other)
-        # deliberate adoption for simulation-knob changes
-        sc2 = load_scene(path, p.replace(taucp=0.001).validate(),
-                         strict_params=False)
+        # a changed SIMULATION knob (taucp) loads under the default
+        # strict check — only geometry fields are compared
+        sc2 = load_scene(path, p.replace(taucp=0.001).validate())
         np.testing.assert_array_equal(sc2.mnps, sc.mnps)
+        # strict off skips even the geometry check
+        sc3 = load_scene(path, other, strict_params=False)
+        np.testing.assert_array_equal(sc3.mnps, sc.mnps)
+
+    def test_dense_geometry_fails_loudly_not_hangs(self):
+        """A geometry covering the whole water sub-cube must raise a
+        diagnostic, not spin the rejection loop forever."""
+        from mri_nanoparticle_simulation_tpu.scene import CustomBox
+        p = _params(n_cells=1, num_water=4).replace(
+            cell_r=3.4, water_start_bound=2.0).validate()
+        # one giant cell centered on the box: the 2 µm water cube at
+        # the box center is entirely intracellular
+        center = np.array([[p.bound / 2] * 3])
+        box = CustomBox(p, center, seed=1)
+        box.MAX_THROWS = 2000
+        with pytest.raises(ValueError, match="could not place water"):
+            box.populate()
+
+    def test_nan_cells_rejected(self, tmp_path):
+        from mri_nanoparticle_simulation_tpu.scene import CustomBox
+        bad = CENTERS.copy()
+        bad[1, 2] = np.nan
+        with pytest.raises(ValueError, match="non-finite"):
+            CustomBox(_params(), bad)
+        f = tmp_path / "bad.csv"
+        f.write_text("2,2,2\n5,nan,5\n")
+        with pytest.raises(ValueError, match="non-finite"):
+            load_cells_csv(str(f))
 
 
 class TestSceneFingerprint:
