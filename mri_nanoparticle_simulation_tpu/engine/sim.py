@@ -665,6 +665,15 @@ def main(argv=None):
                          "--moment-scales into the full (moment x taucp) "
                          "plane — the reference re-ran nvcc + ~14 min of "
                          "GPU per grid point; one CSV per pair")
+    ap.add_argument("--dump-record", default=None, metavar="PATH",
+                    help="with --moment-scales/--echo-taucps: also save "
+                         "the raw per-walker decomposition record "
+                         "(times_ms, A [n,W], B [n,W] + params "
+                         "fingerprint) as .npz — a complete basis for "
+                         "offline reconstruction at ANY moment scale / "
+                         "aligned echo spacing (engine/decompose.py) "
+                         "and for closed-form inverse fits "
+                         "(inverse.fit_moment_scale_decomposed)")
     ap.add_argument("--fit-r2", default=None, metavar="PATH",
                     help="with --echo-taucps: fit each grid point's "
                          "spin-echo envelope (analysis.fit_t2 at "
@@ -801,6 +810,9 @@ def main(argv=None):
     if args.fit_r2 and not args.echo_taucps:
         ap.error("--fit-r2 is the dispersion over the --echo-taucps "
                  "grid; pass the echo spacings to fit")
+    if args.dump_record and not decomp_mode:
+        ap.error("--dump-record saves a phase-decomposition record; "
+                 "run with --moment-scales and/or --echo-taucps")
     if args.max_retries:
         if args.max_retries < 0:
             ap.error("--max-retries must be >= 0")
@@ -1029,6 +1041,15 @@ def main(argv=None):
                                              params, quadrature=True)
                 taucps_eff = taucps
         wall = time.perf_counter() - t0
+        if args.dump_record:
+            from ..io.checkpoint import params_fingerprint
+            np.savez_compressed(
+                args.dump_record, times_ms=res.times_ms,
+                A=np.asarray(res.A), B=np.asarray(res.B),
+                params_fp=params_fingerprint(params),
+                mmoment=params.mmoment, seed=args.seed)
+            print(f"Decomposition record written: {args.dump_record} "
+                  f"(A/B {np.asarray(res.A).shape})", file=sys.stderr)
         import os
         stem, ext = os.path.splitext(csv_path)
         for si, s in enumerate(scales):

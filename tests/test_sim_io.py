@@ -364,6 +364,30 @@ class TestCliMomentScales:
             "--mmoment", "3.5e-13",
             "--engine", "scan", "--rng", "threefry"]
 
+    def test_dump_record_reconstructs_csvs(self, tmp_path):
+        """--dump-record: the saved (A, B) basis reconstructs the CSVs
+        the run itself wrote (closed-form, offline)."""
+        from mri_nanoparticle_simulation_tpu.engine.decompose import \
+            curves_at_scales
+        out = str(tmp_path / "rec.csv")
+        rec = str(tmp_path / "record.npz")
+        rc = sim.main(self.ARGS + ["--moment-scales", "1,2",
+                                   "--dump-record", rec, "--out", out])
+        assert rc == 0
+        with np.load(rec) as z:
+            assert z["A"].shape == z["B"].shape == (2, 32)
+            curves = curves_at_scales(z["A"], z["B"], [1.0, 2.0])
+        for si, sc in enumerate(("1", "2")):
+            d = np.loadtxt(str(tmp_path / f"rec_mscale={sc}.csv"),
+                           delimiter=",")
+            np.testing.assert_allclose(curves[si] * 32, d[:, 1],
+                                       atol=1e-3)
+
+    def test_dump_record_requires_decomposition(self, tmp_path):
+        with pytest.raises(SystemExit):
+            sim.main(["--dump-record", str(tmp_path / "r.npz"),
+                      "--out", str(tmp_path / "x.csv")])
+
     def test_moment_scales_reconstructs_direct_run(self, tmp_path):
         """--moment-scales: ONE decomposition run reconstructs the curve
         at each scale; at s=1 it must match a direct run of the same
