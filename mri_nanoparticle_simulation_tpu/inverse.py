@@ -440,6 +440,36 @@ def fit_moment_scale_decomposed(target, A, B, *, mmoment: float = None,
     )
 
 
+def fit_from_record(record_path: str, target_csv: str, *,
+                    init_scale: float = 1.0, iters: int = 200,
+                    lr: float = 0.1) -> MomentFitResult:
+    """Closed-form moment recovery from SAVED artifacts: a
+    decomposition record (``mri-t2-sim --dump-record``) and an observed
+    decay curve (reference CSV schema).  The measured workflow: simulate
+    the basis once at production speed, then fit any number of measured
+    curves offline — no simulator in the loop.
+
+    The target's sum_cos column is normalized by the record's walker
+    count; its rows must cover at least the record's windows (extra
+    tail rows are ignored; times are trusted to align — both sides are
+    window-gridded by construction)."""
+    from .io.writer import read_t2_csv
+
+    with np.load(record_path) as z:
+        A, B = z["A"], z["B"]
+        mmoment = float(z["mmoment"]) if "mmoment" in z.files else None
+    cols = read_t2_csv(target_csv)
+    n, w = A.shape
+    if len(cols[0]) < n:
+        raise ValueError(
+            f"target has {len(cols[0])} rows but the record holds {n} "
+            f"windows; the measured curve must cover the record")
+    target = np.asarray(cols[1][:n], np.float64) / w
+    return fit_moment_scale_decomposed(
+        target, A, B, mmoment=mmoment, init_scale=init_scale,
+        iters=iters, lr=lr)
+
+
 def main(argv=None) -> int:
     """CLI demo: ``mri-t2-invert`` — simulate a target curve at a hidden
     moment scale, then recover it by gradient descent from 1.0."""
@@ -472,7 +502,30 @@ def main(argv=None) -> int:
                     help="which physical parameter to recover: the "
                          "nanoparticle moment (default) or the global "
                          "diffusion-coefficient scale (ADC)")
+    ap.add_argument("--record", default=None, metavar="NPZ",
+                    help="fit against a SAVED decomposition record "
+                         "(mri-t2-sim --dump-record): closed-form "
+                         "moment recovery from real data — pass the "
+                         "measured curve via --target")
+    ap.add_argument("--target", default=None, metavar="CSV",
+                    help="with --record: the observed decay curve "
+                         "(reference CSV schema time_ms,sum_cos; "
+                         "normalized by the record's walker count)")
     args = ap.parse_args(argv)
+    if (args.record is None) != (args.target is None):
+        ap.error("--record and --target go together (record = the "
+                 "simulation basis, target = the measured curve)")
+    if args.record:
+        if args.axis != "moment" or args.method == "crn":
+            ap.error("--record is the moment axis's closed-form basis "
+                     "(phase = s*A + B); D fits need fresh simulation")
+        fit = fit_from_record(args.record, args.target,
+                              init_scale=args.init_scale,
+                              iters=max(args.iters, 150), lr=args.lr)
+        print(f"recovered moment scale = {fit.scale:.5f} "
+              f"(absolute moment {fit.mmoment:.4e}), "
+              f"loss {fit.loss:.3e}")
+        return 0
     if not args.true_scale > 0 or not args.init_scale > 0:
         ap.error("scales must be > 0")
     if args.axis == "D":

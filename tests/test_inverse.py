@@ -85,6 +85,41 @@ class TestDecomposedRecovery:
         assert "recovered scale" in out
 
 
+class TestRecordFit:
+    """The measured-data workflow: mri-t2-sim --dump-record produces the
+    basis once; inverse.fit_from_record fits observed CSVs offline."""
+
+    def test_fit_saved_record_against_written_csv(self, tmp_path):
+        from mri_nanoparticle_simulation_tpu.engine import sim
+        out = str(tmp_path / "ms.csv")
+        rec = str(tmp_path / "rec.npz")
+        rc = sim.main(["--num-water", "32", "--num-cells", "8",
+                       "--totaltime", "0.002", "--sprint-steps", "1000",
+                       "--chunk-steps", "100", "--near-k", "6",
+                       "--taucp", "0.001", "--hash-dim", "8",
+                       "--mmoment", "3.5e-13", "--engine", "scan",
+                       "--rng", "threefry",
+                       "--moment-scales", "1,2.5",
+                       "--dump-record", rec, "--out", out])
+        assert rc == 0
+        # the mscale=2.5 CSV is 'the measurement'; the record is the basis
+        fit = inv.fit_from_record(rec,
+                                  str(tmp_path / "ms_mscale=2.5.csv"))
+        assert abs(fit.scale - 2.5) / 2.5 < 0.01
+        assert fit.mmoment == pytest.approx(fit.scale * 3.5e-13)
+        # and through the CLI
+        assert inv.main(["--record", rec, "--target",
+                         str(tmp_path / "ms_mscale=2.5.csv")]) == 0
+
+    def test_record_and_target_go_together(self, tmp_path):
+        with pytest.raises(SystemExit):
+            inv.main(["--record", str(tmp_path / "r.npz")])
+        with pytest.raises(SystemExit):
+            inv.main(["--record", str(tmp_path / "r.npz"),
+                      "--target", str(tmp_path / "t.csv"),
+                      "--axis", "D"])
+
+
 class TestDiffusionRecovery:
     """ADC recovery: gradient descent in the diffusion coefficient —
     the parameter that BENDS trajectories (no decomposition shortcut
