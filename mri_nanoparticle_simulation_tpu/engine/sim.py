@@ -1047,7 +1047,11 @@ def main(argv=None):
                 args.dump_record, times_ms=res.times_ms,
                 A=np.asarray(res.A), B=np.asarray(res.B),
                 params_fp=params_fingerprint(params),
-                mmoment=params.mmoment, seed=args.seed)
+                mmoment=params.mmoment, seed=args.seed,
+                # the knobs offline echo-axis reconstruction needs
+                # (decompose.curves_at_plane / window_increments)
+                taucp=params.taucp, tau=params.tau,
+                pfreq=params.pfreq)
             print(f"Decomposition record written: {args.dump_record} "
                   f"(A/B {np.asarray(res.A).shape})", file=sys.stderr)
         import os
