@@ -220,6 +220,41 @@ def curves_at_plane(A, B, scales, taucps, params: Params,
                               quadrature=quadrature)
 
 
+def record_params(path: str) -> Params:
+    """A minimal Params consistent with a saved record
+    (``mri-t2-sim --dump-record``): the time axis and echo knobs the
+    reconstruction math needs; every other field is an unused default.
+    Raises if the record predates the knob fields."""
+    with np.load(path) as z:
+        for k in ("taucp", "tau", "pfreq"):
+            if k not in z.files:
+                raise ValueError(
+                    f"{path} lacks {k!r}; re-dump the record with a "
+                    f"current build to reconstruct offline")
+        n = z["A"].shape[0]
+        taucp, tau = float(z["taucp"]), float(z["tau"])
+        pfreq = int(z["pfreq"])
+    pi = pfreq * tau
+    return Params(totaltime=n * pi, print_interval=pi, tau=tau,
+                  taucp=taucp, sprint_steps=n * pfreq,
+                  chunk_steps=pfreq).validate()
+
+
+def reconstruct_record(path: str, scales, taucps=None,
+                       quadrature: bool = False):
+    """Offline reconstruction from a saved record file alone: curves
+    at each moment scale (``taucps=None``) or over the full
+    (moment x taucp) plane — no simulator, no original Params object.
+    Returns what :func:`curves_at_scales` / :func:`curves_at_plane`
+    return (normalized per-walker means)."""
+    with np.load(path) as z:
+        A, B = z["A"], z["B"]
+    if taucps is None:
+        return curves_at_scales(A, B, scales, quadrature=quadrature)
+    return curves_at_plane(A, B, scales, taucps, record_params(path),
+                           quadrature=quadrature)
+
+
 def curves_at_scales(A, B, scales, quadrature: bool = False):
     """Reconstruct normalized magnetization curves at each moment scale:
     ``curves[s, t] = mean_i cos(scales[s] * A[t, i] + B[t, i])``

@@ -383,6 +383,28 @@ class TestCliMomentScales:
             np.testing.assert_allclose(curves[si] * 32, d[:, 1],
                                        atol=1e-3)
 
+    def test_record_reconstructs_offline_without_params(self, tmp_path):
+        """decompose.reconstruct_record: the npz alone (knob fields
+        included) reconstructs the echo plane — no original Params
+        object, no simulator."""
+        from mri_nanoparticle_simulation_tpu.engine.decompose import \
+            reconstruct_record
+        out = str(tmp_path / "r.csv")
+        rec = str(tmp_path / "record.npz")
+        rc = sim.main(self.ARGS + ["--moment-scales", "1,2",
+                                   "--echo-taucps", "0.001,0.002",
+                                   "--dump-record", rec, "--out", out])
+        assert rc == 0
+        plane = reconstruct_record(rec, [1.0, 2.0], [0.001, 0.002])
+        for si, sc in enumerate(("1", "2")):
+            for ti, tc in enumerate(("0.001", "0.002")):
+                d = np.loadtxt(
+                    str(tmp_path / f"r_mscale={sc}_taucp={tc}.csv"),
+                    delimiter=",")
+                np.testing.assert_allclose(
+                    np.asarray(plane[si, ti]) * 32, d[:, 1],
+                    atol=1e-3)
+
     def test_dump_record_requires_decomposition(self, tmp_path):
         with pytest.raises(SystemExit):
             sim.main(["--dump-record", str(tmp_path / "r.npz"),
