@@ -220,7 +220,7 @@ def curves_at_plane(A, B, scales, taucps, params: Params,
                               quadrature=quadrature)
 
 
-def record_params(path: str) -> Params:
+def record_params(path: str, n_windows: int = None) -> Params:
     """A minimal Params consistent with a saved record
     (``mri-t2-sim --dump-record``): the time axis and echo knobs the
     reconstruction math needs; every other field is an unused default.
@@ -231,9 +231,12 @@ def record_params(path: str) -> Params:
                 raise ValueError(
                     f"{path} lacks {k!r}; re-dump the record with a "
                     f"current build to reconstruct offline")
-        n = z["A"].shape[0]
+        n = (z["A"].shape[0] if n_windows is None else n_windows)
         taucp, tau = float(z["taucp"]), float(z["tau"])
         pfreq = int(z["pfreq"])
+    if n == 0:
+        raise ValueError(f"{path} holds an empty record (0 windows); "
+                         f"nothing to reconstruct")
     pi = pfreq * tau
     return Params(totaltime=n * pi, print_interval=pi, tau=tau,
                   taucp=taucp, sprint_steps=n * pfreq,
@@ -251,7 +254,10 @@ def reconstruct_record(path: str, scales, taucps=None,
         A, B = z["A"], z["B"]
     if taucps is None:
         return curves_at_scales(A, B, scales, quadrature=quadrature)
-    return curves_at_plane(A, B, scales, taucps, record_params(path),
+    # pass the window count: record_params would otherwise decompress
+    # the (potentially GB-scale) A array a second time just for shape
+    return curves_at_plane(A, B, scales, taucps,
+                           record_params(path, n_windows=A.shape[0]),
                            quadrature=quadrature)
 
 

@@ -810,9 +810,19 @@ def main(argv=None):
     if args.fit_r2 and not args.echo_taucps:
         ap.error("--fit-r2 is the dispersion over the --echo-taucps "
                  "grid; pass the echo spacings to fit")
-    if args.dump_record and not decomp_mode:
-        ap.error("--dump-record saves a phase-decomposition record; "
-                 "run with --moment-scales and/or --echo-taucps")
+    if args.dump_record:
+        if not decomp_mode:
+            ap.error("--dump-record saves a phase-decomposition record; "
+                     "run with --moment-scales and/or --echo-taucps")
+        import os as _os
+        _d = _os.path.dirname(_os.path.abspath(args.dump_record)) or "."
+        if not _os.path.isdir(_d):
+            # fail fast: discovering an unwritable path AFTER a
+            # multi-hour decomposition run would lose everything
+            ap.error(f"--dump-record directory does not exist: {_d}")
+        if not args.dump_record.endswith(".npz"):
+            args.dump_record += ".npz"   # np.savez appends it anyway;
+            # keep the printed path identical to the file on disk
     if args.max_retries:
         if args.max_retries < 0:
             ap.error("--max-retries must be >= 0")
@@ -1041,19 +1051,6 @@ def main(argv=None):
                                              params, quadrature=True)
                 taucps_eff = taucps
         wall = time.perf_counter() - t0
-        if args.dump_record:
-            from ..io.checkpoint import params_fingerprint
-            np.savez_compressed(
-                args.dump_record, times_ms=res.times_ms,
-                A=np.asarray(res.A), B=np.asarray(res.B),
-                params_fp=params_fingerprint(params),
-                mmoment=params.mmoment, seed=args.seed,
-                # the knobs offline echo-axis reconstruction needs
-                # (decompose.curves_at_plane / window_increments)
-                taucp=params.taucp, tau=params.tau,
-                pfreq=params.pfreq)
-            print(f"Decomposition record written: {args.dump_record} "
-                  f"(A/B {np.asarray(res.A).shape})", file=sys.stderr)
         import os
         stem, ext = os.path.splitext(csv_path)
         for si, s in enumerate(scales):
@@ -1074,6 +1071,21 @@ def main(argv=None):
                     w.append_windows(0, wins)
                 print(f"  mscale={s:g} taucp={t_cp:g}: wrote {path}",
                       file=sys.stderr)
+        if args.dump_record:
+            # after the CSVs: a dump failure must never cost the run's
+            # primary products
+            from ..io.checkpoint import params_fingerprint
+            np.savez_compressed(
+                args.dump_record, times_ms=res.times_ms,
+                A=np.asarray(res.A), B=np.asarray(res.B),
+                params_fp=params_fingerprint(params),
+                mmoment=params.mmoment, seed=args.seed,
+                # the knobs offline echo-axis reconstruction needs
+                # (decompose.record_params / curves_at_plane)
+                taucp=params.taucp, tau=params.tau,
+                pfreq=params.pfreq)
+            print(f"Decomposition record written: {args.dump_record} "
+                  f"(A/B {np.asarray(res.A).shape})", file=sys.stderr)
         if args.fit_r2:
             from .. import analysis
             with open(args.fit_r2, "w") as f:

@@ -457,6 +457,7 @@ def fit_from_record(record_path: str, target_csv: str, *,
 
     with np.load(record_path) as z:
         A, B = z["A"], z["B"]
+        times = z["times_ms"] if "times_ms" in z.files else None
         mmoment = float(z["mmoment"]) if "mmoment" in z.files else None
     cols = read_t2_csv(target_csv)
     n, w = A.shape
@@ -464,7 +465,18 @@ def fit_from_record(record_path: str, target_csv: str, *,
         raise ValueError(
             f"target has {len(cols[0])} rows but the record holds {n} "
             f"windows; the measured curve must cover the record")
+    if times is not None and not np.allclose(cols[0][:n], times,
+                                             rtol=1e-9, atol=1e-9):
+        raise ValueError(
+            f"target time axis does not match the record's windows "
+            f"(target starts {cols[0][:3]}, record {times[:3]} ms); "
+            f"resample the measurement onto the record's output grid")
     target = np.asarray(cols[1][:n], np.float64) / w
+    if np.max(np.abs(target)) > 1.0 + 1e-3:
+        raise ValueError(
+            f"normalized target reaches {np.max(np.abs(target)):.3g} "
+            f"(> 1): the CSV's sums were not produced by the record's "
+            f"{w} walkers — check the measurement's walker count")
     return fit_moment_scale_decomposed(
         target, A, B, mmoment=mmoment, init_scale=init_scale,
         iters=iters, lr=lr)
@@ -519,9 +531,11 @@ def main(argv=None) -> int:
         if args.axis != "moment" or args.method == "crn":
             ap.error("--record is the moment axis's closed-form basis "
                      "(phase = s*A + B); D fits need fresh simulation")
+        if not args.init_scale > 0:
+            ap.error("scales must be > 0")
         fit = fit_from_record(args.record, args.target,
                               init_scale=args.init_scale,
-                              iters=max(args.iters, 150), lr=args.lr)
+                              iters=args.iters, lr=args.lr)
         print(f"recovered moment scale = {fit.scale:.5f} "
               f"(absolute moment {fit.mmoment:.4e}), "
               f"loss {fit.loss:.3e}")

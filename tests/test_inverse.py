@@ -111,6 +111,24 @@ class TestRecordFit:
         assert inv.main(["--record", rec, "--target",
                          str(tmp_path / "ms_mscale=2.5.csv")]) == 0
 
+    def test_mismatched_target_rejected(self, tmp_path):
+        """A target on the wrong time grid or wrong walker count must
+        fail loudly, not fit to a confident wrong scale."""
+        rec = str(tmp_path / "r.npz")
+        np.savez_compressed(rec, times_ms=np.array([0.001, 0.002]),
+                            A=np.zeros((2, 32)), B=np.zeros((2, 32)),
+                            mmoment=3.5e-13)
+        shifted = tmp_path / "shifted.csv"
+        np.savetxt(shifted, np.c_[[0.0005, 0.0015], [32.0, 32.0]],
+                   delimiter=",")
+        with pytest.raises(ValueError, match="time axis"):
+            inv.fit_from_record(rec, str(shifted))
+        wrong_w = tmp_path / "wrongw.csv"
+        np.savetxt(wrong_w, np.c_[[0.001, 0.002], [4032.0, 4032.0]],
+                   delimiter=",")
+        with pytest.raises(ValueError, match="walker count"):
+            inv.fit_from_record(rec, str(wrong_w))
+
     def test_record_and_target_go_together(self, tmp_path):
         with pytest.raises(SystemExit):
             inv.main(["--record", str(tmp_path / "r.npz")])
