@@ -138,15 +138,29 @@ def run_simulation_multihost(scene, params, mesh=None, seed: int = 0,
     return times, wins[:, 0], wins[:, 1], state
 
 
-def local_trial_mesh(n_trials: int):
+def local_trial_mesh(n_trials: int, walker_shards: int = 1):
     """Right-sized trial mesh over THIS process's local devices (the
     cross-host ensemble layout: a trial's whole computation stays on one
     host's devices; only final curves cross DCN).  Same right-sizing rule
-    as ensemble._trial_mesh, restricted to local devices."""
+    as ensemble._trial_mesh, restricted to local devices;
+    ``walker_shards`` > 1 returns the 2D (trials x walkers) local mesh
+    — trials across hosts, walkers over each host's ICI-adjacent
+    devices, the full pod layout."""
     import jax
     from jax.sharding import Mesh
-    from . import ensemble
+    from . import ensemble, sharding
     devs = jax.local_devices()
+    if walker_shards > 1:
+        if len(devs) % walker_shards != 0 or walker_shards > len(devs):
+            raise ValueError(
+                f"walker_shards ({walker_shards}) must divide this "
+                f"process's local device count ({len(devs)})")
+        avail = len(devs) // walker_shards
+        rounds = -(-n_trials // avail)
+        d = -(-n_trials // rounds)
+        return Mesh(np.asarray(devs[:d * walker_shards]).reshape(
+            d, walker_shards),
+            (ensemble.TRIAL_AXIS, sharding.WALKER_AXIS))
     rounds = -(-n_trials // len(devs))
     d = -(-n_trials // rounds)
     return Mesh(np.asarray(devs[:d]), (ensemble.TRIAL_AXIS,))
@@ -157,7 +171,8 @@ def run_ensemble_multihost(params, n_trials: int, base_seed: int = 0,
                            rng_impl: str = "threefry", dtype=None,
                            max_steps=None, mmoments=None, taucps=None,
                            cell_rs=None, d_scales=None,
-                           scene_seeds=None, run_seeds=None):
+                           scene_seeds=None, run_seeds=None,
+                           walker_shards: int = 1):
     """Multi-trial ensemble partitioned across hosts over DCN.
 
     Trials [0, n_trials) are split into contiguous blocks, one per
@@ -209,14 +224,15 @@ def run_ensemble_multihost(params, n_trials: int, base_seed: int = 0,
     local = np.zeros((max_count, n_windows, 2), np.dtype(dtype))
     if mine:
         _, cos, sin, _ = ensemble.run_ensemble(
-            params, mine, mesh=local_trial_mesh(mine),
+            params, mine, mesh=local_trial_mesh(mine, walker_shards),
             base_seed=base_seed + lo, run_seed=run_seed + lo,
             engine=engine, rng_impl=rng_impl, dtype=dtype,
             max_steps=max_steps, mmoments=my_slice(mmoments),
             taucps=my_slice(taucps), cell_rs=my_slice(cell_rs),
             d_scales=my_slice(d_scales),
             scene_seeds=my_slice(scene_seeds),
-            run_seeds=my_slice(run_seeds))
+            run_seeds=my_slice(run_seeds),
+            walker_shards=walker_shards)
         local[:mine, :, 0] = cos
         local[:mine, :, 1] = sin
     # every process (including trial-less ones) derives the same axis
@@ -343,6 +359,15 @@ def _dryrun(num_processes: int, process_id: int, coordinator: str,
             max_steps=p.sprint_steps, taucps=taucps, d_scales=dss)
     np.testing.assert_allclose(cos_mh, cos_1p, atol=1e-3)
     np.testing.assert_allclose(sin_mh, sin_1p, atol=1e-3)
+
+    # the full pod layout: trials across processes AND each trial's
+    # walkers sharded over 2 of its host's local devices — curves must
+    # still match the plain single-process run (global Threefry lanes)
+    _, cos_2d, sin_2d = run_ensemble_multihost(
+        p, n_tr, base_seed=11, run_seed=7, max_steps=p.sprint_steps,
+        taucps=taucps, d_scales=dss, walker_shards=2)
+    np.testing.assert_allclose(cos_2d, cos_1p, atol=1e-3)
+    np.testing.assert_allclose(sin_2d, sin_1p, atol=1e-3)
 
     # paired parameter grid across DCN: grid points split 2+2 over the
     # processes, each point sharing scene seed base_seed (paired), must
