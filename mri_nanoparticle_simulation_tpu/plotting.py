@@ -31,23 +31,34 @@ import numpy as np
 
 #: fixed categorical slot order (validated default palette: lightness
 #: band, chroma floor, CVD-pair and normal-vision separation, contrast
-#: on the light surface — see the palette's provenance note)
-SERIES = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100",
-          "#e87ba4", "#008300", "#4a3aa7"]
-SURFACE = "#fcfcfb"
-INK = "#0b0b0b"
-INK_2 = "#52514e"
-GRID = "#e4e3df"
+#: per surface — see the palette's provenance note).  The dark column
+#: is the SAME hues re-stepped for the dark surface and validated as a
+#: set — a selected mode, not an automatic flip.
+class Theme:
+    def __init__(self, series, surface, ink, ink2, grid):
+        self.series, self.surface = series, surface
+        self.ink, self.ink2, self.grid = ink, ink2, grid
 
 
-def _style_axes(ax):
-    ax.set_facecolor(SURFACE)
+LIGHT = Theme(["#2a78d6", "#eb6834", "#1baf7a", "#eda100",
+               "#e87ba4", "#008300", "#4a3aa7"],
+              "#fcfcfb", "#0b0b0b", "#52514e", "#e4e3df")
+DARK = Theme(["#3987e5", "#d95926", "#199e70", "#c98500",
+              "#d55181", "#008300", "#9085e9"],
+             "#1a1a19", "#ffffff", "#c3c2b7", "#3a3a38")
+#: back-compat module aliases (light mode)
+SERIES, SURFACE = LIGHT.series, LIGHT.surface
+INK, INK_2, GRID = LIGHT.ink, LIGHT.ink2, LIGHT.grid
+
+
+def _style_axes(ax, th: Theme):
+    ax.set_facecolor(th.surface)
     for side in ("top", "right"):
         ax.spines[side].set_visible(False)
     for side in ("left", "bottom"):
-        ax.spines[side].set_color(GRID)
-    ax.tick_params(colors=INK_2, labelsize=9)
-    ax.grid(True, color=GRID, linewidth=0.6, alpha=0.8)
+        ax.spines[side].set_color(th.grid)
+    ax.tick_params(colors=th.ink2, labelsize=9)
+    ax.grid(True, color=th.grid, linewidth=0.6, alpha=0.8)
     ax.set_axisbelow(True)
 
 
@@ -59,7 +70,7 @@ def _series_label(path: str) -> str:
 def plot_curves(csv_paths: Sequence[str], out_png: str,
                 num_water: Optional[int] = None,
                 title: Optional[str] = None,
-                logy: bool = False) -> str:
+                logy: bool = False, dark: bool = False) -> str:
     """One decay-curve figure: each CSV (reference schema, cos column;
     quadrature column ignored for the magnitude trace) becomes a line.
     ``num_water`` normalizes sum_cos to m(t) in [0, 1]; omitted, the
@@ -68,40 +79,42 @@ def plot_curves(csv_paths: Sequence[str], out_png: str,
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    if len(csv_paths) > len(SERIES):
+    th = DARK if dark else LIGHT
+    if len(csv_paths) > len(th.series):
         raise ValueError(
-            f"{len(csv_paths)} curves exceed the fixed {len(SERIES)}-slot "
-            f"palette; fold extra runs into separate figures (hues are "
-            f"never generated or cycled)")
+            f"{len(csv_paths)} curves exceed the fixed "
+            f"{len(th.series)}-slot palette; fold extra runs into "
+            f"separate figures (hues are never generated or cycled)")
     fig, ax = plt.subplots(figsize=(7.0, 4.2), dpi=160)
-    fig.patch.set_facecolor(SURFACE)
-    _style_axes(ax)
+    fig.patch.set_facecolor(th.surface)
+    _style_axes(ax, th)
     from .io.writer import read_t2_csv
     for i, path in enumerate(csv_paths):
         cols = read_t2_csv(path)
         y = cols[1] / (num_water or 1)
-        ax.plot(cols[0], y, color=SERIES[i], linewidth=2.0,
+        ax.plot(cols[0], y, color=th.series[i], linewidth=2.0,
                 label=_series_label(path))
-    ax.set_xlabel("time (ms)", color=INK_2, fontsize=10)
+    ax.set_xlabel("time (ms)", color=th.ink2, fontsize=10)
     ax.set_ylabel("m(t) = Σcos φ" + (" / W" if num_water else ""),
-                  color=INK_2, fontsize=10)
+                  color=th.ink2, fontsize=10)
     if logy:
         ax.set_yscale("log")
     if title:
-        ax.set_title(title, color=INK, fontsize=12, loc="left")
+        ax.set_title(title, color=th.ink, fontsize=12, loc="left")
     if len(csv_paths) >= 2:
         leg = ax.legend(frameon=False, fontsize=9, loc="best")
         for t in leg.get_texts():
-            t.set_color(INK)
+            t.set_color(th.ink)
     fig.tight_layout()
-    fig.savefig(out_png, facecolor=SURFACE)
+    fig.savefig(out_png, facecolor=th.surface)
     plt.close(fig)
     return out_png
 
 
 def plot_dispersion(table_path: str, out_png: str,
                     ycol: str = "r2_per_ms",
-                    title: Optional[str] = None) -> str:
+                    title: Optional[str] = None,
+                    dark: bool = False) -> str:
     """Dispersion-table figure (``--fit-t2`` / ``--fit-r2`` output):
     ``ycol`` against the knob column with the most distinct values;
     the remaining knob columns (a --sweep-grid surface, or --fit-r2's
@@ -133,18 +146,20 @@ def plot_dispersion(table_path: str, out_png: str,
     yi = header.index(ycol)
     rest = [header.index(k) for k in rest_knobs]
 
+    th = DARK if dark else LIGHT
     groups: dict = {}
     for r in data:
         key = tuple(r[j] for j in rest)
         groups.setdefault(key, []).append((float(r[xi]), float(r[yi])))
-    if len(groups) > len(SERIES):
+    if len(groups) > len(th.series):
         raise ValueError(
-            f"{len(groups)} series exceed the fixed {len(SERIES)}-slot "
-            f"palette; facet the surface into multiple figures instead")
+            f"{len(groups)} series exceed the fixed "
+            f"{len(th.series)}-slot palette; facet the surface into "
+            f"multiple figures instead")
 
     fig, ax = plt.subplots(figsize=(6.0, 4.0), dpi=160)
-    fig.patch.set_facecolor(SURFACE)
-    _style_axes(ax)
+    fig.patch.set_facecolor(th.surface)
+    _style_axes(ax, th)
     for i, (key, pts) in enumerate(groups.items()):
         pts = sorted(p for p in pts if np.isfinite(p[1]))
         if not pts:
@@ -152,20 +167,20 @@ def plot_dispersion(table_path: str, out_png: str,
         xs, ys = zip(*pts)
         label = ", ".join(f"{k}={v}" for k, v in zip(rest_knobs, key)) \
             or ycol
-        ax.plot(xs, ys, color=SERIES[i], linewidth=2.0, marker="o",
+        ax.plot(xs, ys, color=th.series[i], linewidth=2.0, marker="o",
                 markersize=5.5, label=label)
-    ax.set_xlabel(x_knob, color=INK_2, fontsize=10)
+    ax.set_xlabel(x_knob, color=th.ink2, fontsize=10)
     unit = {"r2_per_ms": "R2 (1/ms)", "t2_ms": "T2 (ms)",
             "r_squared": "fit R²", "n_echoes": "echoes"}.get(ycol, ycol)
-    ax.set_ylabel(unit, color=INK_2, fontsize=10)
+    ax.set_ylabel(unit, color=th.ink2, fontsize=10)
     if title:
-        ax.set_title(title, color=INK, fontsize=12, loc="left")
+        ax.set_title(title, color=th.ink, fontsize=12, loc="left")
     if len(groups) >= 2:
         leg = ax.legend(frameon=False, fontsize=9, loc="best")
         for t in leg.get_texts():
-            t.set_color(INK)
+            t.set_color(th.ink)
     fig.tight_layout()
-    fig.savefig(out_png, facecolor=SURFACE)
+    fig.savefig(out_png, facecolor=th.surface)
     plt.close(fig)
     return out_png
 
@@ -190,16 +205,20 @@ def main(argv=None) -> int:
     ap.add_argument("--title", default=None)
     ap.add_argument("--logy", action="store_true",
                     help="log magnetization axis (decay curves)")
+    ap.add_argument("--dark", action="store_true",
+                    help="dark mode: the same hues re-stepped for the "
+                         "dark surface (a selected palette column, not "
+                         "an inverted one)")
     args = ap.parse_args(argv)
 
     if args.table:
         if len(args.inputs) != 1:
             ap.error("--table plots ONE dispersion table")
         plot_dispersion(args.inputs[0], args.out, ycol=args.ycol,
-                        title=args.title)
+                        title=args.title, dark=args.dark)
     else:
         plot_curves(args.inputs, args.out, num_water=args.num_water,
-                    title=args.title, logy=args.logy)
+                    title=args.title, logy=args.logy, dark=args.dark)
     print(f"wrote {args.out}", file=sys.stderr)
     return 0
 
