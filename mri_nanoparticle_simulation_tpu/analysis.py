@@ -42,6 +42,13 @@ class T2Fit(NamedTuple):
     r_squared: float      #: coefficient of determination in signal domain
     n_used: int           #: rows that entered the fit
     rms_residual: float   #: signal-domain RMS residual over used rows
+    #: linearized 1-sigma errors from the Gauss-Newton normal matrix,
+    #: assuming independent homoscedastic row noise.  Monte-Carlo decay
+    #: rows share walkers and are therefore time-correlated, so these
+    #: UNDERSTATE the true uncertainty — for honest error bars resample
+    #: the walkers themselves (decompose.bootstrap_t2).
+    t2_stderr_ms: float = float("nan")
+    amplitude_stderr: float = float("nan")
 
 
 def echo_times(taucp_ms: float, total_ms: float) -> np.ndarray:
@@ -52,10 +59,10 @@ def echo_times(taucp_ms: float, total_ms: float) -> np.ndarray:
     return np.arange(1, n + 1) * (2.0 * taucp_ms)
 
 
-def sample_at_echoes(times_ms, signal, taucp_ms: float):
-    """(times, signal) rows nearest each echo center (one row per echo)."""
+def echo_indices(times_ms, taucp_ms: float) -> np.ndarray:
+    """Row indices nearest each spin-echo center t = 2k·taucp
+    (deduplicated, one row per echo)."""
     times_ms = np.asarray(times_ms, np.float64)
-    signal = np.asarray(signal, np.float64)
     centers = echo_times(taucp_ms, float(times_ms[-1]))
     idx = np.searchsorted(times_ms, centers)
     idx = np.clip(idx, 0, len(times_ms) - 1)
@@ -64,7 +71,14 @@ def sample_at_echoes(times_ms, signal, taucp_ms: float):
     pick = np.where(
         np.abs(times_ms[left] - centers) <= np.abs(times_ms[idx] - centers),
         left, idx)
-    pick = np.unique(pick)
+    return np.unique(pick)
+
+
+def sample_at_echoes(times_ms, signal, taucp_ms: float):
+    """(times, signal) rows nearest each echo center (one row per echo)."""
+    times_ms = np.asarray(times_ms, np.float64)
+    signal = np.asarray(signal, np.float64)
+    pick = echo_indices(times_ms, taucp_ms)
     return times_ms[pick], signal[pick]
 
 
@@ -130,9 +144,26 @@ def fit_t2(times_ms, signal, floor: float = 0.02,
     res = mk - model
     ss_tot = ((mk - mk.mean()) ** 2).sum()
     r2 = 1.0 - (res ** 2).sum() / ss_tot if ss_tot > 0 else 0.0
+
+    # Linearized parameter covariance at the solution: sigma^2 (J^T J)^-1
+    # with J the final Jacobian.  See the T2Fit field note on why this
+    # understates Monte-Carlo uncertainty (rows are walker-correlated).
+    t2_se = amp_se = float("nan")
+    n = len(mk)
+    if n > 2:
+        e = np.exp(-tk / t2)
+        j2 = amp * tk * e / (t2 * t2)
+        a11, a12, a22 = (e * e).sum(), (e * j2).sum(), (j2 * j2).sum()
+        det = a11 * a22 - a12 * a12
+        if det > 0:
+            sigma2 = (res ** 2).sum() / (n - 2)
+            amp_se = float(np.sqrt(sigma2 * a22 / det))
+            t2_se = float(np.sqrt(sigma2 * a11 / det))
+
     return T2Fit(t2_ms=float(t2), amplitude=float(amp),
                  r_squared=float(r2), n_used=int(keep.sum()),
-                 rms_residual=float(np.sqrt((res ** 2).mean())))
+                 rms_residual=float(np.sqrt((res ** 2).mean())),
+                 t2_stderr_ms=t2_se, amplitude_stderr=amp_se)
 
 
 def fit_t2_csv(path: str, taucp_ms: Optional[float] = None,
@@ -149,21 +180,51 @@ def fit_t2_csv(path: str, taucp_ms: Optional[float] = None,
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
-        description="Fit T2 from a decay CSV (time_ms, sum_cos_phi)")
-    ap.add_argument("csv", nargs="+", help="CSV path(s)")
+        description="Fit T2 from a decay CSV (time_ms, sum_cos_phi), or "
+                    "with Monte-Carlo error bars from a decomposition "
+                    "record (mri-t2-sim --dump-record)")
+    ap.add_argument("csv", nargs="*", help="CSV path(s)")
     ap.add_argument("--taucp", type=float, default=None,
                     help="Carr-Purcell taucp (ms): fit the echo envelope "
                          "(rows nearest t = 2k*taucp) instead of every row")
     ap.add_argument("--floor", type=float, default=0.02,
                     help="exclude rows below this fraction of M0")
+    ap.add_argument("--record", default=None, metavar="NPZ",
+                    help="decomposition record (--dump-record): "
+                         "walker-bootstrap T2 with a confidence interval")
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="moment scale to reconstruct at (--record only)")
+    ap.add_argument("--bootstrap", type=int, default=200, metavar="N",
+                    help="bootstrap resamples (--record only)")
+    ap.add_argument("--ci", type=float, default=0.95,
+                    help="two-sided confidence level (--record only)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="bootstrap resampling seed (--record only)")
     args = ap.parse_args(argv)
     if args.taucp is not None and not args.taucp > 0:
         ap.error("--taucp must be > 0 (ms)")
+    if not args.csv and args.record is None:
+        ap.error("give CSV path(s) and/or --record")
     for path in args.csv:
         f = fit_t2_csv(path, taucp_ms=args.taucp, floor=args.floor)
         print(f"{path}: T2 = {f.t2_ms:.4g} ms  (A = {f.amplitude:.4g}, "
               f"R^2 = {f.r_squared:.5f}, {f.n_used} rows, "
               f"rms residual {f.rms_residual:.3g})")
+    if args.record is not None:
+        from .engine.decompose import bootstrap_t2_record
+        if not args.bootstrap >= 2:
+            ap.error("--bootstrap must be >= 2")
+        b = bootstrap_t2_record(args.record, scale=args.scale,
+                                taucp=args.taucp, n_boot=args.bootstrap,
+                                seed=args.seed, ci=args.ci,
+                                floor=args.floor)
+        pct = 100.0 * args.ci
+        print(f"{args.record} (scale {args.scale:g}): "
+              f"T2 = {b.fit.t2_ms:.4g} ms  "
+              f"[{b.t2_lo_ms:.4g}, {b.t2_hi_ms:.4g}] {pct:g}% CI, "
+              f"sigma = {b.t2_stderr_ms:.3g} ms "
+              f"({b.n_ok}/{args.bootstrap} resamples, "
+              f"R^2 = {b.fit.r_squared:.5f})")
     return 0
 
 

@@ -261,6 +261,114 @@ def reconstruct_record(path: str, scales, taucps=None,
                            quadrature=quadrature)
 
 
+class BootstrapT2(NamedTuple):
+    fit: "object"           #: analysis.T2Fit on the full-walker echo envelope
+    t2_lo_ms: float         #: lower percentile bound of the T2 resamples
+    t2_hi_ms: float         #: upper percentile bound
+    t2_stderr_ms: float     #: sample std-dev of the T2 resamples
+    n_ok: int               #: resamples that produced a valid fit
+    t2_samples: np.ndarray  #: the resampled T2 values themselves
+
+
+def echo_cos_matrix(A, B, params: Params, scale: float = 1.0,
+                    taucp: Optional[float] = None,
+                    walker_block: int = 1024):
+    """Per-walker ``cos(phi)`` at the spin-echo rows (t = 2k·taucp) for a
+    given moment scale and echo spacing, from a decomposition record.
+
+    Returns ``(echo_times_ms, cos_echo)`` with ``cos_echo`` shaped
+    ``[n_echoes, num_water]`` — the sufficient statistic for any
+    walker-resampling analysis of the echo envelope.  Streamed over
+    walker blocks like :func:`reconstruct_curves`.
+    """
+    from ..analysis import echo_indices
+
+    p = params.validate()
+    taucp_v = p.taucp if taucp is None else float(taucp)
+    tcp = p.tcp if taucp is None else p.replace(taucp=taucp_v).validate().tcp
+    dA, dB = window_increments(A, B, p)
+    n, w = dA.shape
+    times = np.arange(1, n + 1, dtype=np.float64) * p.pfreq * p.tau
+    eidx = echo_indices(times, taucp_v)
+    if eidx.size == 0:
+        raise ValueError(
+            f"no spin echo (t = 2k*taucp = {2 * taucp_v:g} ms) falls inside "
+            f"the {times[-1]:g} ms record; nothing to sample")
+    g = _flip_parity(n, tcp, p.pfreq)[:, None]
+    cos_echo = np.empty((eidx.size, w), np.float64)
+    for lo in range(0, w, walker_block):
+        hi = min(lo + walker_block, w)
+        dphi = scale * dA[:, lo:hi] + dB[:, lo:hi]
+        phi = g * np.cumsum(g * dphi, axis=0)
+        cos_echo[:, lo:hi] = np.cos(phi[eidx])
+    return times[eidx], cos_echo
+
+
+def bootstrap_t2(A, B, params: Params, scale: float = 1.0,
+                 taucp: Optional[float] = None, n_boot: int = 200,
+                 seed: int = 0, ci: float = 0.95, floor: float = 0.02,
+                 walker_block: int = 1024) -> BootstrapT2:
+    """Walker-bootstrap confidence interval on T2 from ONE simulation.
+
+    The decay curve is a mean over walkers, so the record's per-walker
+    (A, B) basis carries the full sampling distribution: resample the
+    walker columns with replacement, reconstruct each resample's echo
+    envelope (a single BLAS product against the multinomial weights), and
+    fit T2 per resample.  This measures the real Monte-Carlo uncertainty
+    of the simulation — which the per-row fit stderr understates, since
+    decay rows share walkers and are strongly time-correlated.  The
+    reference's only route to an error bar is N independent ~14-minute
+    reruns (README.md:16); here it is closed-form post-processing.
+
+    ``ci`` is the two-sided percentile level (0.95 -> [2.5%, 97.5%]).
+    Resamples whose fit fails (e.g. a pathological draw that does not
+    decay) are skipped and counted via ``n_ok``.
+    """
+    from ..analysis import fit_t2
+
+    if not 0 < ci < 1:
+        raise ValueError(f"ci must be in (0, 1), got {ci!r}")
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2, got {n_boot!r}")
+    te, cos_echo = echo_cos_matrix(A, B, params, scale=scale, taucp=taucp,
+                                   walker_block=walker_block)
+    w = cos_echo.shape[1]
+    point = fit_t2(te, cos_echo.mean(axis=1), floor=floor)
+
+    rng = np.random.default_rng(seed)
+    counts = rng.multinomial(w, np.full(w, 1.0 / w), size=n_boot)
+    curves = cos_echo @ (counts.T / w)          # [n_echoes, n_boot]
+    samples = []
+    for b in range(n_boot):
+        try:
+            samples.append(fit_t2(te, curves[:, b], floor=floor).t2_ms)
+        except ValueError:
+            continue
+    if len(samples) < max(2, n_boot // 2):
+        raise ValueError(
+            f"only {len(samples)}/{n_boot} bootstrap resamples produced a "
+            f"valid T2 fit; the curve is too noisy to bootstrap")
+    s = np.asarray(samples, np.float64)
+    alpha = 100.0 * (1.0 - ci) / 2.0
+    lo, hi = np.percentile(s, [alpha, 100.0 - alpha])
+    return BootstrapT2(fit=point, t2_lo_ms=float(lo), t2_hi_ms=float(hi),
+                       t2_stderr_ms=float(s.std(ddof=1)),
+                       n_ok=len(samples), t2_samples=s)
+
+
+def bootstrap_t2_record(path: str, scale: float = 1.0,
+                        taucp: Optional[float] = None, n_boot: int = 200,
+                        seed: int = 0, ci: float = 0.95,
+                        floor: float = 0.02) -> BootstrapT2:
+    """:func:`bootstrap_t2` from a saved ``--dump-record`` npz alone —
+    error bars on T2 with no simulator and no original Params object."""
+    with np.load(path) as z:
+        A, B = z["A"], z["B"]
+    p = record_params(path, n_windows=A.shape[0])
+    return bootstrap_t2(A, B, p, scale=scale, taucp=taucp, n_boot=n_boot,
+                        seed=seed, ci=ci, floor=floor)
+
+
 def curves_at_scales(A, B, scales, quadrature: bool = False):
     """Reconstruct normalized magnetization curves at each moment scale:
     ``curves[s, t] = mean_i cos(scales[s] * A[t, i] + B[t, i])``

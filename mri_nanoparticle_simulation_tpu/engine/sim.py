@@ -87,17 +87,34 @@ def _emit_sweep_outputs(csv_path, times, names, combos, flat, pv_fn,
             try:
                 te, me = analysis.sample_at_echoes(times, mean, pv.taucp)
                 fit = analysis.fit_t2(te, me)
+                # error bar: with >=2 trials, the scatter of per-trial
+                # fits is the honest Monte-Carlo error of the mean-curve
+                # fit (independent replicates); a single trial falls back
+                # to the fit's linearized stderr, which UNDERSTATES
+                # (rows share walkers) — see analysis.T2Fit
+                se = fit.t2_stderr_ms
+                if flat[ci].shape[0] >= 2:
+                    t2s = []
+                    for trial in flat[ci]:
+                        try:
+                            tt, mt = analysis.sample_at_echoes(
+                                times, trial, pv.taucp)
+                            t2s.append(analysis.fit_t2(tt, mt).t2_ms)
+                        except ValueError:
+                            continue
+                    if len(t2s) >= 2:
+                        se = float(np.std(t2s, ddof=1) / np.sqrt(len(t2s)))
                 fit_rows.append(combo + (1.0 / fit.t2_ms, fit.t2_ms,
-                                         fit.r_squared, fit.n_used))
+                                         fit.r_squared, fit.n_used, se))
             except ValueError as e:
                 print(f"  fit-t2: {tag} unfittable ({e})",
                       file=sys.stderr)
                 fit_rows.append(combo + (float("nan"), float("nan"),
-                                         float("nan"), 0))
+                                         float("nan"), 0, float("nan")))
     if fit_path:
         with open(fit_path, "w") as f:
             f.write(",".join(names)
-                    + ",r2_per_ms,t2_ms,r_squared,n_echoes\n")
+                    + ",r2_per_ms,t2_ms,r_squared,n_echoes,t2_stderr_ms\n")
             for row in fit_rows:
                 f.write(",".join(
                     [f"{v:g}" for v in row[:len(names)]]
@@ -1090,7 +1107,10 @@ def main(argv=None):
             from .. import analysis
             with open(args.fit_r2, "w") as f:
                 f.write("mscale,taucp_ms,r2_per_ms,t2_ms,r_squared,"
-                        "n_echoes\n")
+                        "n_echoes,t2_stderr_ms\n")
+                # single-run record: the linearized fit stderr (see
+                # analysis.T2Fit — it understates; the honest bar is
+                # `mri-t2-fit --record basis.npz --bootstrap N` per point)
                 for si, s in enumerate(scales):
                     for ti, t_cp in enumerate(taucps_eff):
                         curve = curves[si, ti, :, 0] * params.num_water
@@ -1100,11 +1120,11 @@ def main(argv=None):
                             fit = analysis.fit_t2(te, me)
                             f.write(f"{s:g},{t_cp:g},{1.0 / fit.t2_ms},"
                                     f"{fit.t2_ms},{fit.r_squared},"
-                                    f"{fit.n_used}\n")
+                                    f"{fit.n_used},{fit.t2_stderr_ms}\n")
                         except ValueError as e:
                             print(f"  fit-r2: mscale={s:g} taucp={t_cp:g}"
                                   f" unfittable ({e})", file=sys.stderr)
-                            f.write(f"{s:g},{t_cp:g},nan,nan,nan,0\n")
+                            f.write(f"{s:g},{t_cp:g},nan,nan,nan,0,nan\n")
             print(f"CPMG dispersion table written: {args.fit_r2}",
                   file=sys.stderr)
         n_pts = len(scales) * len(taucps_eff)

@@ -127,7 +127,8 @@ def plot_dispersion(table_path: str, out_png: str,
     with open(table_path) as f:
         rows = list(csv.reader(f))
     header, data = rows[0], rows[1:]
-    fit_cols = ("r2_per_ms", "t2_ms", "r_squared", "n_echoes")
+    fit_cols = ("r2_per_ms", "t2_ms", "r_squared", "n_echoes",
+                "t2_stderr_ms")
     knobs = [c for c in header if c not in fit_cols]
     if not knobs:
         raise ValueError(f"no knob columns in {table_path} ({header})")
@@ -146,11 +147,26 @@ def plot_dispersion(table_path: str, out_png: str,
     yi = header.index(ycol)
     rest = [header.index(k) for k in rest_knobs]
 
+    # 1-sigma error bars when the table carries t2_stderr_ms (newer
+    # builds): direct for t2_ms, propagated (se/t2^2) for r2_per_ms
+    se_i = header.index("t2_stderr_ms") if "t2_stderr_ms" in header else None
+    t2_i = header.index("t2_ms") if "t2_ms" in header else None
+
+    def _yerr(r):
+        if se_i is None or ycol not in ("t2_ms", "r2_per_ms"):
+            return float("nan")
+        se = float(r[se_i])
+        if ycol == "t2_ms":
+            return se
+        t2 = float(r[t2_i])
+        return se / (t2 * t2)
+
     th = DARK if dark else LIGHT
     groups: dict = {}
     for r in data:
         key = tuple(r[j] for j in rest)
-        groups.setdefault(key, []).append((float(r[xi]), float(r[yi])))
+        groups.setdefault(key, []).append(
+            (float(r[xi]), float(r[yi]), _yerr(r)))
     if len(groups) > len(th.series):
         raise ValueError(
             f"{len(groups)} series exceed the fixed "
@@ -164,14 +180,22 @@ def plot_dispersion(table_path: str, out_png: str,
         pts = sorted(p for p in pts if np.isfinite(p[1]))
         if not pts:
             continue
-        xs, ys = zip(*pts)
+        xs, ys, es = zip(*pts)
         label = ", ".join(f"{k}={v}" for k, v in zip(rest_knobs, key)) \
             or ycol
-        ax.plot(xs, ys, color=th.series[i], linewidth=2.0, marker="o",
-                markersize=5.5, label=label)
+        if any(np.isfinite(e) and e > 0 for e in es):
+            ax.errorbar(xs, ys,
+                        yerr=[e if np.isfinite(e) else 0.0 for e in es],
+                        color=th.series[i], linewidth=2.0, marker="o",
+                        markersize=5.5, label=label, capsize=2.5,
+                        elinewidth=1.0)
+        else:
+            ax.plot(xs, ys, color=th.series[i], linewidth=2.0, marker="o",
+                    markersize=5.5, label=label)
     ax.set_xlabel(x_knob, color=th.ink2, fontsize=10)
     unit = {"r2_per_ms": "R2 (1/ms)", "t2_ms": "T2 (ms)",
-            "r_squared": "fit R²", "n_echoes": "echoes"}.get(ycol, ycol)
+            "r_squared": "fit R²", "n_echoes": "echoes",
+            "t2_stderr_ms": "T2 sigma (ms)"}.get(ycol, ycol)
     ax.set_ylabel(unit, color=th.ink2, fontsize=10)
     if title:
         ax.set_title(title, color=th.ink, fontsize=12, loc="left")

@@ -103,20 +103,28 @@ class TestCsvAndCli:
         assert f.t2_ms < 10 * pm.totaltime   # decays on the sim scale
 
 
+@pytest.fixture(scope="module")
+def decay_record():
+    """One small decaying decomposition run shared by the dispersion and
+    bootstrap tests (deterministic: counter RNG + fixed seeds)."""
+    from mri_nanoparticle_simulation_tpu.engine import decompose as dec
+    from mri_nanoparticle_simulation_tpu.scene import BacteriaBox
+    pm = P.small_test_params(num_water=256, num_cells=12,
+                             totaltime=0.02, sprint_steps=2000,
+                             taucp=0.001, mmoment=2e-14,
+                             avoid_intracellular_throw=False)
+    sc = BacteriaBox(pm, seed=3).populate()
+    return pm, dec.run_decomposition(sc, pm, seed=5, engine="scan")
+
+
 class TestCpmgDispersion:
-    def test_r2_increases_with_echo_spacing(self):
+    def test_r2_increases_with_echo_spacing(self, decay_record):
         """The CPMG dispersion curve from ONE decomposition run: longer
         echo spacings refocus less diffusion dephasing, so fitted R2
         rises with taucp (motional narrowing).  Deterministic (counter
         RNG + fixed seeds); measured 0.21 -> 0.81 -> 1.37 /ms."""
         from mri_nanoparticle_simulation_tpu.engine import decompose as dec
-        from mri_nanoparticle_simulation_tpu.scene import BacteriaBox
-        pm = P.small_test_params(num_water=256, num_cells=12,
-                                 totaltime=0.02, sprint_steps=2000,
-                                 taucp=0.001, mmoment=2e-14,
-                                 avoid_intracellular_throw=False)
-        sc = BacteriaBox(pm, seed=3).populate()
-        r = dec.run_decomposition(sc, pm, seed=5, engine="scan")
+        pm, r = decay_record
         taucps = [0.0005, 0.001, 0.002]
         plane = dec.curves_at_plane(r.A, r.B, [1.0], taucps, pm)
         r2s = []
@@ -129,3 +137,99 @@ class TestCpmgDispersion:
         assert r2s[0] < r2s[1] < r2s[2]
         # the dispersion is a real effect, not fit jitter: ~4x then ~1.7x
         assert r2s[1] > 2 * r2s[0]
+
+
+class TestFitStderr:
+    def test_stderr_calibration_iid_noise(self):
+        """Under the model the analytic stderr is valid for (iid row
+        noise), the reported 1-sigma must match the empirical scatter of
+        the fitted T2 across independent noise realizations."""
+        rng = np.random.default_rng(11)
+        t = np.arange(1, 4001) * 1e-2
+        t2s, ses = [], []
+        for _ in range(40):
+            m = 1.0 * np.exp(-t / 8.0) + rng.normal(0, 0.005, t.shape)
+            f = an.fit_t2(t, m)
+            t2s.append(f.t2_ms)
+            ses.append(f.t2_stderr_ms)
+        emp = np.std(t2s, ddof=1)
+        rep = np.mean(ses)
+        assert 0.6 < rep / emp < 1.6
+        assert np.isfinite(f.amplitude_stderr) and f.amplitude_stderr > 0
+
+    def test_stderr_tiny_on_noiseless_curve(self):
+        t = np.arange(1, 4001) * 1e-3
+        f = an.fit_t2(t, 512.0 * np.exp(-t / 6.0))
+        assert f.t2_stderr_ms < 1e-6 * f.t2_ms
+
+    def test_cli_requires_input(self):
+        with pytest.raises(SystemExit):
+            an.main([])
+
+
+class TestBootstrap:
+    """Walker-bootstrap T2 error bars from one decomposition record
+    (decompose.bootstrap_t2): the Monte-Carlo uncertainty the reference
+    could only estimate by N full reruns."""
+
+    def test_ci_brackets_fit_and_is_deterministic(self, decay_record):
+        from mri_nanoparticle_simulation_tpu.engine import decompose as dec
+        pm, r = decay_record
+        b = dec.bootstrap_t2(r.A, r.B, pm, n_boot=64, seed=1)
+        assert b.t2_lo_ms < b.t2_hi_ms
+        assert b.t2_stderr_ms > 0
+        assert b.n_ok == 64
+        # the resample distribution sits on the point estimate
+        med = float(np.median(b.t2_samples))
+        assert abs(b.fit.t2_ms - med) < 4 * b.t2_stderr_ms
+        assert b.t2_lo_ms < med < b.t2_hi_ms
+        # deterministic: same seed, same resamples
+        b2 = dec.bootstrap_t2(r.A, r.B, pm, n_boot=64, seed=1)
+        np.testing.assert_array_equal(b.t2_samples, b2.t2_samples)
+        b3 = dec.bootstrap_t2(r.A, r.B, pm, n_boot=64, seed=2)
+        assert not np.array_equal(b.t2_samples, b3.t2_samples)
+
+    def test_bootstrap_sees_walker_scatter(self, decay_record):
+        """Resampling walkers must produce genuine spread: the bootstrap
+        sigma is on the scale of the Monte-Carlo noise, far above the
+        (time-correlated, understating) per-row fit stderr floor of a
+        noiseless curve."""
+        from mri_nanoparticle_simulation_tpu.engine import decompose as dec
+        pm, r = decay_record
+        b = dec.bootstrap_t2(r.A, r.B, pm, n_boot=48, seed=3)
+        assert b.t2_stderr_ms > 1e-4 * b.fit.t2_ms
+
+    def test_blocking_invariant(self, decay_record):
+        from mri_nanoparticle_simulation_tpu.engine import decompose as dec
+        pm, r = decay_record
+        te_a, ca = dec.echo_cos_matrix(r.A, r.B, pm, walker_block=7)
+        te_b, cb = dec.echo_cos_matrix(r.A, r.B, pm, walker_block=4096)
+        np.testing.assert_array_equal(te_a, te_b)
+        np.testing.assert_allclose(ca, cb, rtol=0, atol=1e-12)
+
+    def test_record_roundtrip_and_cli(self, decay_record, tmp_path, capsys):
+        """bootstrap_t2_record + the mri-t2-fit --record CLI surface,
+        against an npz with the --dump-record schema."""
+        from mri_nanoparticle_simulation_tpu.engine import decompose as dec
+        pm, r = decay_record
+        path = str(tmp_path / "rec.npz")
+        np.savez_compressed(path, times_ms=r.times_ms, A=r.A, B=r.B,
+                            taucp=pm.taucp, tau=pm.tau, pfreq=pm.pfreq)
+        b_file = dec.bootstrap_t2_record(path, n_boot=32, seed=1)
+        b_mem = dec.bootstrap_t2(r.A, r.B, pm, n_boot=32, seed=1)
+        np.testing.assert_allclose(b_file.t2_samples, b_mem.t2_samples,
+                                   rtol=1e-12)
+        assert an.main(["--record", path, "--bootstrap", "16"]) == 0
+        out = capsys.readouterr().out
+        assert "CI" in out and "sigma" in out
+
+    def test_rejects_bad_knobs(self, decay_record):
+        from mri_nanoparticle_simulation_tpu.engine import decompose as dec
+        pm, r = decay_record
+        with pytest.raises(ValueError, match="ci"):
+            dec.bootstrap_t2(r.A, r.B, pm, n_boot=8, ci=1.5)
+        with pytest.raises(ValueError, match="n_boot"):
+            dec.bootstrap_t2(r.A, r.B, pm, n_boot=1)
+        # an echo spacing with no echo inside the record
+        with pytest.raises(ValueError, match="no spin echo"):
+            dec.bootstrap_t2(r.A, r.B, pm, taucp=pm.totaltime)

@@ -87,3 +87,18 @@ class TestDispersion:
         open(tbl, "w").write("a,b\n1,2\n")
         with pytest.raises(ValueError, match="not in"):
             plotting.plot_dispersion(tbl, str(tmp_path / "x.png"))
+
+    def test_stderr_column_draws_error_bars(self, tmp_path):
+        """Newer tables carry t2_stderr_ms: it must be treated as a fit
+        column (NOT a knob/series axis) and rendered as error bars for
+        t2_ms / propagated for r2_per_ms; nan stderr rows still plot."""
+        tbl = tmp_path / "e.csv"
+        tbl.write_text(
+            "D,r2_per_ms,t2_ms,r_squared,n_echoes,t2_stderr_ms\n"
+            "0.25,0.023,42.4,0.999,8,1.2\n"
+            "0.5,0.035,28.3,0.999,8,nan\n"
+            "1,0.053,18.8,0.999,8,0.6\n")
+        for ycol in ("t2_ms", "r2_per_ms"):
+            out = tmp_path / f"{ycol}.png"
+            plotting.plot_dispersion(str(tbl), str(out), ycol=ycol)
+            assert out.stat().st_size > 10_000

@@ -310,9 +310,32 @@ class TestCliSweep:
                        "--fit-t2", table, "--out", out])
         assert rc == 0
         lines = open(table).read().strip().splitlines()
-        assert lines[0] == "D,r2_per_ms,t2_ms,r_squared,n_echoes"
+        assert lines[0] == "D,r2_per_ms,t2_ms,r_squared,n_echoes,t2_stderr_ms"
         assert len(lines) == 3
         assert lines[1].startswith("1,") and lines[2].startswith("0.25,")
+
+    def test_fit_t2_cross_trial_stderr(self, tmp_path):
+        """With --trials-per-value >= 2 the table's t2_stderr_ms is the
+        cross-trial scatter of per-trial fits — a real (finite, positive)
+        Monte-Carlo error bar on the mean-curve T2."""
+        out = str(tmp_path / "s.csv")
+        table = str(tmp_path / "disp.csv")
+        rc = sim.main(["--num-water", "64", "--num-cells", "64",
+                       "--totaltime", "0.01", "--sprint-steps", "1000",
+                       "--chunk-steps", "100", "--near-k", "8",
+                       "--taucp", "0.001", "--hash-dim", "8",
+                       "--mmoment", "1e-13",
+                       "--engine", "scan", "--rng", "threefry",
+                       "--sweep", "D", "--sweep-values", "1",
+                       "--trials-per-value", "2",
+                       "--fit-t2", table, "--out", out])
+        assert rc == 0
+        lines = open(table).read().strip().splitlines()
+        assert lines[0].endswith(",t2_stderr_ms")
+        row = lines[1].split(",")
+        t2, se = float(row[2]), float(row[5])
+        assert np.isfinite(t2) and t2 > 0
+        assert np.isfinite(se) and se > 0
 
     def test_fit_t2_requires_sweep(self, tmp_path):
         with pytest.raises(SystemExit):
@@ -339,7 +362,7 @@ class TestCliSweep:
                 rows = np.loadtxt(path, delimiter=",")
                 assert rows.shape == (2, 2)
         lines = open(table).read().strip().splitlines()
-        assert lines[0] == "D,taucp,r2_per_ms,t2_ms,r_squared,n_echoes"
+        assert lines[0] == "D,taucp,r2_per_ms,t2_ms,r_squared,n_echoes,t2_stderr_ms"
         assert len(lines) == 5
 
     def test_sweep_grid_rejects_bad_spec(self, tmp_path):
@@ -488,7 +511,7 @@ class TestCliMomentScales:
                        "--fit-r2", r2csv, "--out", out])
         assert rc == 0
         rows = open(r2csv).read().splitlines()
-        assert rows[0] == "mscale,taucp_ms,r2_per_ms,t2_ms,r_squared,n_echoes"
+        assert rows[0] == "mscale,taucp_ms,r2_per_ms,t2_ms,r_squared,n_echoes,t2_stderr_ms"
         assert len(rows) == 3  # header + 2 taucps at mscale=1
         vals = [row.split(",") for row in rows[1:]]
         assert [v[1] for v in vals] == ["0.001", "0.005"]
