@@ -160,6 +160,45 @@ def _flip_parity(n_windows: int, tcp: int, pfreq: int) -> np.ndarray:
     return (1.0 - 2.0 * (flips & 1)).astype(np.float64)
 
 
+def flip_parity_schedule(n_windows: int, flip_windows) -> np.ndarray:
+    """``g`` for an ARBITRARY refocusing schedule: ``flip_windows`` lists
+    the (1-based) output windows after whose end a 180-degree pulse
+    fires.  Row r of the record holds window j = r+1, whose phase needs
+    the parity of pulses BEFORE it — the count of schedule entries
+    <= r."""
+    f = np.asarray(sorted({int(x) for x in flip_windows}), np.int64)
+    if f.size and (f[0] < 1 or f[-1] > n_windows):
+        raise ValueError(
+            f"flip windows must be 1-based window indices in "
+            f"[1, {n_windows}]; got range [{f[0]}, {f[-1]}]")
+    counts = np.searchsorted(f, np.arange(n_windows, dtype=np.int64),
+                             side="right")
+    return (1.0 - 2.0 * (counts & 1)).astype(np.float64)
+
+
+def _reconstruct(dA, dB, s_arr, g_stack, quadrature: bool,
+                 walker_block: int) -> np.ndarray:
+    """Shared inner loop: walker-mean curves [n_scales, n_schedules,
+    n_windows(, 2)] given per-schedule parity vectors ``g_stack``
+    [n_schedules, n_windows].  float64, streamed over walker blocks."""
+    n, w = dA.shape
+    comps = 2 if quadrature else 1
+    acc = np.zeros((len(s_arr), g_stack.shape[0], n, comps), np.float64)
+    for lo in range(0, w, walker_block):
+        hi = min(lo + walker_block, w)
+        a_blk, b_blk = dA[:, lo:hi], dB[:, lo:hi]
+        for si, sv in enumerate(s_arr):
+            dphi = sv * a_blk + b_blk
+            for ti in range(g_stack.shape[0]):
+                gi = g_stack[ti][:, None]
+                phi = gi * np.cumsum(gi * dphi, axis=0)
+                acc[si, ti, :, 0] += np.sum(np.cos(phi), axis=1)
+                if quadrature:
+                    acc[si, ti, :, 1] += np.sum(np.sin(phi), axis=1)
+    acc /= w
+    return acc if quadrature else acc[..., 0]
+
+
 def reconstruct_curves(dA, dB, scales, taucps, params: Params,
                        quadrature: bool = False,
                        walker_block: int = 1024) -> np.ndarray:
@@ -186,29 +225,43 @@ def reconstruct_curves(dA, dB, scales, taucps, params: Params,
     """
     dA = np.asarray(dA, np.float64)
     dB = np.asarray(dB, np.float64)
-    n, w = dA.shape
+    n = dA.shape[0]
     s_arr = np.asarray(scales, np.float64).reshape(-1)
     taucps = list(np.asarray(taucps, np.float64).reshape(-1))
     # one validated tcp per taucp (reuses the params error messages for
     # misaligned / sub-window echo spacings)
     tcps = [params.replace(taucp=float(t)).validate().tcp for t in taucps]
     g = np.stack([_flip_parity(n, tcp, params.pfreq) for tcp in tcps])
+    return _reconstruct(dA, dB, s_arr, g, quadrature, walker_block)
 
-    comps = 2 if quadrature else 1
-    acc = np.zeros((len(s_arr), len(tcps), n, comps), np.float64)
-    for lo in range(0, w, walker_block):
-        hi = min(lo + walker_block, w)
-        a_blk, b_blk = dA[:, lo:hi], dB[:, lo:hi]
-        for si, sv in enumerate(s_arr):
-            dphi = sv * a_blk + b_blk
-            for ti in range(len(tcps)):
-                gi = g[ti][:, None]
-                phi = gi * np.cumsum(gi * dphi, axis=0)
-                acc[si, ti, :, 0] += np.sum(np.cos(phi), axis=1)
-                if quadrature:
-                    acc[si, ti, :, 1] += np.sum(np.sin(phi), axis=1)
-    acc /= w
-    return acc if quadrature else acc[..., 0]
+
+def reconstruct_at_schedule(dA, dB, scales, schedules,
+                            quadrature: bool = False,
+                            walker_block: int = 1024) -> np.ndarray:
+    """Curves for ARBITRARY refocusing-pulse schedules from one record —
+    echo trains the engines never simulated.
+
+    ``schedules`` is a list of pulse schedules, each a sequence of
+    1-based output-window indices after whose end a 180-degree pulse
+    fires (an empty schedule = free decay).  A 180-degree pulse only
+    negates every walker's accumulated phase — it changes neither
+    trajectories nor the per-window phase increments — so the exact
+    reconstruction argument of :func:`reconstruct_curves` applies
+    verbatim to non-uniform trains: variable-spacing CPMG, T2-prep
+    blocks, or any other aligned sequence is one ±1-signed cumulative
+    sum over the recorded increments.  (For the uniform-taucp grid the
+    reference's workflow targets, use :func:`reconstruct_curves`; this
+    is the generalization it cannot express at all.)
+
+    Returns ``[n_scales, n_schedules, n_windows]`` walker-mean curves
+    (``[..., 2]`` stacking cos/sin when ``quadrature``).
+    """
+    dA = np.asarray(dA, np.float64)
+    dB = np.asarray(dB, np.float64)
+    n = dA.shape[0]
+    s_arr = np.asarray(scales, np.float64).reshape(-1)
+    g = np.stack([flip_parity_schedule(n, sched) for sched in schedules])
+    return _reconstruct(dA, dB, s_arr, g, quadrature, walker_block)
 
 
 def curves_at_plane(A, B, scales, taucps, params: Params,
@@ -244,21 +297,28 @@ def record_params(path: str, n_windows: int = None) -> Params:
 
 
 def reconstruct_record(path: str, scales, taucps=None,
-                       quadrature: bool = False):
+                       quadrature: bool = False, schedules=None):
     """Offline reconstruction from a saved record file alone: curves
-    at each moment scale (``taucps=None``) or over the full
-    (moment x taucp) plane — no simulator, no original Params object.
-    Returns what :func:`curves_at_scales` / :func:`curves_at_plane`
-    return (normalized per-walker means)."""
+    at each moment scale (``taucps=None``), over the full
+    (moment x taucp) plane, or at arbitrary pulse ``schedules``
+    (:func:`reconstruct_at_schedule`) — no simulator, no original
+    Params object.  Returns what :func:`curves_at_scales` /
+    :func:`curves_at_plane` / :func:`reconstruct_at_schedule` return
+    (normalized per-walker means)."""
+    if taucps is not None and schedules is not None:
+        raise ValueError("pass taucps OR schedules, not both")
     with np.load(path) as z:
         A, B = z["A"], z["B"]
-    if taucps is None:
+    if taucps is None and schedules is None:
         return curves_at_scales(A, B, scales, quadrature=quadrature)
     # pass the window count: record_params would otherwise decompress
     # the (potentially GB-scale) A array a second time just for shape
-    return curves_at_plane(A, B, scales, taucps,
-                           record_params(path, n_windows=A.shape[0]),
-                           quadrature=quadrature)
+    p = record_params(path, n_windows=A.shape[0])
+    if schedules is not None:
+        dA, dB = window_increments(A, B, p)
+        return reconstruct_at_schedule(dA, dB, scales, schedules,
+                                       quadrature=quadrature)
+    return curves_at_plane(A, B, scales, taucps, p, quadrature=quadrature)
 
 
 class BootstrapT2(NamedTuple):

@@ -186,3 +186,98 @@ class TestEchoAxis:
         b = dec.reconstruct_curves(dA, dB, [0.7, 1.3], [0.0002, 0.001], p,
                                    quadrature=True, walker_block=4096)
         np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+
+
+class TestArbitrarySchedules:
+    """reconstruct_at_schedule: ANY aligned refocusing train from the
+    same record — pulses only negate accumulated phase, so non-uniform
+    echo trains are the same ±1-signed cumsum the taucp grid uses."""
+
+    def test_periodic_schedule_matches_taucp_grid(self, setup):
+        """A uniform schedule must agree exactly with the taucp-based
+        reconstruction (same parity bookkeeping, two code paths)."""
+        p, sc = setup
+        r = dec.run_decomposition(sc, p, seed=11, engine="scan")
+        dA, dB = dec.window_increments(r.A, r.B, p)
+        n = dA.shape[0]
+        for taucp in (0.0002, 0.001):
+            period = p.replace(taucp=taucp).validate().tcp // p.pfreq
+            sched = list(range(period, n + 1, period))
+            a = dec.reconstruct_curves(dA, dB, [0.6, 1.0], [taucp], p)
+            b = dec.reconstruct_at_schedule(dA, dB, [0.6, 1.0], [sched])
+            np.testing.assert_allclose(b, a, rtol=0, atol=1e-12)
+
+    def test_empty_schedule_is_free_decay(self, setup):
+        p, sc = setup
+        r = dec.run_decomposition(sc, p, seed=11, engine="scan")
+        dA, dB = dec.window_increments(r.A, r.B, p)
+        a = dec.reconstruct_curves(dA, dB, [1.0], [0.003], p)  # never fires
+        b = dec.reconstruct_at_schedule(dA, dB, [1.0], [[]])
+        np.testing.assert_allclose(b, a, rtol=0, atol=1e-12)
+
+    def test_aperiodic_schedule_vs_bruteforce(self, setup):
+        """A variable echo train checked against an independent
+        per-walker sequential replay (add increment, record, negate at
+        scheduled pulses) — validating the signed-cumsum identity."""
+        p, sc = setup
+        r = dec.run_decomposition(sc, p, seed=11, engine="scan")
+        dA, dB = dec.window_increments(r.A, r.B, p)
+        n, w = dA.shape
+        sched = [2, 3, 7, 15]
+        assert max(sched) <= n
+        s = 1.3
+        out = dec.reconstruct_at_schedule(dA, dB, [s], [sched],
+                                          quadrature=True)
+        ph = np.zeros(w)
+        pulses = set(sched)
+        for j in range(1, n + 1):
+            ph = ph + (s * dA[j - 1] + dB[j - 1])
+            np.testing.assert_allclose(out[0, 0, j - 1, 0],
+                                       np.mean(np.cos(ph)), atol=1e-12)
+            np.testing.assert_allclose(out[0, 0, j - 1, 1],
+                                       np.mean(np.sin(ph)), atol=1e-12)
+            if j in pulses:
+                ph = -ph
+
+    def test_schedule_echoes_refocus(self, setup):
+        """Physics: right after a refocusing pulse the next window's
+        signal recovers relative to free decay at the same time (the
+        echo) — the pulse undoes accumulated dephasing."""
+        p, sc = setup
+        r = dec.run_decomposition(sc, p, seed=5, engine="scan")
+        dA, dB = dec.window_increments(r.A, r.B, p)
+        n = dA.shape[0]
+        mid = n // 2
+        free, echo = dec.reconstruct_at_schedule(
+            dA, dB, [1.0], [[], [mid]])[0]
+        # at the echo time 2*mid (or the last window if shorter), the
+        # refocused curve exceeds free decay
+        t_echo = min(2 * mid, n) - 1
+        assert echo[t_echo] > free[t_echo]
+
+    def test_rejects_out_of_range(self, setup):
+        p, sc = setup
+        r = dec.run_decomposition(sc, p, seed=11, engine="scan",
+                                  max_steps=p.sprint_steps)
+        dA, dB = dec.window_increments(r.A, r.B, p)
+        n = dA.shape[0]
+        with pytest.raises(ValueError, match="1-based"):
+            dec.reconstruct_at_schedule(dA, dB, [1.0], [[0]])
+        with pytest.raises(ValueError, match="1-based"):
+            dec.reconstruct_at_schedule(dA, dB, [1.0], [[n + 1]])
+
+    def test_record_file_schedules(self, setup, tmp_path):
+        """reconstruct_record(path, scales, schedules=...) — offline
+        schedule reconstruction from the npz alone."""
+        p, sc = setup
+        r = dec.run_decomposition(sc, p, seed=11, engine="scan")
+        path = str(tmp_path / "rec.npz")
+        np.savez_compressed(path, A=r.A, B=r.B, taucp=p.taucp,
+                            tau=p.tau, pfreq=p.pfreq)
+        dA, dB = dec.window_increments(r.A, r.B, p)
+        direct = dec.reconstruct_at_schedule(dA, dB, [1.0], [[3, 8]])
+        via_file = dec.reconstruct_record(path, [1.0], schedules=[[3, 8]])
+        np.testing.assert_allclose(via_file, direct, rtol=0, atol=1e-12)
+        with pytest.raises(ValueError, match="not both"):
+            dec.reconstruct_record(path, [1.0], taucps=[p.taucp],
+                                   schedules=[[3]])
