@@ -333,6 +333,41 @@ class TestEchoPlaneHardware:
         np.testing.assert_allclose(plane[0, 0], cos_d / 128, atol=5e-5)
 
 
+class TestUncertaintyHardware:
+    def test_bootstrap_and_schedule_from_chip_record(self):
+        """The new uncertainty + schedule surfaces against a record the
+        REAL production kernel produced (hardware PRNG): the walker
+        bootstrap yields a finite, deterministic CI around the point
+        fit, and an arbitrary pulse train reconstructs with its periodic
+        special case matching the taucp-grid path bitwise."""
+        from mri_nanoparticle_simulation_tpu.engine import decompose as dec
+        from mri_nanoparticle_simulation_tpu.params import small_test_params
+        pp = small_test_params(num_water=256, num_cells=12,
+                               totaltime=0.02, sprint_steps=2000,
+                               taucp=0.001, mmoment=2e-14,
+                               avoid_intracellular_throw=False)
+        sc = BacteriaBox(pp, seed=3).populate()
+        rec = dec.run_decomposition(sc, pp, seed=5, engine="pallas",
+                                    rng_impl="hardware")
+        b = dec.bootstrap_t2(rec.A, rec.B, pp, n_boot=32, seed=1)
+        assert b.t2_lo_ms < b.t2_hi_ms
+        assert b.t2_stderr_ms > 0 and b.n_ok == 32
+        med = float(np.median(b.t2_samples))
+        assert b.t2_lo_ms < med < b.t2_hi_ms
+        assert abs(b.fit.t2_ms - med) < 4 * b.t2_stderr_ms
+        b2 = dec.bootstrap_t2(rec.A, rec.B, pp, n_boot=32, seed=1)
+        np.testing.assert_array_equal(b.t2_samples, b2.t2_samples)
+
+        dA, dB = dec.window_increments(rec.A, rec.B, pp)
+        n = dA.shape[0]
+        period = pp.replace(taucp=0.002).validate().tcp // pp.pfreq
+        sched = list(range(period, n + 1, period))
+        via_grid = dec.reconstruct_curves(dA, dB, [1.0], [0.002], pp)
+        via_sched = dec.reconstruct_at_schedule(dA, dB, [1.0], [sched])
+        np.testing.assert_allclose(via_sched, via_grid, rtol=0,
+                                   atol=1e-12)
+
+
 class TestMomentScalesCliHardware:
     def test_moment_scales_cli_smoke(self, tmp_path):
         """--moment-scales end-to-end on the chip: ONE decomposition run
