@@ -93,22 +93,43 @@ def run_decomposition(scene, params: Params, seed: int = 0,
     n_sprints = total // p.sprint_steps
     a_parts, b_parts = [], []
 
+    # 1-deep drain pipeline: dispatch sprint i+1 (async under jax)
+    # BEFORE reading sprint i's window record, so the (large, per-walker)
+    # host transfer overlaps the next sprint's device compute — the
+    # record drain is the decomposition run's dominant cost through a
+    # tunneled runtime
     if engine == "pallas":
         sprint = pe.make_sprint_fn(p, num_water, dtype, rng_impl,
                                    interpret=interpret, decompose=True)
         ps = pe.to_planes(state, p)
+        pending = None
         for _ in range(n_sprints):
             ps, wins = sprint(mnp_pos, mnp_M, key_arr, ps, 0)
-            # wins: [n_win, 2, R, 128] -> [n_win, W] per component
-            w = np.asarray(wins)
+            if pending is not None:
+                # pending: [n_win, 2, R, 128] -> [n_win, W] per component
+                w = np.asarray(pending)
+                a_parts.append(
+                    w[:, 0].reshape(w.shape[0], -1)[:, :num_water])
+                b_parts.append(
+                    w[:, 1].reshape(w.shape[0], -1)[:, :num_water])
+            pending = wins
+        if pending is not None:
+            w = np.asarray(pending)
             a_parts.append(w[:, 0].reshape(w.shape[0], -1)[:, :num_water])
             b_parts.append(w[:, 1].reshape(w.shape[0], -1)[:, :num_water])
         final = pe.from_planes(ps, num_water)
     elif engine == "scan":
         sprint = re.make_sprint_fn(p, dtype, decompose=True)
+        pending = None
         for _ in range(n_sprints):
             state, wins = sprint(mnp_pos, mnp_M, key_arr, state, 0)
-            w = np.asarray(wins)                   # [n_win, W, 2]
+            if pending is not None:
+                w = np.asarray(pending)            # [n_win, W, 2]
+                a_parts.append(w[..., 0])
+                b_parts.append(w[..., 1])
+            pending = wins
+        if pending is not None:
+            w = np.asarray(pending)
             a_parts.append(w[..., 0])
             b_parts.append(w[..., 1])
         final = state
