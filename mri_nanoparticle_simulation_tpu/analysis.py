@@ -200,7 +200,20 @@ def main(argv=None) -> int:
                     help="two-sided confidence level (--record only)")
     ap.add_argument("--seed", type=int, default=0,
                     help="bootstrap resampling seed (--record only)")
+    ap.add_argument("--taucp-grid", default=None, metavar="T1,T2,...",
+                    help="with --record: bootstrap the whole CPMG "
+                         "dispersion R2(taucp) with confidence "
+                         "intervals from the one record")
+    ap.add_argument("--out-table", default=None, metavar="CSV",
+                    help="with --taucp-grid: write the dispersion table "
+                         "(taucp_ms,r2_per_ms,t2_ms,t2_lo_ms,t2_hi_ms,"
+                         "t2_stderr_ms,n_ok)")
     args = ap.parse_args(argv)
+    if args.taucp_grid is not None and args.record is None:
+        ap.error("--taucp-grid reconstructs echo spacings from a "
+                 "decomposition record; pass --record")
+    if args.out_table is not None and args.taucp_grid is None:
+        ap.error("--out-table goes with --taucp-grid")
     if args.taucp is not None and not args.taucp > 0:
         ap.error("--taucp must be > 0 (ms)")
     if not args.csv and args.record is None:
@@ -210,6 +223,34 @@ def main(argv=None) -> int:
         print(f"{path}: T2 = {f.t2_ms:.4g} ms  (A = {f.amplitude:.4g}, "
               f"R^2 = {f.r_squared:.5f}, {f.n_used} rows, "
               f"rms residual {f.rms_residual:.3g})")
+    if args.record is not None and args.taucp_grid is not None:
+        from .engine.decompose import bootstrap_dispersion_record
+        if not args.bootstrap >= 2:
+            ap.error("--bootstrap must be >= 2")
+        try:
+            taucps = [float(x) for x in args.taucp_grid.split(",") if x]
+        except ValueError:
+            ap.error(f"--taucp-grid must be comma-separated ms values, "
+                     f"got {args.taucp_grid!r}")
+        rows = bootstrap_dispersion_record(
+            args.record, taucps, scale=args.scale, n_boot=args.bootstrap,
+            seed=args.seed, ci=args.ci, floor=args.floor)
+        cols = ("taucp_ms", "r2_per_ms", "t2_ms", "t2_lo_ms", "t2_hi_ms",
+                "t2_stderr_ms", "n_ok")
+        lines = [",".join(cols)] + [
+            ",".join(str(r[c]) for c in cols) for r in rows]
+        if args.out_table:
+            with open(args.out_table, "w") as f:
+                f.write("\n".join(lines) + "\n")
+            print(f"dispersion table written: {args.out_table}")
+        pct = 100.0 * args.ci
+        for r in rows:
+            print(f"{args.record} taucp={r['taucp_ms']:g}: "
+                  f"T2 = {r['t2_ms']:.4g} ms "
+                  f"[{r['t2_lo_ms']:.4g}, {r['t2_hi_ms']:.4g}] {pct:g}% "
+                  f"CI, sigma = {r['t2_stderr_ms']:.3g} ms "
+                  f"({r['n_ok']}/{args.bootstrap} resamples)")
+        return 0
     if args.record is not None:
         from .engine.decompose import bootstrap_t2_record
         if not args.bootstrap >= 2:

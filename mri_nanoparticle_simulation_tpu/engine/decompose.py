@@ -353,21 +353,24 @@ class BootstrapT2(NamedTuple):
 
 def echo_cos_matrix(A, B, params: Params, scale: float = 1.0,
                     taucp: Optional[float] = None,
-                    walker_block: int = 1024):
+                    walker_block: int = 1024, increments=None):
     """Per-walker ``cos(phi)`` at the spin-echo rows (t = 2k·taucp) for a
     given moment scale and echo spacing, from a decomposition record.
 
     Returns ``(echo_times_ms, cos_echo)`` with ``cos_echo`` shaped
     ``[n_echoes, num_water]`` — the sufficient statistic for any
     walker-resampling analysis of the echo envelope.  Streamed over
-    walker blocks like :func:`reconstruct_curves`.
+    walker blocks like :func:`reconstruct_curves`.  ``increments``:
+    optionally pass precomputed ``window_increments(A, B, params)`` so
+    multi-taucp callers pay the flip-undo once (A/B are then ignored).
     """
     from ..analysis import echo_indices
 
     p = params.validate()
     taucp_v = p.taucp if taucp is None else float(taucp)
     tcp = p.tcp if taucp is None else p.replace(taucp=taucp_v).validate().tcp
-    dA, dB = window_increments(A, B, p)
+    dA, dB = increments if increments is not None \
+        else window_increments(A, B, p)
     n, w = dA.shape
     times = np.arange(1, n + 1, dtype=np.float64) * p.pfreq * p.tau
     eidx = echo_indices(times, taucp_v)
@@ -388,7 +391,8 @@ def echo_cos_matrix(A, B, params: Params, scale: float = 1.0,
 def bootstrap_t2(A, B, params: Params, scale: float = 1.0,
                  taucp: Optional[float] = None, n_boot: int = 200,
                  seed: int = 0, ci: float = 0.95, floor: float = 0.02,
-                 walker_block: int = 1024) -> BootstrapT2:
+                 walker_block: int = 1024,
+                 increments=None) -> BootstrapT2:
     """Walker-bootstrap confidence interval on T2 from ONE simulation.
 
     The decay curve is a mean over walkers, so the record's per-walker
@@ -412,7 +416,8 @@ def bootstrap_t2(A, B, params: Params, scale: float = 1.0,
     if n_boot < 2:
         raise ValueError(f"n_boot must be >= 2, got {n_boot!r}")
     te, cos_echo = echo_cos_matrix(A, B, params, scale=scale, taucp=taucp,
-                                   walker_block=walker_block)
+                                   walker_block=walker_block,
+                                   increments=increments)
     w = cos_echo.shape[1]
     point = fit_t2(te, cos_echo.mean(axis=1), floor=floor)
 
@@ -437,6 +442,44 @@ def bootstrap_t2(A, B, params: Params, scale: float = 1.0,
                        n_ok=len(samples), t2_samples=s)
 
 
+def bootstrap_dispersion(A, B, params: Params, taucps, scale: float = 1.0,
+                         n_boot: int = 200, seed: int = 0,
+                         ci: float = 0.95, floor: float = 0.02) -> list:
+    """The CPMG dispersion table R2(taucp) WITH Monte-Carlo confidence
+    intervals, from ONE decomposition record: per echo spacing, the
+    walker bootstrap of :func:`bootstrap_t2` (the flip-undo pass over
+    the record is paid once and shared).
+
+    Returns one dict per taucp:
+    ``{taucp_ms, r2_per_ms, t2_ms, t2_lo_ms, t2_hi_ms, t2_stderr_ms,
+    n_ok}`` — nan row (n_ok=0) for grid points with too few echoes or
+    an unfittable envelope, mirroring the ``--fit-r2`` sentinel.  The
+    reference's route to this table is one recompile + ~14-minute run
+    per (taucp, replicate) pair.
+    """
+    p = params.validate()
+    inc = window_increments(A, B, p)
+    rows = []
+    nan = float("nan")
+    for t_cp in np.asarray(taucps, np.float64).reshape(-1):
+        try:
+            b = bootstrap_t2(A, B, p, scale=scale, taucp=float(t_cp),
+                             n_boot=n_boot, seed=seed, ci=ci,
+                             floor=floor, increments=inc)
+            rows.append({"taucp_ms": float(t_cp),
+                         "r2_per_ms": 1.0 / b.fit.t2_ms,
+                         "t2_ms": b.fit.t2_ms,
+                         "t2_lo_ms": b.t2_lo_ms,
+                         "t2_hi_ms": b.t2_hi_ms,
+                         "t2_stderr_ms": b.t2_stderr_ms,
+                         "n_ok": b.n_ok})
+        except ValueError:
+            rows.append({"taucp_ms": float(t_cp), "r2_per_ms": nan,
+                         "t2_ms": nan, "t2_lo_ms": nan, "t2_hi_ms": nan,
+                         "t2_stderr_ms": nan, "n_ok": 0})
+    return rows
+
+
 def bootstrap_t2_record(path: str, scale: float = 1.0,
                         taucp: Optional[float] = None, n_boot: int = 200,
                         seed: int = 0, ci: float = 0.95,
@@ -448,6 +491,19 @@ def bootstrap_t2_record(path: str, scale: float = 1.0,
     p = record_params(path, n_windows=A.shape[0])
     return bootstrap_t2(A, B, p, scale=scale, taucp=taucp, n_boot=n_boot,
                         seed=seed, ci=ci, floor=floor)
+
+
+def bootstrap_dispersion_record(path: str, taucps, scale: float = 1.0,
+                                n_boot: int = 200, seed: int = 0,
+                                ci: float = 0.95,
+                                floor: float = 0.02) -> list:
+    """:func:`bootstrap_dispersion` from a saved ``--dump-record`` npz."""
+    with np.load(path) as z:
+        A, B = z["A"], z["B"]
+    p = record_params(path, n_windows=A.shape[0])
+    return bootstrap_dispersion(A, B, p, taucps, scale=scale,
+                                n_boot=n_boot, seed=seed, ci=ci,
+                                floor=floor)
 
 
 def curves_at_scales(A, B, scales, quadrature: bool = False):

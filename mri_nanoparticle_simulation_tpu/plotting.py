@@ -128,7 +128,7 @@ def plot_dispersion(table_path: str, out_png: str,
         rows = list(csv.reader(f))
     header, data = rows[0], rows[1:]
     fit_cols = ("r2_per_ms", "t2_ms", "r_squared", "n_echoes",
-                "t2_stderr_ms")
+                "t2_stderr_ms", "t2_lo_ms", "t2_hi_ms", "n_ok")
     knobs = [c for c in header if c not in fit_cols]
     if not knobs:
         raise ValueError(f"no knob columns in {table_path} ({header})")

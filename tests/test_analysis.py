@@ -233,3 +233,61 @@ class TestBootstrap:
         # an echo spacing with no echo inside the record
         with pytest.raises(ValueError, match="no spin echo"):
             dec.bootstrap_t2(r.A, r.B, pm, taucp=pm.totaltime)
+
+
+class TestBootstrapDispersion:
+    """The CPMG dispersion table WITH confidence intervals from one
+    record (decompose.bootstrap_dispersion / mri-t2-fit --taucp-grid)."""
+
+    def test_dispersion_with_cis(self, decay_record):
+        from mri_nanoparticle_simulation_tpu.engine import decompose as dec
+        pm, r = decay_record
+        taucps = [0.0005, 0.001, 0.002, pm.totaltime]
+        rows = dec.bootstrap_dispersion(r.A, r.B, pm, taucps, n_boot=32,
+                                        seed=1)
+        assert [row["taucp_ms"] for row in rows] == taucps
+        fit_rows = rows[:3]
+        # motional narrowing: R2 rises with echo spacing (the same
+        # physics TestCpmgDispersion pins on point estimates)
+        r2s = [row["r2_per_ms"] for row in fit_rows]
+        assert r2s[0] < r2s[1] < r2s[2]
+        for row in fit_rows:
+            assert row["t2_lo_ms"] < row["t2_hi_ms"]
+            # the resample CI sits on the point estimate's scale
+            assert row["t2_lo_ms"] - 4 * row["t2_stderr_ms"] < \
+                row["t2_ms"] < row["t2_hi_ms"] + 4 * row["t2_stderr_ms"]
+            assert row["t2_stderr_ms"] > 0 and row["n_ok"] == 32
+        # no echo fits inside the record at taucp = totaltime: nan row
+        assert rows[3]["n_ok"] == 0 and np.isnan(rows[3]["t2_ms"])
+
+    def test_cli_table(self, decay_record, tmp_path, capsys):
+        from mri_nanoparticle_simulation_tpu import plotting
+        pm, r = decay_record
+        rec = str(tmp_path / "rec.npz")
+        np.savez_compressed(rec, A=r.A, B=r.B, taucp=pm.taucp,
+                            tau=pm.tau, pfreq=pm.pfreq)
+        table = str(tmp_path / "disp.csv")
+        rc = an.main(["--record", rec, "--taucp-grid", "0.0005,0.001",
+                      "--bootstrap", "16", "--out-table", table])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert out.count("CI") == 2
+        lines = open(table).read().strip().splitlines()
+        assert lines[0] == ("taucp_ms,r2_per_ms,t2_ms,t2_lo_ms,t2_hi_ms,"
+                            "t2_stderr_ms,n_ok")
+        assert len(lines) == 3
+        # the table plots with error bars (CI columns are fit columns,
+        # not knob axes)
+        png = str(tmp_path / "d.png")
+        plotting.plot_dispersion(table, png, ycol="t2_ms")
+        import os
+        assert os.path.getsize(png) > 10_000
+
+    def test_cli_guards(self, tmp_path):
+        with pytest.raises(SystemExit):
+            an.main(["--taucp-grid", "1,2"])        # needs --record
+        with pytest.raises(SystemExit):
+            an.main(["--record", "x.npz", "--taucp-grid", "1,2",
+                     "--bootstrap", "1"])
+        with pytest.raises(SystemExit):
+            an.main(["x.csv", "--out-table", str(tmp_path / "t.csv")])
