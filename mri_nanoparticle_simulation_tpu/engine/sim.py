@@ -63,11 +63,12 @@ def fit_sprint_steps(params: Params, requested: int) -> int:
 
 
 def _emit_sweep_outputs(csv_path, times, names, combos, flat, pv_fn,
-                        fit_path):
+                        fit_path, quadrature=False):
     """Per-grid-point outputs shared by --sweep and --sweep-grid: one
     reference-schema CSV per point (suffix KNOB=V[_KNOB2=V2]) and,
     when ``fit_path`` is set, the fitted dispersion table with one knob
-    column per axis.  ``flat`` is [n_points, trials, n_windows];
+    column per axis.  ``flat`` is [n_points, trials, n_windows]
+    (+ a trailing (cos, sin) component axis when ``quadrature``);
     ``pv_fn(combo)`` yields the point's physical Params (header
     metadata AND the echo spacing each point is fitted at)."""
     import os
@@ -77,10 +78,14 @@ def _emit_sweep_outputs(csv_path, times, names, combos, flat, pv_fn,
         pv = pv_fn(combo).validate()
         tag = "_".join(f"{n}={v:g}" for n, v in zip(names, combo))
         path = f"{stem}_{tag}{ext or '.csv'}"
-        mean = flat[ci].mean(axis=0)
-        with writer_mod.T2CsvWriter(path, pv, quadrature=False) as w:
-            w.append_windows(0, np.stack([mean,
-                                          np.zeros_like(mean)], -1))
+        pt = flat[ci].mean(axis=0)           # trial mean
+        if quadrature:
+            mean, wins = pt[:, 0], pt
+        else:
+            mean = pt
+            wins = np.stack([pt, np.zeros_like(pt)], -1)
+        with writer_mod.T2CsvWriter(path, pv, quadrature=quadrature) as w:
+            w.append_windows(0, wins)
         print(f"  {tag}: wrote {path}", file=sys.stderr)
         if fit_path:
             from .. import analysis
@@ -98,7 +103,9 @@ def _emit_sweep_outputs(csv_path, times, names, combos, flat, pv_fn,
                     for trial in flat[ci]:
                         try:
                             tt, mt = analysis.sample_at_echoes(
-                                times, trial, pv.taucp)
+                                times,
+                                trial[:, 0] if quadrature else trial,
+                                pv.taucp)
                             t2s.append(analysis.fit_t2(tt, mt).t2_ms)
                         except ValueError:
                             continue
@@ -891,9 +898,6 @@ def main(argv=None):
                  "--sweep-grid axes; pass the knob(s) and values to "
                  "sweep (the echo axis has --echo-taucps + --fit-r2)")
     if args.sweep_grid:
-        if args.quadrature:
-            ap.error("--sweep-grid writes the reference's cos-only "
-                     "schema; drop --quadrature")
         if args.ensemble > 1:
             ap.error("--sweep-grid runs --trials-per-value trials per "
                      "grid point; drop --ensemble")
@@ -922,12 +926,13 @@ def main(argv=None):
                 params, axes, n_trials_each=args.trials_per_value,
                 base_seed=args.scene_seed, run_seed=args.seed + 1000,
                 engine=args.engine, rng_impl=cli_rng,
-                paired=args.paired, walker_shards=args.walker_shards)
+                paired=args.paired, walker_shards=args.walker_shards,
+                quadrature=args.quadrature)
         wall = time.perf_counter() - t0
         import itertools
         names = list(axes)
-        flat = curves.reshape(-1, args.trials_per_value,
-                              curves.shape[-1])
+        flat = curves.reshape((-1, args.trials_per_value)
+                              + curves.shape[len(axes) + 1:])
         combos = list(itertools.product(*[axes[n] for n in names]))
 
         def pv_fn(combo):
@@ -938,7 +943,8 @@ def main(argv=None):
             return pv
 
         _emit_sweep_outputs(csv_path, times, names, combos, flat,
-                            pv_fn, args.fit_t2)
+                            pv_fn, args.fit_t2,
+                            quadrature=args.quadrature)
         n_runs = len(combos) * args.trials_per_value
         rate = n_runs * params.t * params.num_water / wall
         print(f"Grid sweep complete: {len(combos)} grid points x "
@@ -952,9 +958,6 @@ def main(argv=None):
     if args.sweep:
         if not args.sweep_values:
             ap.error("--sweep requires --sweep-values")
-        if args.quadrature:
-            ap.error("--sweep writes the reference's cos-only schema; "
-                     "drop --quadrature")
         if args.ensemble > 1:
             ap.error("--sweep runs --trials-per-value trials per value; "
                      "drop --ensemble")
@@ -989,13 +992,15 @@ def main(argv=None):
                 params, name, values, n_trials_each=args.trials_per_value,
                 base_seed=args.scene_seed, run_seed=args.seed + 1000,
                 engine=args.engine, rng_impl=cli_rng, paired=args.paired,
-                walker_shards=args.walker_shards)
+                walker_shards=args.walker_shards,
+                quadrature=args.quadrature)
         wall = time.perf_counter() - t0
         _emit_sweep_outputs(
             csv_path, times, [name], [(v,) for v in values],
             np.asarray(curves), lambda combo: (
                 params.scale_D(combo[0]) if name == "D"
-                else params.replace(**{name: combo[0]})), args.fit_t2)
+                else params.replace(**{name: combo[0]})), args.fit_t2,
+            quadrature=args.quadrature)
         n_runs = len(values) * args.trials_per_value
         rate = n_runs * params.t * params.num_water / wall
         print(f"Sweep complete: {len(values)} values x "

@@ -583,7 +583,8 @@ def run_parameter_grid(base_params: Params, axes: dict,
                        rng_impl: str = pallas_engine.RNG_THREEFRY,
                        interpret: bool = False, paired: bool = False,
                        walker_shards: int = 1,
-                       mesh: Optional[Mesh] = None):
+                       mesh: Optional[Mesh] = None,
+                       quadrature: bool = False):
     """Cross-product sweep over MULTIPLE launch-scalar knobs in ONE
     compiled program: ``axes`` maps knob names (a subset of
     :data:`SCALAR_AXES`) to value lists; every combination runs as a
@@ -597,18 +598,23 @@ def run_parameter_grid(base_params: Params, axes: dict,
 
     Returns ``(times_ms, curves)`` with curves shaped
     ``[n1, n2, ..., n_trials_each, n_windows]`` — one leading axis per
-    key of ``axes`` in iteration order.
+    key of ``axes`` in iteration order.  ``quadrature=True`` appends a
+    trailing component axis stacking (sum cos, sum sin):
+    ``[..., n_windows, 2]`` (the reference emits cos only,
+    cuda_sim.cu:825).
     """
     value_lists, combos, per_trial = grid_per_trial(
         axes, n_trials_each, paired, base_seed, run_seed)
-    times, cos, _, _ = run_ensemble(
+    times, cos, sin, _ = run_ensemble(
         base_params, n_trials=len(combos) * n_trials_each,
         base_seed=base_seed, run_seed=run_seed, **per_trial,
         dtype=dtype, max_steps=max_steps, engine=engine,
         rng_impl=rng_impl, interpret=interpret,
         walker_shards=walker_shards, mesh=mesh)
-    shape = [len(v) for v in value_lists] + [n_trials_each, -1]
-    return times, cos.reshape(shape)
+    flat = np.stack([cos, sin], -1) if quadrature else cos
+    shape = [len(v) for v in value_lists] + [n_trials_each, -1] + \
+        ([2] if quadrature else [])
+    return times, flat.reshape(shape)
 
 
 def run_parameter_sweep(base_params: Params, name: str, values,
@@ -617,7 +623,8 @@ def run_parameter_sweep(base_params: Params, name: str, values,
                         max_steps=None, engine: str = "scan",
                         rng_impl: str = pallas_engine.RNG_THREEFRY,
                         interpret: bool = False, paired: bool = False,
-                        walker_shards: int = 1):
+                        walker_shards: int = 1,
+                        quadrature: bool = False):
     """Sweep any Params field (e.g. cell_r, taucp, mmoment) across runs.
 
     ``mmoment``, ``taucp``, ``cell_r``, and ``D`` sweeps share ONE
@@ -643,7 +650,8 @@ def run_parameter_sweep(base_params: Params, name: str, values,
     knobs (cell_r) pairing means the same throw sequence: scenes share
     their cell placement pattern at each trial index.
 
-    Returns (times_ms, curves [len(values), n_trials_each, n_windows]).
+    Returns (times_ms, curves [len(values), n_trials_each, n_windows]);
+    ``quadrature=True`` appends a trailing (cos, sin) component axis.
     """
     if name in SCALAR_AXES:
         key = {"mmoment": "mmoments", "taucp": "taucps",
@@ -654,23 +662,26 @@ def run_parameter_sweep(base_params: Params, name: str, values,
                                         for k in range(n_trials_each)]
             per_trial["run_seeds"] = [run_seed + k for _ in values
                                      for k in range(n_trials_each)]
-        times, cos, _, _ = run_ensemble(
+        times, cos, sin, _ = run_ensemble(
             base_params, n_trials=len(values) * n_trials_each,
             base_seed=base_seed, run_seed=run_seed, **per_trial,
             dtype=dtype, max_steps=max_steps, engine=engine,
             rng_impl=rng_impl, interpret=interpret,
             walker_shards=walker_shards)
-        return times, cos.reshape(len(values), n_trials_each, -1)
+        flat = np.stack([cos, sin], -1) if quadrature else cos
+        shape = (len(values), n_trials_each, -1) + \
+            ((2,) if quadrature else ())
+        return times, flat.reshape(shape)
 
     curves = []
     times = None
     for i, v in enumerate(values):
         p = base_params.replace(**{name: v}).validate()
-        times, cos, _, _ = run_ensemble(
+        times, cos, sin, _ = run_ensemble(
             p, n_trials=n_trials_each, base_seed=base_seed,
             run_seed=run_seed if paired else run_seed + i * 10000,
             dtype=dtype,
             max_steps=max_steps, engine=engine, rng_impl=rng_impl,
             interpret=interpret, walker_shards=walker_shards)
-        curves.append(cos)
+        curves.append(np.stack([cos, sin], -1) if quadrature else cos)
     return times, np.stack(curves)

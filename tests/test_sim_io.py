@@ -337,6 +337,38 @@ class TestCliSweep:
         assert np.isfinite(t2) and t2 > 0
         assert np.isfinite(se) and se > 0
 
+    def test_sweep_quadrature_csvs(self, tmp_path):
+        """--sweep composes with --quadrature: per-point CSVs carry the
+        real sum-sin column (previously rejected as cos-only)."""
+        out = str(tmp_path / "q.csv")
+        table = str(tmp_path / "qt.csv")
+        rc = sim.main(["--num-water", "32", "--num-cells", "8",
+                       "--totaltime", "0.002", "--sprint-steps", "1000",
+                       "--chunk-steps", "100", "--near-k", "6",
+                       "--taucp", "0.001", "--hash-dim", "8",
+                       "--engine", "scan", "--quadrature",
+                       "--sweep", "D", "--sweep-values", "1,0.25",
+                       "--fit-t2", table, "--out", out])
+        assert rc == 0
+        for d in ("1", "0.25"):
+            rows = np.loadtxt(str(tmp_path / f"q_D={d}.csv"),
+                              delimiter=",")
+            assert rows.shape == (2, 3)          # time, cos, sin
+            assert np.any(rows[:, 2] != 0.0)     # real quadrature data
+        # the cos column matches the cos-only run bitwise
+        rc = sim.main(["--num-water", "32", "--num-cells", "8",
+                       "--totaltime", "0.002", "--sprint-steps", "1000",
+                       "--chunk-steps", "100", "--near-k", "6",
+                       "--taucp", "0.001", "--hash-dim", "8",
+                       "--engine", "scan",
+                       "--sweep", "D", "--sweep-values", "1,0.25",
+                       "--out", str(tmp_path / "c.csv")])
+        assert rc == 0
+        for d in ("1", "0.25"):
+            q = np.loadtxt(str(tmp_path / f"q_D={d}.csv"), delimiter=",")
+            c = np.loadtxt(str(tmp_path / f"c_D={d}.csv"), delimiter=",")
+            np.testing.assert_array_equal(q[:, :2], c)
+
     def test_fit_t2_requires_sweep(self, tmp_path):
         with pytest.raises(SystemExit):
             sim.main(["--fit-t2", str(tmp_path / "t.csv"),
