@@ -254,25 +254,31 @@ def run_parameter_grid_multihost(params, axes: dict,
                                  base_seed: int = 0, run_seed: int = 1000,
                                  engine: str = "scan",
                                  rng_impl: str = "threefry", dtype=None,
-                                 max_steps=None, paired: bool = False):
+                                 max_steps=None, paired: bool = False,
+                                 quadrature: bool = False):
     """Cross-product launch-scalar grid partitioned across hosts:
     ensemble.run_parameter_grid's contract (one compiled program per
     process, curves shaped [n1, ..., n_trials_each, n_windows]) with
     grid points split into contiguous per-process blocks over DCN.
     Seeds are assigned by GLOBAL trial index (explicit overrides when
     ``paired``), so the partition is invisible: every process returns
-    the same surface a single-process run produces.
+    the same surface a single-process run produces.  ``quadrature=True``
+    appends the (cos, sin) component axis, as in the local wrapper.
     """
+    import numpy as _np
+
     from . import ensemble
 
     value_lists, combos, per_trial = ensemble.grid_per_trial(
         axes, n_trials_each, paired, base_seed, run_seed)
-    times, cos, _ = run_ensemble_multihost(
+    times, cos, sin = run_ensemble_multihost(
         params, len(combos) * n_trials_each, base_seed=base_seed,
         run_seed=run_seed, engine=engine, rng_impl=rng_impl,
         dtype=dtype, max_steps=max_steps, **per_trial)
-    shape = [len(v) for v in value_lists] + [n_trials_each, -1]
-    return times, cos.reshape(shape)
+    flat = _np.stack([cos, sin], -1) if quadrature else cos
+    shape = [len(v) for v in value_lists] + [n_trials_each, -1] + \
+        ([2] if quadrature else [])
+    return times, flat.reshape(shape)
 
 
 def _dryrun(num_processes: int, process_id: int, coordinator: str,
@@ -382,6 +388,14 @@ def _dryrun(num_processes: int, process_id: int, coordinator: str,
             p, axes, base_seed=11, run_seed=7, mesh=mesh1,
             max_steps=p.sprint_steps, paired=True)
     np.testing.assert_allclose(grid_mh, grid_1p, atol=1e-3)
+    # quadrature surface: cos component must equal the cos-only grid
+    # exactly (same compiled trials; only host post-processing differs)
+    _, grid_q = run_parameter_grid_multihost(
+        p, axes, base_seed=11, run_seed=7, max_steps=p.sprint_steps,
+        paired=True, quadrature=True)
+    assert grid_q.shape == grid_mh.shape + (2,)
+    np.testing.assert_array_equal(grid_q[..., 0], grid_mh)
+    assert np.any(grid_q[..., 1] != 0.0)
 
     print(f"multihost dryrun OK: process {process_id}/{num_processes} "
           f"verified {checked} local walkers bitwise vs single-device; "
