@@ -167,12 +167,25 @@ def fit_t2(times_ms, signal, floor: float = 0.02,
 
 
 def fit_t2_csv(path: str, taucp_ms: Optional[float] = None,
-               floor: float = 0.02) -> T2Fit:
+               floor: float = 0.02, magnitude: bool = False) -> T2Fit:
     """Fit a T2 CSV (ours or the reference's).  ``taucp_ms`` switches to
-    echo-envelope sampling (rows nearest t = 2k·taucp)."""
+    echo-envelope sampling (rows nearest t = 2k·taucp).
+
+    ``magnitude`` fits |M| = sqrt(sum_cos^2 + sum_sin^2) instead of the
+    in-phase component — the quantity magnitude-mode acquisitions
+    measure, robust to global off-resonance rotation (requires the
+    quadrature column, ``--quadrature`` products; the reference emits
+    cos only, cuda_sim.cu:825)."""
     from .io.writer import read_t2_csv
     cols = read_t2_csv(path)
-    t, m = cols[0], cols[1]
+    if magnitude:
+        if len(cols) < 3:
+            raise ValueError(
+                f"{path} has no quadrature (sum_sin) column; --magnitude "
+                f"needs a --quadrature CSV")
+        t, m = cols[0], np.hypot(cols[1], cols[2])
+    else:
+        t, m = cols[0], cols[1]
     if taucp_ms is not None:
         t, m = sample_at_echoes(t, m, taucp_ms)
     return fit_t2(t, m, floor=floor)
@@ -189,6 +202,9 @@ def main(argv=None) -> int:
                          "(rows nearest t = 2k*taucp) instead of every row")
     ap.add_argument("--floor", type=float, default=0.02,
                     help="exclude rows below this fraction of M0")
+    ap.add_argument("--magnitude", action="store_true",
+                    help="fit |M| = sqrt(cos^2 + sin^2) (needs the "
+                         "--quadrature column; CSV inputs only)")
     ap.add_argument("--record", default=None, metavar="NPZ",
                     help="decomposition record (--dump-record): "
                          "walker-bootstrap T2 with a confidence interval")
@@ -218,8 +234,11 @@ def main(argv=None) -> int:
         ap.error("--taucp must be > 0 (ms)")
     if not args.csv and args.record is None:
         ap.error("give CSV path(s) and/or --record")
+    if args.magnitude and not args.csv:
+        ap.error("--magnitude applies to CSV inputs")
     for path in args.csv:
-        f = fit_t2_csv(path, taucp_ms=args.taucp, floor=args.floor)
+        f = fit_t2_csv(path, taucp_ms=args.taucp, floor=args.floor,
+                       magnitude=args.magnitude)
         print(f"{path}: T2 = {f.t2_ms:.4g} ms  (A = {f.amplitude:.4g}, "
               f"R^2 = {f.r_squared:.5f}, {f.n_used} rows, "
               f"rms residual {f.rms_residual:.3g})")

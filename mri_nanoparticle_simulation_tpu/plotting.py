@@ -70,11 +70,13 @@ def _series_label(path: str) -> str:
 def plot_curves(csv_paths: Sequence[str], out_png: str,
                 num_water: Optional[int] = None,
                 title: Optional[str] = None,
-                logy: bool = False, dark: bool = False) -> str:
-    """One decay-curve figure: each CSV (reference schema, cos column;
-    quadrature column ignored for the magnitude trace) becomes a line.
-    ``num_water`` normalizes sum_cos to m(t) in [0, 1]; omitted, the
-    raw sums are plotted."""
+                logy: bool = False, dark: bool = False,
+                magnitude: bool = False) -> str:
+    """One decay-curve figure: each CSV (reference schema, cos column)
+    becomes a line.  ``num_water`` normalizes sum_cos to m(t) in [0, 1];
+    omitted, the raw sums are plotted.  ``magnitude`` plots
+    |M| = sqrt(cos^2 + sin^2) instead (requires the --quadrature
+    column)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -91,11 +93,19 @@ def plot_curves(csv_paths: Sequence[str], out_png: str,
     from .io.writer import read_t2_csv
     for i, path in enumerate(csv_paths):
         cols = read_t2_csv(path)
-        y = cols[1] / (num_water or 1)
+        if magnitude:
+            if len(cols) < 3:
+                raise ValueError(
+                    f"{path} has no quadrature (sum_sin) column; "
+                    f"--magnitude needs a --quadrature CSV")
+            y = np.hypot(cols[1], cols[2]) / (num_water or 1)
+        else:
+            y = cols[1] / (num_water or 1)
         ax.plot(cols[0], y, color=th.series[i], linewidth=2.0,
                 label=_series_label(path))
     ax.set_xlabel("time (ms)", color=th.ink2, fontsize=10)
-    ax.set_ylabel("m(t) = Σcos φ" + (" / W" if num_water else ""),
+    ylab = "|M(t)|" if magnitude else "m(t) = Σcos φ"
+    ax.set_ylabel(ylab + (" / W" if num_water else ""),
                   color=th.ink2, fontsize=10)
     if logy:
         ax.set_yscale("log")
@@ -229,6 +239,9 @@ def main(argv=None) -> int:
     ap.add_argument("--title", default=None)
     ap.add_argument("--logy", action="store_true",
                     help="log magnetization axis (decay curves)")
+    ap.add_argument("--magnitude", action="store_true",
+                    help="plot |M| = sqrt(cos^2 + sin^2) (decay curves "
+                         "with the --quadrature column)")
     ap.add_argument("--dark", action="store_true",
                     help="dark mode: the same hues re-stepped for the "
                          "dark surface (a selected palette column, not "
@@ -238,11 +251,14 @@ def main(argv=None) -> int:
     if args.table:
         if len(args.inputs) != 1:
             ap.error("--table plots ONE dispersion table")
+        if args.magnitude:
+            ap.error("--magnitude applies to decay curves, not tables")
         plot_dispersion(args.inputs[0], args.out, ycol=args.ycol,
                         title=args.title, dark=args.dark)
     else:
         plot_curves(args.inputs, args.out, num_water=args.num_water,
-                    title=args.title, logy=args.logy, dark=args.dark)
+                    title=args.title, logy=args.logy, dark=args.dark,
+                    magnitude=args.magnitude)
     print(f"wrote {args.out}", file=sys.stderr)
     return 0
 

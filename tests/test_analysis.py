@@ -291,3 +291,46 @@ class TestBootstrapDispersion:
                      "--bootstrap", "1"])
         with pytest.raises(SystemExit):
             an.main(["x.csv", "--out-table", str(tmp_path / "t.csv")])
+
+
+class TestMagnitudeFit:
+    """|M| = sqrt(cos^2 + sin^2) fitting from quadrature CSVs: robust
+    to a global off-resonance phase rotation that makes the in-phase
+    component oscillate."""
+
+    def _write_quad(self, path, t2=6.0, omega=2.0):
+        t = np.arange(1, 4001) * 1e-3
+        mag = 512.0 * np.exp(-t / t2)
+        with open(path, "w") as f:
+            for ti, mi in zip(t, mag):
+                f.write(f"{ti:.17g},{mi * np.cos(omega * ti):.17g},"
+                        f"{mi * np.sin(omega * ti):.17g}\n")
+        return str(path)
+
+    def test_magnitude_recovers_under_rotation(self, tmp_path):
+        p = self._write_quad(tmp_path / "q.csv", t2=6.0, omega=2.0)
+        f = an.fit_t2_csv(p, magnitude=True)
+        assert abs(f.t2_ms - 6.0) < 1e-6
+        # the in-phase component alone oscillates through zero: either
+        # the fit fails or lands far from the truth
+        try:
+            f_cos = an.fit_t2_csv(p)
+            assert abs(f_cos.t2_ms - 6.0) > 0.5
+        except ValueError:
+            pass
+
+    def test_magnitude_needs_quadrature_column(self, tmp_path):
+        t = np.arange(1, 101) * 1e-3
+        path = str(tmp_path / "c.csv")
+        with open(path, "w") as f:
+            for ti in t:
+                f.write(f"{ti:.17g},{np.exp(-ti):.17g}\n")
+        with pytest.raises(ValueError, match="quadrature"):
+            an.fit_t2_csv(path, magnitude=True)
+
+    def test_cli(self, tmp_path, capsys):
+        p = self._write_quad(tmp_path / "q.csv")
+        assert an.main([p, "--magnitude"]) == 0
+        assert "T2 = 6" in capsys.readouterr().out
+        with pytest.raises(SystemExit):
+            an.main(["--magnitude", "--record", "x.npz"])

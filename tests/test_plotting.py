@@ -102,3 +102,24 @@ class TestDispersion:
             out = tmp_path / f"{ycol}.png"
             plotting.plot_dispersion(str(tbl), str(out), ycol=ycol)
             assert out.stat().st_size > 10_000
+
+
+class TestMagnitudeCurves:
+    def test_magnitude_trace(self, tmp_path):
+        t = np.linspace(0.001, 0.02, 20)
+        mag = 64 * np.exp(-t / 0.01)
+        path = tmp_path / "q.csv"
+        np.savetxt(path, np.c_[t, mag * np.cos(300 * t),
+                               mag * np.sin(300 * t)], delimiter=",")
+        out = str(tmp_path / "m.png")
+        assert plotting.main([str(path), "--magnitude", "--out", out,
+                              "--num-water", "64"]) == 0
+        assert (tmp_path / "m.png").stat().st_size > 5_000
+        # cos-only CSVs are rejected with a clear error
+        c2 = _curve_csv(tmp_path / "c.csv")
+        with pytest.raises(ValueError, match="quadrature"):
+            plotting.plot_curves([c2], str(tmp_path / "x.png"),
+                                 magnitude=True)
+        with pytest.raises(SystemExit):
+            plotting.main([str(path), "--table", "--magnitude",
+                           "--out", out])
