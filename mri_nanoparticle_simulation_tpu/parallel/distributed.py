@@ -138,6 +138,117 @@ def run_simulation_multihost(scene, params, mesh=None, seed: int = 0,
     return times, wins[:, 0], wins[:, 1], state
 
 
+def run_decomposition_multihost(scene, params, mesh=None, seed: int = 0,
+                                dtype=None, max_steps=None):
+    """Walker-sharded phase-decomposition run across hosts: per-process
+    record shards, ONE gather at the end.
+
+    The decomposition record is per-walker (decompose.run_decomposition:
+    [n_windows, W] per component), so under walker sharding each window's
+    record row is naturally sharded too — no psum exists to hide the
+    layout.  Each process drains only its *addressable* record shards to
+    host per sprint (the big transfer stays host-local; nothing crosses
+    DCN during the run), then the full record is assembled with one
+    ``process_allgather`` of the per-process column blocks — the same
+    single-collective-at-the-end discipline as run_ensemble_multihost.
+
+    Physics contract: global Threefry lanes make the per-walker (A, B)
+    series bitwise-equal to the single-device
+    ``decompose.run_decomposition(engine="scan")`` record, regardless of
+    the process/device partition (asserted by the 2-process dryrun).
+    Every process returns the same complete DecompositionResult, ready
+    for ``decompose.bootstrap_t2`` / ``curves_at_plane``.
+    """
+    import jax
+    import jax.numpy as jnp
+    from .. import rng as rng_mod
+    from ..engine import reference_engine
+    from ..engine.decompose import DecompositionResult
+    from . import sharding
+
+    dtype = dtype or jnp.float32
+    p = params.validate()
+    mesh = mesh or global_walker_mesh()
+    sprint_fn = sharding.make_sharded_decomp_sprint_fn(p, mesh, dtype)
+
+    np_dtype = np.dtype(dtype)
+    mnp_pos = put_global(mesh, jax.sharding.PartitionSpec(),
+                         np.asarray(scene.mnps[:, :3], np_dtype))
+    mnp_M = put_global(mesh, jax.sharding.PartitionSpec(),
+                       np.asarray(scene.mnps[:, 4], np_dtype))
+    k = rng_mod.key_from_seed(seed)
+    key_arr = put_global(mesh, jax.sharding.PartitionSpec(),
+                         np.asarray([np.uint32(k[0]), np.uint32(k[1])]))
+    host_state = reference_engine.init_state(scene.waters, p, dtype,
+                                             decompose=True)
+    state = jax.tree.map(lambda x, s: put_global(mesh, s, x),
+                         host_state, sharding.decomp_state_spec())
+
+    num_water = scene.waters.shape[0]
+    total = p.t if max_steps is None else min(p.t, max_steps)
+    n_sprints = total // p.sprint_steps
+
+    def drain_local(wins):
+        """This process's addressable column blocks of one sprint's
+        [n_win, W, 2] record, as (global_col_lo, host_array) pairs."""
+        out = []
+        for sh in wins.addressable_shards:
+            lo = sh.index[1].start or 0
+            out.append((lo, np.asarray(sh.data)))
+        return out
+
+    # 1-deep drain pipeline (as in decompose.run_decomposition): dispatch
+    # sprint i+1 before reading sprint i's record shards, so the host
+    # transfer overlaps the next sprint's compute
+    blocks: dict[int, list] = {}
+    pending = None
+    for _ in range(n_sprints):
+        state, wins = sprint_fn(mnp_pos, mnp_M, key_arr, state)
+        if pending is not None:
+            for lo, arr in drain_local(pending):
+                blocks.setdefault(lo, []).append(arr)
+        pending = wins
+    if pending is not None:
+        for lo, arr in drain_local(pending):
+            blocks.setdefault(lo, []).append(arr)
+
+    # assemble this process's contiguous-by-shard column blocks
+    los = sorted(blocks)
+    if los:
+        local = np.concatenate(
+            [np.concatenate(blocks[lo], axis=0) for lo in los], axis=1)
+        cols = np.concatenate(
+            [np.arange(lo, lo + blocks[lo][0].shape[1], dtype=np.int64)
+             for lo in los])
+    else:   # zero sprints requested
+        local = np.zeros((0, 0, 2), np_dtype)
+        cols = np.zeros((0,), np.int64)
+    n_windows = local.shape[0]
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        # one gather; requires every process to hold the same local
+        # record width (even device distribution — true on pods and in
+        # the dryrun; num_water % n_shards == 0 is enforced upstream)
+        gdata = np.asarray(multihost_utils.process_allgather(local))
+        gcols = np.asarray(multihost_utils.process_allgather(cols))
+        full = np.empty((n_windows, num_water, 2), local.dtype)
+        for pi in range(gdata.shape[0]):
+            full[:, gcols[pi]] = gdata[pi]
+    else:
+        full = np.empty((n_windows, num_water, 2), local.dtype)
+        full[:, cols] = local
+
+    times = (np.arange(1, n_windows + 1) * p.pfreq) * p.tau
+    stats = {
+        "steps": int(np.asarray(state.step)),
+        "escapes": int(np.asarray(state.escapes)),
+        "coverage_violations": int(np.asarray(state.coverage)),
+    }
+    return DecompositionResult(times_ms=times, A=full[..., 0],
+                               B=full[..., 1], stats=stats)
+
+
 def local_trial_mesh(n_trials: int, walker_shards: int = 1):
     """Right-sized trial mesh over THIS process's local devices (the
     cross-host ensemble layout: a trial's whole computation stays on one
@@ -374,6 +485,26 @@ def _dryrun(num_processes: int, process_id: int, coordinator: str,
         taucps=taucps, d_scales=dss, walker_shards=2)
     np.testing.assert_allclose(cos_2d, cos_1p, atol=1e-3)
     np.testing.assert_allclose(sin_2d, sin_1p, atol=1e-3)
+
+    # decomposition record across DCN: per-process record shards, one
+    # gather — the assembled [n_windows, W] (A, B) record must be
+    # bitwise-identical to the single-device decomposition run (global
+    # Threefry lanes make the partition invisible), on EVERY process
+    from ..engine import decompose
+    rec_mh = run_decomposition_multihost(sc, p, seed=0,
+                                         max_steps=p.sprint_steps)
+    with jax.default_device(jax.local_devices()[0]):
+        rec_1 = decompose.run_decomposition(sc, p, seed=0, engine="scan",
+                                            max_steps=p.sprint_steps)
+    np.testing.assert_array_equal(rec_mh.A, rec_1.A)
+    np.testing.assert_array_equal(rec_mh.B, rec_1.B)
+    assert rec_mh.stats == rec_1.stats
+    # and the downstream closed-form workflow consumes the gathered
+    # record unchanged: moment-scale reconstruction matches the
+    # single-device record's bit for bit
+    c_mh = decompose.curves_at_scales(rec_mh.A, rec_mh.B, [0.5, 2.0])
+    c_1 = decompose.curves_at_scales(rec_1.A, rec_1.B, [0.5, 2.0])
+    np.testing.assert_array_equal(c_mh, c_1)
 
     # paired parameter grid across DCN: grid points split 2+2 over the
     # processes, each point sharing scene seed base_seed (paired), must

@@ -123,6 +123,58 @@ def run_simulation_sharded(scene, params: Params, mesh: Optional[Mesh] = None,
     return times, np.asarray(wins[:, 0]), np.asarray(wins[:, 1]), state
 
 
+def make_sharded_decomp_sprint_fn(params: Params, mesh: Mesh,
+                                  dtype=jnp.float32):
+    """Sharded *phase-decomposition* sprint: like
+    :func:`make_sharded_sprint_fn` but in decompose mode
+    (reference_engine.make_sprint_fn(decompose=True)) — the per-window
+    output is the per-walker [n_windows, W, 2] (A, B) record, SHARDED over
+    the walker axis rather than psum'd (every walker's record row lives
+    with its owner shard; only escapes/coverage cross the mesh).  Each
+    process then reads only its addressable record shards — the
+    per-process record-shard layout run_decomposition_multihost gathers
+    once at the end.
+    """
+    n_shards = mesh.shape[WALKER_AXIS]
+    if params.num_water % n_shards != 0:
+        raise ValueError(
+            f"num_water ({params.num_water}) must divide evenly over "
+            f"{n_shards} devices")
+    local_w = params.num_water // n_shards
+    local_sprint = reference_engine.make_sprint_fn(params, dtype,
+                                                   decompose=True)
+
+    def shard_fn(mnp_pos, mnp_M, key_arr, state):
+        idx = jax.lax.axis_index(WALKER_AXIS)
+        lane_offset = (idx * local_w).astype(jnp.uint32)
+        esc0 = state.escapes
+        cov0 = state.coverage
+        new_state, wins = local_sprint(mnp_pos, mnp_M, key_arr, state,
+                                       lane_offset)
+        esc = jax.lax.psum(new_state.escapes - esc0, WALKER_AXIS) + esc0
+        cov = jax.lax.psum(new_state.coverage - cov0, WALKER_AXIS) + cov0
+        return new_state._replace(escapes=esc, coverage=cov), wins
+
+    row = P(WALKER_AXIS)
+    state_spec = decomp_state_spec()
+    sharded = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), state_spec),
+        out_specs=(state_spec, P(None, WALKER_AXIS, None)),
+        check_vma=False)
+    return jax.jit(sharded)
+
+
+def decomp_state_spec() -> reference_engine.WalkerState:
+    """PartitionSpec tree for decompose-mode walker state (phase planes
+    are [W, 2]: dipole part col 0, kick part col 1)."""
+    row = P(WALKER_AXIS)
+    return reference_engine.WalkerState(
+        pos=row, in_cell=row, phase=P(WALKER_AXIS, None),
+        phase_comp=P(WALKER_AXIS, None), step=P(), escapes=P(),
+        coverage=P())
+
+
 # ---------------------------------------------------------------------------
 # Production (Pallas) engine, sharded
 # ---------------------------------------------------------------------------
