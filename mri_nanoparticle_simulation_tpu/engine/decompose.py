@@ -67,12 +67,21 @@ def run_decomposition(scene, params: Params, seed: int = 0,
                       engine: str = "pallas", dtype=None,
                       rng_impl: str = "threefry",
                       interpret: bool = False,
-                      max_steps: Optional[int] = None) -> DecompositionResult:
+                      max_steps: Optional[int] = None,
+                      consumer=None) -> DecompositionResult:
     """One forward simulation recording per-walker (A, B) per window.
 
     ``engine`` is ``"pallas"`` (production kernel) or ``"scan"``; both
     consume the same Threefry streams, so their records agree to f32
     rounding (bitwise under the shared step semantics).
+
+    ``consumer``: optionally a :class:`StreamingPlane` (or anything with
+    ``update(a_block, b_block)``) fed each sprint's [n_win, W] record
+    blocks in window order INSTEAD of materializing the record — the
+    returned result then carries empty (0-window) A/B arrays and the
+    reconstruction lives in the consumer.  This removes the record's
+    host-memory ceiling (O(n_windows x W)) for dense-plane sweeps at
+    scale-up walker counts.
     """
     import jax.numpy as jnp
 
@@ -92,6 +101,16 @@ def run_decomposition(scene, params: Params, seed: int = 0,
     total = p.t if max_steps is None else min(p.t, max_steps)
     n_sprints = total // p.sprint_steps
     a_parts, b_parts = [], []
+    n_emitted = 0
+
+    def emit(a_blk, b_blk):
+        nonlocal n_emitted
+        n_emitted += a_blk.shape[0]
+        if consumer is not None:
+            consumer.update(a_blk, b_blk)
+        else:
+            a_parts.append(a_blk)
+            b_parts.append(b_blk)
 
     # 1-deep drain pipeline: dispatch sprint i+1 (async under jax)
     # BEFORE reading sprint i's window record, so the (large, per-walker)
@@ -108,15 +127,13 @@ def run_decomposition(scene, params: Params, seed: int = 0,
             if pending is not None:
                 # pending: [n_win, 2, R, 128] -> [n_win, W] per component
                 w = np.asarray(pending)
-                a_parts.append(
-                    w[:, 0].reshape(w.shape[0], -1)[:, :num_water])
-                b_parts.append(
-                    w[:, 1].reshape(w.shape[0], -1)[:, :num_water])
+                emit(w[:, 0].reshape(w.shape[0], -1)[:, :num_water],
+                     w[:, 1].reshape(w.shape[0], -1)[:, :num_water])
             pending = wins
         if pending is not None:
             w = np.asarray(pending)
-            a_parts.append(w[:, 0].reshape(w.shape[0], -1)[:, :num_water])
-            b_parts.append(w[:, 1].reshape(w.shape[0], -1)[:, :num_water])
+            emit(w[:, 0].reshape(w.shape[0], -1)[:, :num_water],
+                 w[:, 1].reshape(w.shape[0], -1)[:, :num_water])
         final = pe.from_planes(ps, num_water)
     elif engine == "scan":
         sprint = re.make_sprint_fn(p, dtype, decompose=True)
@@ -125,20 +142,18 @@ def run_decomposition(scene, params: Params, seed: int = 0,
             state, wins = sprint(mnp_pos, mnp_M, key_arr, state, 0)
             if pending is not None:
                 w = np.asarray(pending)            # [n_win, W, 2]
-                a_parts.append(w[..., 0])
-                b_parts.append(w[..., 1])
+                emit(w[..., 0], w[..., 1])
             pending = wins
         if pending is not None:
             w = np.asarray(pending)
-            a_parts.append(w[..., 0])
-            b_parts.append(w[..., 1])
+            emit(w[..., 0], w[..., 1])
         final = state
     else:
         raise ValueError(f"unknown engine {engine!r}")
 
     A = np.concatenate(a_parts) if a_parts else np.zeros((0, num_water))
     B = np.concatenate(b_parts) if b_parts else np.zeros((0, num_water))
-    times = (np.arange(1, A.shape[0] + 1) * p.pfreq) * p.tau
+    times = (np.arange(1, n_emitted + 1) * p.pfreq) * p.tau
     stats = {
         "steps": int(final.step),
         "escapes": int(np.asarray(final.escapes)),
@@ -285,6 +300,169 @@ def reconstruct_at_schedule(dA, dB, scales, schedules,
     return _reconstruct(dA, dB, s_arr, g, quadrature, walker_block)
 
 
+class StreamingPlane:
+    """Incremental (moment-scale x taucp) plane reconstruction from
+    per-sprint record blocks — the dense-sweep workflow WITHOUT ever
+    materializing the [n_windows, W] record.
+
+    Per window the phase increment is linear in the moment scale
+    (dphi = s*dA + dB) and a Carr-Purcell train only signs prefix sums
+    (reconstruct_curves), so per echo spacing it suffices to carry the
+    per-walker SIGNED increment sums ``S_A = sum g_{k-1} dA_k`` and
+    ``S_B`` — window j's phase at ANY scale is ``g_{j-1}(s*S_A + S_B)``,
+    closed form.  Memory is ``2 x n_taucps x W`` float64, independent of
+    BOTH the window count and the scale count: the full record for a
+    100k-walker x 40k-window scale-up run is 32 GB; this is ~16 MB.
+
+    Feed the engines' RAW recorded rows (accumulated phase with the base
+    run's CP flips applied, exactly what ``run_decomposition`` drains per
+    sprint) via :meth:`update` in window order — pass this object as
+    ``run_decomposition(..., consumer=plane)``.  ``result()`` returns
+    what :func:`curves_at_plane` returns, to float64 summation-order
+    rounding (the batch path sums walkers in blocks of 1024).
+
+    ``echo_pairs``: optional [(scale, taucp), ...] whose per-walker echo
+    cos-matrices are captured during the stream (memory n_echoes x W
+    each) for :func:`bootstrap_from_echoes` — streaming Monte-Carlo
+    error bars with no record.
+    """
+
+    def __init__(self, params: Params, n_windows: int, scales,
+                 taucps=None, quadrature: bool = False,
+                 echo_pairs=(), row_block: int = 256):
+        from ..analysis import echo_indices
+
+        p = params.validate()
+        self._p = p
+        n = int(n_windows)
+        if n <= 0:
+            raise ValueError(f"n_windows must be > 0, got {n_windows!r}")
+        if row_block < 1:
+            raise ValueError(f"row_block must be >= 1, got {row_block!r}")
+        self._n = n
+        self._scales = np.asarray(scales, np.float64).reshape(-1)
+        self._taucps = [p.taucp] if taucps is None else \
+            [float(t) for t in np.asarray(taucps, np.float64).reshape(-1)]
+        tcps = [p.replace(taucp=t).validate().tcp for t in self._taucps]
+        self._g = np.stack([_flip_parity(n, tcp, p.pfreq) for tcp in tcps])
+        # sign applied to the base run's accumulated phase AFTER window j
+        # (1-based) — undoing it recovers raw increments, as in
+        # window_increments
+        j = np.arange(1, n + 1, dtype=np.int64)
+        self._undo = np.where((j * p.pfreq) % p.tcp == 0, -1.0, 1.0)
+        self._quad = bool(quadrature)
+        self._row_block = int(row_block)
+        self._curves = np.zeros(
+            (len(self._scales), len(self._taucps), n,
+             2 if self._quad else 1), np.float64)
+        self.times_ms = np.arange(1, n + 1, dtype=np.float64) \
+            * p.pfreq * p.tau
+        self._echo = []
+        for es, et in echo_pairs:
+            tcp_e = p.replace(taucp=float(et)).validate().tcp
+            eidx = echo_indices(self.times_ms, float(et))
+            if eidx.size == 0:
+                raise ValueError(
+                    f"no spin echo (t = 2k*taucp = {2 * float(et):g} ms) "
+                    f"falls inside the {self.times_ms[-1]:g} ms stream")
+            self._echo.append({
+                "scale": float(es), "taucp": float(et),
+                "g": _flip_parity(n, tcp_e, p.pfreq),
+                "eidx": eidx, "times": self.times_ms[eidx],
+                "mat": None, "SA": None, "SB": None})
+        self._r = 0
+        self._prev_A = self._prev_B = None
+        self._SA = self._SB = None
+
+    def update(self, a_block, b_block) -> None:
+        """Consume the next [n_block, W] raw record rows (window order)."""
+        a_block = np.asarray(a_block, np.float64)
+        b_block = np.asarray(b_block, np.float64)
+        if a_block.shape != b_block.shape or a_block.ndim != 2:
+            raise ValueError(
+                f"expected matching [n_block, W] blocks; got "
+                f"{a_block.shape} and {b_block.shape}")
+        nb, w = a_block.shape
+        if self._r + nb > self._n:
+            raise ValueError(
+                f"stream overflow: {self._r} + {nb} rows > the declared "
+                f"{self._n} windows")
+        if self._SA is None:
+            t = len(self._taucps)
+            self._SA = np.zeros((t, w), np.float64)
+            self._SB = np.zeros((t, w), np.float64)
+            for e in self._echo:
+                e["SA"] = np.zeros(w, np.float64)
+                e["SB"] = np.zeros(w, np.float64)
+                e["mat"] = np.empty((e["eidx"].size, w), np.float64)
+        elif w != self._SA.shape[1]:
+            raise ValueError(f"walker count changed mid-stream: "
+                             f"{self._SA.shape[1]} -> {w}")
+
+        for c0 in range(0, nb, self._row_block):
+            c1 = min(c0 + self._row_block, nb)
+            g0 = self._r + c0
+            # undo the base run's flips: dA_r = A_r - undo[r-1] * A_{r-1}
+            dA = a_block[c0:c1].copy()
+            dB = b_block[c0:c1].copy()
+            if g0 > 0:
+                dA[0] -= self._undo[g0 - 1] * self._prev_A
+                dB[0] -= self._undo[g0 - 1] * self._prev_B
+            if c1 - c0 > 1:
+                u = self._undo[g0:g0 + (c1 - c0) - 1, None]
+                dA[1:] -= u * a_block[c0:c1 - 1]
+                dB[1:] -= u * b_block[c0:c1 - 1]
+            self._prev_A = a_block[c1 - 1]
+            self._prev_B = b_block[c1 - 1]
+
+            for ti in range(len(self._taucps)):
+                gc = self._g[ti, g0:g0 + (c1 - c0)][:, None]
+                sa = self._SA[ti] + np.cumsum(gc * dA, axis=0)
+                sb = self._SB[ti] + np.cumsum(gc * dB, axis=0)
+                self._SA[ti] = sa[-1]
+                self._SB[ti] = sb[-1]
+                for si, sv in enumerate(self._scales):
+                    inner = sv * sa + sb        # phi = g * inner
+                    self._curves[si, ti, g0:g0 + (c1 - c0), 0] = \
+                        np.mean(np.cos(inner), axis=1)
+                    if self._quad:
+                        self._curves[si, ti, g0:g0 + (c1 - c0), 1] = \
+                            gc[:, 0] * np.mean(np.sin(inner), axis=1)
+            for e in self._echo:
+                gc = e["g"][g0:g0 + (c1 - c0)][:, None]
+                sa = e["SA"] + np.cumsum(gc * dA, axis=0)
+                sb = e["SB"] + np.cumsum(gc * dB, axis=0)
+                e["SA"], e["SB"] = sa[-1], sb[-1]
+                lo = np.searchsorted(e["eidx"], g0)
+                hi = np.searchsorted(e["eidx"], g0 + (c1 - c0))
+                for k in range(lo, hi):
+                    r_loc = e["eidx"][k] - g0
+                    e["mat"][k] = np.cos(
+                        e["scale"] * sa[r_loc] + sb[r_loc])
+        self._r += nb
+
+    def _check_complete(self):
+        if self._r != self._n:
+            raise ValueError(
+                f"stream incomplete: {self._r}/{self._n} windows consumed")
+
+    def result(self) -> np.ndarray:
+        """Walker-mean curves ``[n_scales, n_taucps, n_windows]``
+        (``[..., 2]`` when quadrature) — :func:`curves_at_plane`'s
+        contract, computed in one pass."""
+        self._check_complete()
+        return self._curves if self._quad else self._curves[..., 0]
+
+    def echo_matrix(self, i: int = 0):
+        """``(echo_times_ms, cos_echo [n_echoes, W])`` for echo_pairs[i]
+        — :func:`echo_cos_matrix`'s contract, captured in-stream."""
+        if not self._echo:
+            raise ValueError("no echo_pairs were requested at construction")
+        self._check_complete()
+        e = self._echo[i]
+        return e["times"], e["mat"]
+
+
 def curves_at_plane(A, B, scales, taucps, params: Params,
                     quadrature: bool = False) -> np.ndarray:
     """Convenience: ``window_increments`` + ``reconstruct_curves`` —
@@ -411,13 +589,32 @@ def bootstrap_t2(A, B, params: Params, scale: float = 1.0,
     """
     from ..analysis import fit_t2
 
-    if not 0 < ci < 1:
+    if not 0 < ci < 1:        # fail before the (possibly GB-scale)
         raise ValueError(f"ci must be in (0, 1), got {ci!r}")
-    if n_boot < 2:
+    if n_boot < 2:            # echo-matrix pass, not after it
         raise ValueError(f"n_boot must be >= 2, got {n_boot!r}")
     te, cos_echo = echo_cos_matrix(A, B, params, scale=scale, taucp=taucp,
                                    walker_block=walker_block,
                                    increments=increments)
+    return bootstrap_from_echoes(te, cos_echo, n_boot=n_boot, seed=seed,
+                                 ci=ci, floor=floor)
+
+
+def bootstrap_from_echoes(te, cos_echo, n_boot: int = 200, seed: int = 0,
+                          ci: float = 0.95,
+                          floor: float = 0.02) -> BootstrapT2:
+    """The walker-bootstrap core of :func:`bootstrap_t2`, on an already
+    materialized per-walker echo matrix ``[n_echoes, W]`` — e.g. one
+    captured in-stream by :class:`StreamingPlane` (``echo_pairs``), where
+    no record ever exists to pass to :func:`bootstrap_t2`."""
+    from ..analysis import fit_t2
+
+    if not 0 < ci < 1:
+        raise ValueError(f"ci must be in (0, 1), got {ci!r}")
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2, got {n_boot!r}")
+    te = np.asarray(te, np.float64)
+    cos_echo = np.asarray(cos_echo, np.float64)
     w = cos_echo.shape[1]
     point = fit_t2(te, cos_echo.mean(axis=1), floor=floor)
 

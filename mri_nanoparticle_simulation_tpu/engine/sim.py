@@ -698,6 +698,16 @@ def main(argv=None):
                          "aligned echo spacing (engine/decompose.py) "
                          "and for closed-form inverse fits "
                          "(inverse.fit_moment_scale_decomposed)")
+    ap.add_argument("--stream-plane", action="store_true",
+                    help="with --moment-scales/--echo-taucps: reconstruct "
+                         "the plane INCREMENTALLY per sprint "
+                         "(decompose.StreamingPlane) instead of "
+                         "materializing the per-walker record — host "
+                         "memory drops from 8 bytes x windows x waters "
+                         "(32 GB at 100k walkers x 40k windows) to "
+                         "O(taucps x waters).  Same curves to f64 "
+                         "rounding; incompatible with --dump-record "
+                         "(there is no record to save)")
     ap.add_argument("--fit-r2", default=None, metavar="PATH",
                     help="with --echo-taucps: fit each grid point's "
                          "spin-echo envelope (analysis.fit_t2 at "
@@ -834,6 +844,15 @@ def main(argv=None):
     if args.fit_r2 and not args.echo_taucps:
         ap.error("--fit-r2 is the dispersion over the --echo-taucps "
                  "grid; pass the echo spacings to fit")
+    if args.stream_plane:
+        if not decomp_mode:
+            ap.error("--stream-plane streams a phase-decomposition "
+                     "reconstruction; run with --moment-scales and/or "
+                     "--echo-taucps")
+        if args.dump_record:
+            ap.error("--stream-plane never materializes the record; "
+                     "drop --dump-record (or drop --stream-plane to "
+                     "save the record)")
     if args.dump_record:
         if not decomp_mode:
             ap.error("--dump-record saves a phase-decomposition record; "
@@ -1059,19 +1078,32 @@ def main(argv=None):
                                           seed=args.scene_seed).populate()
         t0 = time.perf_counter()
         with profiling.device_trace(args.trace):
-            res = dec.run_decomposition(sc, params, seed=args.seed,
-                                        engine=args.engine,
-                                        rng_impl=cli_rng)
-            if taucps is None:
-                curves = dec.curves_at_scales(res.A, res.B, scales,
-                                              quadrature=True)
-                # [s, 2, n] -> [s, 1, n, 2] so one writer loop serves both
-                curves = np.moveaxis(curves, 1, -1)[:, None]
-                taucps_eff = [params.taucp]
+            if args.stream_plane:
+                plane = dec.StreamingPlane(params, params.t // params.pfreq,
+                                           scales, taucps, quadrature=True)
+                res = dec.run_decomposition(sc, params, seed=args.seed,
+                                            engine=args.engine,
+                                            rng_impl=cli_rng,
+                                            consumer=plane)
+                curves = plane.result()     # [s, t, n, 2], walker means
+                taucps_eff = taucps if taucps is not None \
+                    else [params.taucp]
             else:
-                curves = dec.curves_at_plane(res.A, res.B, scales, taucps,
-                                             params, quadrature=True)
-                taucps_eff = taucps
+                res = dec.run_decomposition(sc, params, seed=args.seed,
+                                            engine=args.engine,
+                                            rng_impl=cli_rng)
+                if taucps is None:
+                    curves = dec.curves_at_scales(res.A, res.B, scales,
+                                                  quadrature=True)
+                    # [s, 2, n] -> [s, 1, n, 2] so one writer loop serves
+                    # both branches
+                    curves = np.moveaxis(curves, 1, -1)[:, None]
+                    taucps_eff = [params.taucp]
+                else:
+                    curves = dec.curves_at_plane(res.A, res.B, scales,
+                                                 taucps, params,
+                                                 quadrature=True)
+                    taucps_eff = taucps
         wall = time.perf_counter() - t0
         import os
         stem, ext = os.path.splitext(csv_path)

@@ -235,6 +235,29 @@ class TestBootstrap:
             dec.bootstrap_t2(r.A, r.B, pm, taucp=pm.totaltime)
 
 
+class TestStreamingBootstrap:
+    def test_streamed_echoes_match_record_bootstrap(self, decay_record):
+        """StreamingPlane's in-stream echo capture + bootstrap_from_echoes
+        must reproduce the record-based bootstrap_t2 — Monte-Carlo error
+        bars with no materialized record."""
+        from mri_nanoparticle_simulation_tpu.engine import decompose as dec
+        pm, r = decay_record
+        n = r.A.shape[0]
+        sp = dec.StreamingPlane(pm, n, [1.0],
+                                echo_pairs=[(1.0, pm.taucp)])
+        for lo in range(0, n, 7):
+            sp.update(r.A[lo:lo + 7], r.B[lo:lo + 7])
+        te_s, mat_s = sp.echo_matrix()
+        te_r, mat_r = dec.echo_cos_matrix(r.A, r.B, pm)
+        np.testing.assert_array_equal(te_s, te_r)
+        np.testing.assert_allclose(mat_s, mat_r, rtol=0, atol=1e-12)
+        b_s = dec.bootstrap_from_echoes(te_s, mat_s, n_boot=32, seed=1)
+        b_r = dec.bootstrap_t2(r.A, r.B, pm, n_boot=32, seed=1)
+        np.testing.assert_allclose(b_s.t2_samples, b_r.t2_samples,
+                                   rtol=1e-9)
+        assert b_s.n_ok == b_r.n_ok
+
+
 class TestBootstrapDispersion:
     """The CPMG dispersion table WITH confidence intervals from one
     record (decompose.bootstrap_dispersion / mri-t2-fit --taucp-grid)."""

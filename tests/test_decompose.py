@@ -281,3 +281,86 @@ class TestArbitrarySchedules:
         with pytest.raises(ValueError, match="not both"):
             dec.reconstruct_record(path, [1.0], taucps=[p.taucp],
                                    schedules=[[3]])
+
+
+class TestStreamingPlane:
+    """decompose.StreamingPlane: the (scale x taucp) plane computed
+    incrementally from per-sprint record blocks, with O(n_taucps x W)
+    memory — no materialized record."""
+
+    def test_matches_batch_plane(self, setup):
+        p, sc = setup
+        r = dec.run_decomposition(sc, p, seed=11, engine="scan")
+        scales = [0.5, 1.0, 2.0]
+        taucps = [0.0002, p.taucp, 0.001]
+        n = r.A.shape[0]
+        sp = dec.StreamingPlane(p, n, scales, taucps, quadrature=True,
+                                row_block=3)
+        # deliberately uneven chunks (1, 6, then the rest)
+        for lo, hi in [(0, 1), (1, 7), (7, n)]:
+            sp.update(r.A[lo:hi], r.B[lo:hi])
+        batch = dec.curves_at_plane(r.A, r.B, scales, taucps, p,
+                                    quadrature=True)
+        np.testing.assert_allclose(sp.result(), batch, rtol=0, atol=1e-12)
+
+    def test_consumer_run_no_record(self, setup):
+        """run_decomposition(consumer=...) must feed the plane without
+        materializing A/B, and reproduce the batch reconstruction."""
+        p, sc = setup
+        n = p.t // p.pfreq
+        sp = dec.StreamingPlane(p, n, [1.0, 1.5])
+        res = dec.run_decomposition(sc, p, seed=11, engine="scan",
+                                    consumer=sp)
+        assert res.A.shape[0] == 0          # nothing materialized
+        assert len(res.times_ms) == n       # time axis still full-length
+        assert res.stats["steps"] == p.t
+        r = dec.run_decomposition(sc, p, seed=11, engine="scan")
+        batch = dec.curves_at_plane(r.A, r.B, [1.0, 1.5], [p.taucp], p)
+        np.testing.assert_allclose(sp.result(), batch, rtol=0, atol=1e-12)
+
+    def test_row_block_invariant(self, setup):
+        p, sc = setup
+        r = dec.run_decomposition(sc, p, seed=11, engine="scan",
+                                  max_steps=p.sprint_steps)
+        n = r.A.shape[0]
+        planes = []
+        for rb in (1, 4, 64):
+            sp = dec.StreamingPlane(p, n, [0.7], [0.0002, 0.001],
+                                    row_block=rb)
+            sp.update(r.A, r.B)
+            planes.append(sp.result())
+        np.testing.assert_allclose(planes[0], planes[1], rtol=0, atol=1e-12)
+        np.testing.assert_allclose(planes[0], planes[2], rtol=0, atol=1e-12)
+
+    def test_echo_capture_matches_batch(self, setup):
+        p, sc = setup
+        r = dec.run_decomposition(sc, p, seed=11, engine="scan")
+        n = r.A.shape[0]
+        sp = dec.StreamingPlane(p, n, [1.0], echo_pairs=[(1.3, 0.0002)],
+                                row_block=3)
+        for lo in range(0, n, 7):
+            sp.update(r.A[lo:lo + 7], r.B[lo:lo + 7])
+        te_s, mat_s = sp.echo_matrix()
+        te_b, mat_b = dec.echo_cos_matrix(r.A, r.B, p, scale=1.3,
+                                          taucp=0.0002)
+        np.testing.assert_array_equal(te_s, te_b)
+        np.testing.assert_allclose(mat_s, mat_b, rtol=0, atol=1e-12)
+
+    def test_guards(self, setup):
+        p, sc = setup
+        with pytest.raises(ValueError, match="n_windows"):
+            dec.StreamingPlane(p, 0, [1.0])
+        sp = dec.StreamingPlane(p, 4, [1.0])
+        with pytest.raises(ValueError, match="no echo_pairs"):
+            sp.echo_matrix()
+        a = np.zeros((3, 8))
+        sp.update(a, a)
+        with pytest.raises(ValueError, match="incomplete"):
+            sp.result()
+        with pytest.raises(ValueError, match="walker count"):
+            sp.update(np.zeros((1, 9)), np.zeros((1, 9)))
+        with pytest.raises(ValueError, match="overflow"):
+            sp.update(np.zeros((2, 8)), np.zeros((2, 8)))
+        with pytest.raises(ValueError, match="no spin echo"):
+            dec.StreamingPlane(p, 2, [1.0],
+                               echo_pairs=[(1.0, p.totaltime)])

@@ -465,6 +465,39 @@ class TestCliMomentScales:
             sim.main(["--dump-record", str(tmp_path / "r.npz"),
                       "--out", str(tmp_path / "x.csv")])
 
+    def test_stream_plane_matches_batch_csvs(self, tmp_path):
+        """--stream-plane: the incremental reconstruction writes the
+        same (moment x taucp)-plane CSVs as the record-based path up to
+        f64 summation-order rounding."""
+        batch = str(tmp_path / "b.csv")
+        rc = sim.main(self.ARGS + ["--moment-scales", "1,2",
+                                   "--echo-taucps", "0.001,0.002",
+                                   "--out", batch])
+        assert rc == 0
+        streamed = str(tmp_path / "s.csv")
+        rc = sim.main(self.ARGS + ["--moment-scales", "1,2",
+                                   "--echo-taucps", "0.001,0.002",
+                                   "--stream-plane", "--out", streamed])
+        assert rc == 0
+        for sc in ("1", "2"):
+            for tc in ("0.001", "0.002"):
+                db = np.loadtxt(
+                    str(tmp_path / f"b_mscale={sc}_taucp={tc}.csv"),
+                    delimiter=",")
+                ds = np.loadtxt(
+                    str(tmp_path / f"s_mscale={sc}_taucp={tc}.csv"),
+                    delimiter=",")
+                np.testing.assert_allclose(ds, db, rtol=0, atol=1e-9)
+
+    def test_stream_plane_guards(self, tmp_path):
+        out = str(tmp_path / "x.csv")
+        with pytest.raises(SystemExit):   # needs decomposition mode
+            sim.main(self.ARGS + ["--stream-plane", "--out", out])
+        with pytest.raises(SystemExit):   # no record exists to dump
+            sim.main(self.ARGS + ["--moment-scales", "1",
+                                  "--stream-plane", "--dump-record",
+                                  str(tmp_path / "r.npz"), "--out", out])
+
     def test_moment_scales_reconstructs_direct_run(self, tmp_path):
         """--moment-scales: ONE decomposition run reconstructs the curve
         at each scale; at s=1 it must match a direct run of the same
