@@ -139,7 +139,10 @@ def run_simulation_multihost(scene, params, mesh=None, seed: int = 0,
 
 
 def run_decomposition_multihost(scene, params, mesh=None, seed: int = 0,
-                                dtype=None, max_steps=None):
+                                dtype=None, max_steps=None,
+                                engine: str = "scan",
+                                rng_impl: str = "threefry",
+                                interpret: bool = False):
     """Walker-sharded phase-decomposition run across hosts: per-process
     record shards, ONE gather at the end.
 
@@ -152,24 +155,48 @@ def run_decomposition_multihost(scene, params, mesh=None, seed: int = 0,
     ``process_allgather`` of the per-process column blocks — the same
     single-collective-at-the-end discipline as run_ensemble_multihost.
 
-    Physics contract: global Threefry lanes make the per-walker (A, B)
-    series bitwise-equal to the single-device
-    ``decompose.run_decomposition(engine="scan")`` record, regardless of
-    the process/device partition (asserted by the 2-process dryrun).
-    Every process returns the same complete DecompositionResult, ready
-    for ``decompose.bootstrap_t2`` / ``curves_at_plane``.
+    ``engine`` is ``"scan"`` or ``"pallas"`` (the production kernel; its
+    [n_win, 2, R, 128] record planes shard over the row axis and unpack
+    to walker columns per shard here).  Physics contract: global Threefry
+    lanes make the per-walker (A, B) series bitwise-equal to the
+    single-device ``decompose.run_decomposition`` record of the same
+    engine, regardless of the process/device partition (asserted by the
+    2-process dryrun).  Every process returns the same complete
+    DecompositionResult, ready for ``decompose.bootstrap_t2`` /
+    ``curves_at_plane``.
     """
     import jax
     import jax.numpy as jnp
     from .. import rng as rng_mod
-    from ..engine import reference_engine
+    from ..engine import pallas_engine, reference_engine
     from ..engine.decompose import DecompositionResult
     from . import sharding
 
     dtype = dtype or jnp.float32
     p = params.validate()
     mesh = mesh or global_walker_mesh()
-    sprint_fn = sharding.make_sharded_decomp_sprint_fn(p, mesh, dtype)
+    n_shards = mesh.shape[sharding.WALKER_AXIS]
+    num_water = scene.waters.shape[0]
+    host_state = reference_engine.init_state(scene.waters, p, dtype,
+                                             decompose=True)
+    row = jax.sharding.PartitionSpec(sharding.WALKER_AXIS)
+    if engine == "scan":
+        sprint_fn = sharding.make_sharded_decomp_sprint_fn(p, mesh, dtype)
+        state_spec = sharding.decomp_state_spec()
+    elif engine == "pallas":
+        sprint_fn = sharding.make_sharded_pallas_sprint_fn(
+            p, num_water, mesh, dtype, rng_impl, interpret, decompose=True)
+        host_state = sharding.to_planes_sharded(host_state, p, n_shards)
+        plane = jax.sharding.PartitionSpec(None, sharding.WALKER_AXIS)
+        state_spec = pallas_engine.PlaneState(
+            px=row, py=row, pz=row, in_cell=row, phase=plane,
+            phase_comp=plane, step=jax.sharding.PartitionSpec(),
+            escapes=jax.sharding.PartitionSpec(),
+            coverage=jax.sharding.PartitionSpec())
+        local_w = num_water // n_shards
+        r_local = pallas_engine.pad_count(local_w) // pallas_engine.LANES
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
 
     np_dtype = np.dtype(dtype)
     mnp_pos = put_global(mesh, jax.sharding.PartitionSpec(),
@@ -179,22 +206,29 @@ def run_decomposition_multihost(scene, params, mesh=None, seed: int = 0,
     k = rng_mod.key_from_seed(seed)
     key_arr = put_global(mesh, jax.sharding.PartitionSpec(),
                          np.asarray([np.uint32(k[0]), np.uint32(k[1])]))
-    host_state = reference_engine.init_state(scene.waters, p, dtype,
-                                             decompose=True)
     state = jax.tree.map(lambda x, s: put_global(mesh, s, x),
-                         host_state, sharding.decomp_state_spec())
+                         host_state, state_spec)
 
-    num_water = scene.waters.shape[0]
     total = p.t if max_steps is None else min(p.t, max_steps)
     n_sprints = total // p.sprint_steps
 
     def drain_local(wins):
         """This process's addressable column blocks of one sprint's
-        [n_win, W, 2] record, as (global_col_lo, host_array) pairs."""
+        record, as (global_col_lo, [n_win, w_local, 2] host array) pairs.
+        Scan: wins is [n_win, W, 2] sharded on axis 1.  Pallas: wins is
+        [n_win, 2, R, 128] planes sharded on axis 2 — each shard's rows
+        unpack (pad-stripped) to its contiguous global walker range."""
         out = []
         for sh in wins.addressable_shards:
-            lo = sh.index[1].start or 0
-            out.append((lo, np.asarray(sh.data)))
+            if engine == "scan":
+                lo = sh.index[1].start or 0
+                out.append((lo, np.asarray(sh.data)))
+            else:
+                row_lo = sh.index[2].start or 0
+                s = row_lo // r_local
+                d = np.asarray(sh.data)    # [n_win, 2, r_local, 128]
+                flat = d.reshape(d.shape[0], 2, -1)[:, :, :local_w]
+                out.append((s * local_w, np.moveaxis(flat, 1, -1)))
         return out
 
     # 1-deep drain pipeline (as in decompose.run_decomposition): dispatch
@@ -505,6 +539,18 @@ def _dryrun(num_processes: int, process_id: int, coordinator: str,
     c_mh = decompose.curves_at_scales(rec_mh.A, rec_mh.B, [0.5, 2.0])
     c_1 = decompose.curves_at_scales(rec_1.A, rec_1.B, [0.5, 2.0])
     np.testing.assert_array_equal(c_mh, c_1)
+    # same contract for the production (Pallas) engine's record planes:
+    # sharded over rows, unpacked per shard, gathered once
+    rec_pmh = run_decomposition_multihost(sc, p, seed=0, engine="pallas",
+                                          interpret=True,
+                                          max_steps=p.sprint_steps)
+    with jax.default_device(jax.local_devices()[0]):
+        rec_p1 = decompose.run_decomposition(sc, p, seed=0,
+                                             engine="pallas",
+                                             interpret=True,
+                                             max_steps=p.sprint_steps)
+    np.testing.assert_array_equal(rec_pmh.A, rec_p1.A)
+    np.testing.assert_array_equal(rec_pmh.B, rec_p1.B)
 
     # paired parameter grid across DCN: grid points split 2+2 over the
     # processes, each point sharing scene seed base_seed (paired), must

@@ -192,7 +192,9 @@ def to_planes_sharded(state: reference_engine.WalkerState, params: Params,
     Each shard owns a contiguous walker range padded independently to
     whole VPU planes, so shard s's rows are rows [s*r_local, (s+1)*r_local)
     of the global plane arrays and ``P(WALKER_AXIS)`` on the row axis
-    splits them exactly."""
+    splits them exactly.  Works for decompose-mode state too ([W, 2]
+    phase -> [2, R, 128] planes): the row axis is always axis -2, so the
+    per-shard pieces concatenate there regardless of mode."""
     w = state.pos.shape[0]
     if w % n_shards != 0:
         raise ValueError(f"num_water ({w}) must divide evenly over "
@@ -201,7 +203,8 @@ def to_planes_sharded(state: reference_engine.WalkerState, params: Params,
     pieces = [pallas_engine.to_planes(
         _slice_state(state, s * local_w, (s + 1) * local_w), params)
         for s in range(n_shards)]
-    cat = lambda f: jnp.concatenate([getattr(p, f) for p in pieces], axis=0)
+    cat = lambda f: jnp.concatenate([getattr(p, f) for p in pieces],
+                                    axis=-2)
     return pallas_engine.PlaneState(
         px=cat("px"), py=cat("py"), pz=cat("pz"), in_cell=cat("in_cell"),
         phase=cat("phase"), phase_comp=cat("phase_comp"),
@@ -212,15 +215,13 @@ def from_planes_sharded(ps: pallas_engine.PlaneState, num_water: int,
                         n_shards: int) -> reference_engine.WalkerState:
     local_w = num_water // n_shards
     r_local = ps.px.shape[0] // n_shards
+    rows = lambda a, s: a[..., s * r_local:(s + 1) * r_local, :]
     parts = []
     for s in range(n_shards):
         local = pallas_engine.PlaneState(
-            px=ps.px[s * r_local:(s + 1) * r_local],
-            py=ps.py[s * r_local:(s + 1) * r_local],
-            pz=ps.pz[s * r_local:(s + 1) * r_local],
-            in_cell=ps.in_cell[s * r_local:(s + 1) * r_local],
-            phase=ps.phase[s * r_local:(s + 1) * r_local],
-            phase_comp=ps.phase_comp[s * r_local:(s + 1) * r_local],
+            px=rows(ps.px, s), py=rows(ps.py, s), pz=rows(ps.pz, s),
+            in_cell=rows(ps.in_cell, s), phase=rows(ps.phase, s),
+            phase_comp=rows(ps.phase_comp, s),
             step=ps.step, escapes=ps.escapes, coverage=ps.coverage)
         parts.append(pallas_engine.from_planes(local, local_w))
     cat = lambda f: jnp.concatenate([getattr(p, f) for p in parts], axis=0)
@@ -233,7 +234,8 @@ def from_planes_sharded(ps: pallas_engine.PlaneState, num_water: int,
 def make_sharded_pallas_sprint_fn(params: Params, num_water: int, mesh: Mesh,
                                   dtype=jnp.float32,
                                   rng_impl: str = pallas_engine.RNG_THREEFRY,
-                                  interpret: bool = False, cache=None):
+                                  interpret: bool = False, cache=None,
+                                  decompose: bool = False):
     """Sharded sprint over the production Pallas engine: per-shard plane
     blocks run the fused chunk kernel locally (each shard's Mosaic grid
     covers only its rows), window sums psum over ICI.
@@ -245,6 +247,12 @@ def make_sharded_pallas_sprint_fn(params: Params, num_water: int, mesh: Mesh,
     over the mesh and passed to every shard's sprint, so big scenes run
     the fused candidate-model recandidate (expansion.build_planes) per
     shard instead of the slow auto-built XLA path.
+
+    ``decompose=True``: phase-decomposition mode — the plane state carries
+    [2, R, 128] (A, B) stacks and ``wins`` is the per-walker
+    [n_windows, 2, R, 128] record, SHARDED over its row axis instead of
+    psum'd (each shard keeps its own walkers' record rows; see
+    distributed.run_decomposition_multihost).
     """
     n_shards = mesh.shape[WALKER_AXIS]
     if num_water % n_shards != 0:
@@ -253,7 +261,7 @@ def make_sharded_pallas_sprint_fn(params: Params, num_water: int, mesh: Mesh,
             f"{n_shards} devices")
     local_w = num_water // n_shards
     local_sprint = pallas_engine.make_sprint_fn(
-        params, local_w, dtype, rng_impl, interpret)
+        params, local_w, dtype, rng_impl, interpret, decompose=decompose)
 
     def shard_fn(mnp_pos, mnp_M, key_arr, ps: pallas_engine.PlaneState,
                  *cache_args):
@@ -266,26 +274,29 @@ def make_sharded_pallas_sprint_fn(params: Params, num_water: int, mesh: Mesh,
         new_ps, wins = local_sprint(mnp_pos, mnp_M, key_arr, ps,
                                     lane_offset,
                                     cache_args[0] if cache_args else None)
-        wins = jax.lax.psum(wins, WALKER_AXIS)
+        if not decompose:    # per-walker records stay with their shard
+            wins = jax.lax.psum(wins, WALKER_AXIS)
         esc = jax.lax.psum(new_ps.escapes - esc0, WALKER_AXIS) + esc0
         cov = jax.lax.psum(new_ps.coverage - cov0, WALKER_AXIS) + cov0
         return new_ps._replace(escapes=esc, coverage=cov), wins
 
     row = P(WALKER_AXIS)
+    plane = P(None, WALKER_AXIS) if decompose else row
+    wspec = P(None, None, WALKER_AXIS, None) if decompose else P()
     ps_spec = pallas_engine.PlaneState(
-        px=row, py=row, pz=row, in_cell=row, phase=row, phase_comp=row,
+        px=row, py=row, pz=row, in_cell=row, phase=plane, phase_comp=plane,
         step=P(), escapes=P(), coverage=P())
     if cache is None:
         sharded = jax.shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P(), P(), P(), ps_spec),
-            out_specs=(ps_spec, P()), check_vma=False)
+            out_specs=(ps_spec, wspec), check_vma=False)
         return jax.jit(sharded)
     cache_spec = jax.tree.map(lambda _: P(), cache)
     sharded = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P(), ps_spec, cache_spec),
-        out_specs=(ps_spec, P()), check_vma=False)
+        out_specs=(ps_spec, wspec), check_vma=False)
     cache_dev = jax.device_put(cache, NamedSharding(mesh, P()))
     # cache rides as a real jit argument (not a closed-over constant):
     # embedding the multi-MB payload/far-table arrays as jaxpr constants

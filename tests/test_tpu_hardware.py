@@ -368,6 +368,36 @@ class TestUncertaintyHardware:
                                    atol=1e-12)
 
 
+class TestStreamingPlaneHardware:
+    def test_streamed_consumer_matches_chip_record(self):
+        """StreamingPlane as the run_decomposition consumer against the
+        REAL production kernel's drains: the incrementally-reconstructed
+        plane (and in-stream echo capture) must match the record-based
+        batch reconstruction of an identical chip run."""
+        from mri_nanoparticle_simulation_tpu.engine import decompose as dec
+        from mri_nanoparticle_simulation_tpu.params import small_test_params
+        pp = small_test_params(num_water=128, totaltime=0.004,
+                               sprint_steps=1000, mmoment=2e-14,
+                               avoid_intracellular_throw=False)
+        sc = BacteriaBox(pp, seed=3).populate()
+        scales, taucps = [0.5, 1.0], [pp.taucp, 0.001]
+        plane = dec.StreamingPlane(pp, pp.t // pp.pfreq, scales, taucps,
+                                   quadrature=True,
+                                   echo_pairs=[(1.0, 0.001)])
+        res = dec.run_decomposition(sc, pp, seed=5, engine="pallas",
+                                    consumer=plane)
+        assert res.A.shape[0] == 0      # nothing materialized
+        rec = dec.run_decomposition(sc, pp, seed=5, engine="pallas")
+        batch = dec.curves_at_plane(rec.A, rec.B, scales, taucps, pp,
+                                    quadrature=True)
+        np.testing.assert_allclose(plane.result(), batch, rtol=0,
+                                   atol=1e-12)
+        te_s, mat_s = plane.echo_matrix()
+        te_b, mat_b = dec.echo_cos_matrix(rec.A, rec.B, pp, taucp=0.001)
+        np.testing.assert_array_equal(te_s, te_b)
+        np.testing.assert_allclose(mat_s, mat_b, rtol=0, atol=1e-12)
+
+
 class TestMomentScalesCliHardware:
     def test_moment_scales_cli_smoke(self, tmp_path):
         """--moment-scales end-to-end on the chip: ONE decomposition run
