@@ -86,45 +86,60 @@ def put_global(mesh, spec, host_array):
 
 
 def run_simulation_multihost(scene, params, mesh=None, seed: int = 0,
-                             dtype=None, max_steps=None):
+                             dtype=None, max_steps=None,
+                             engine: str = "scan",
+                             rng_impl: str = "threefry",
+                             interpret: bool = False):
     """Walker-sharded full run on a global (multi-host) mesh.
 
     Identical physics contract to sharding.run_simulation_sharded (global
     Threefry lanes -> bitwise-equal to the single-device run), but all
     inputs are constructed as global arrays via make_array_from_callback
-    so the same code runs under 1 or N processes.  Returns (times,
-    sum_cos, sum_sin, state); `state` leaves are global jax.Arrays —
-    inspect local shards via ``.addressable_shards`` (a host only holds
-    its own walkers).
+    so the same code runs under 1 or N processes.  ``engine`` is
+    ``"scan"`` or ``"pallas"`` (the production kernel, per-shard plane
+    blocks as in sharding.run_simulation_sharded_pallas).  Returns
+    (times, sum_cos, sum_sin, state); `state` leaves are global
+    jax.Arrays — inspect local shards via ``.addressable_shards`` (a
+    host only holds its own walkers).  The Pallas engine's state is
+    returned AS a PlaneState (not converted back to walker vectors —
+    a host cannot materialize non-addressable shards; apply
+    sharding.from_planes_sharded to a gathered copy if needed).
     """
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
     from .. import rng as rng_mod
-    from ..engine import reference_engine
+    from ..engine import pallas_engine, reference_engine
     from . import sharding
 
     dtype = dtype or jnp.float32
     mesh = mesh or global_walker_mesh()
-    sprint_fn = sharding.make_sharded_sprint_fn(params, mesh, dtype)
-
     np_dtype = np.dtype(dtype)
+    row = P(sharding.WALKER_AXIS)
+    host_state = reference_engine.init_state(scene.waters, params, dtype)
+    if engine == "scan":
+        sprint_fn = sharding.make_sharded_sprint_fn(params, mesh, dtype)
+        state_spec = reference_engine.WalkerState(
+            pos=row, in_cell=row, phase=row, phase_comp=row,
+            step=P(), escapes=P(), coverage=P())
+    elif engine == "pallas":
+        n_shards = mesh.shape[sharding.WALKER_AXIS]
+        sprint_fn = sharding.make_sharded_pallas_sprint_fn(
+            params, scene.waters.shape[0], mesh, dtype, rng_impl,
+            interpret)
+        host_state = sharding.to_planes_sharded(host_state, params,
+                                                n_shards)
+        state_spec = pallas_engine.PlaneState(
+            px=row, py=row, pz=row, in_cell=row, phase=row,
+            phase_comp=row, step=P(), escapes=P(), coverage=P())
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+
     mnp_pos = put_global(mesh, P(), np.asarray(scene.mnps[:, :3], np_dtype))
     mnp_M = put_global(mesh, P(), np.asarray(scene.mnps[:, 4], np_dtype))
     k = rng_mod.key_from_seed(seed)
     key_arr = put_global(mesh, P(),
                          np.asarray([np.uint32(k[0]), np.uint32(k[1])]))
-
-    host_state = reference_engine.WalkerState(
-        pos=np.asarray(scene.waters, np_dtype),
-        in_cell=np.zeros(len(scene.waters), bool),
-        phase=np.zeros(len(scene.waters), np_dtype),
-        phase_comp=np.zeros(len(scene.waters), np_dtype),
-        step=np.uint32(0), escapes=np.int32(0), coverage=np.int32(0))
-    row = P(sharding.WALKER_AXIS)
-    state_spec = reference_engine.WalkerState(
-        pos=row, in_cell=row, phase=row, phase_comp=row,
-        step=P(), escapes=P(), coverage=P())
     state = jax.tree.map(lambda x, s: put_global(mesh, s, x),
                          host_state, state_spec)
 
@@ -485,6 +500,37 @@ def _dryrun(num_processes: int, process_id: int, coordinator: str,
     assert checked == p.num_water // num_processes
     assert int(np.asarray(st.escapes)) == int(st1.escapes)
     assert int(np.asarray(st.coverage)) == int(st1.coverage)
+
+    # the production (Pallas) engine over the same global mesh: window
+    # sums match the single-device Pallas run, and this process's local
+    # PLANE shards are bitwise-identical to the per-shard re-packing of
+    # the single-device final state
+    from ..engine import pallas_engine as pe
+    from . import sharding as sh_mod
+    _, cos_p, sin_p, st_p = run_simulation_multihost(
+        sc, p, seed=0, engine="pallas", interpret=True,
+        max_steps=p.sprint_steps)
+    with jax.default_device(jax.local_devices()[0]):
+        _, cos_p1, sin_p1, st_p1 = pe.run_simulation(
+            sc, p, seed=0, interpret=True, max_steps=p.sprint_steps)
+    np.testing.assert_allclose(cos_p, cos_p1, atol=1e-3)
+    np.testing.assert_allclose(sin_p, sin_p1, atol=1e-3)
+    # per-shard plane rows: only the first local_w lanes are real
+    # walkers (the kernel evolves the padding lanes as masked dummies,
+    # so their post-run contents are not comparable to a fresh packing)
+    local_w = p.num_water // n_global
+    r_local = pe.pad_count(local_w) // pe.LANES
+    ref_x = np.asarray(st_p1.pos)[:, 0]
+    ref_ph = np.asarray(st_p1.phase)
+    for shard_px, shard_phase in zip(st_p.px.addressable_shards,
+                                     st_p.phase.addressable_shards):
+        s = (shard_px.index[0].start or 0) // r_local
+        w_sl = slice(s * local_w, (s + 1) * local_w)
+        np.testing.assert_array_equal(
+            np.asarray(shard_px.data).reshape(-1)[:local_w], ref_x[w_sl])
+        np.testing.assert_array_equal(
+            np.asarray(shard_phase.data).reshape(-1)[:local_w],
+            ref_ph[w_sl])
 
     # ensemble partitioning over DCN: 3 trials split 2+1 across the two
     # processes must reproduce the same per-trial curves (same seeds) as
