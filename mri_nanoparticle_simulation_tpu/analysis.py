@@ -205,9 +205,10 @@ def main(argv=None) -> int:
     ap.add_argument("--magnitude", action="store_true",
                     help="fit |M| = sqrt(cos^2 + sin^2) (needs the "
                          "--quadrature column; CSV inputs only)")
-    ap.add_argument("--record", default=None, metavar="NPZ",
-                    help="decomposition record (--dump-record): "
-                         "walker-bootstrap T2 with a confidence interval")
+    ap.add_argument("--record", default=None, metavar="PATH",
+                    help="decomposition record (--dump-record .npz or "
+                         "--record-dir store directory): walker-"
+                         "bootstrap T2 with a confidence interval")
     ap.add_argument("--scale", type=float, default=1.0,
                     help="moment scale to reconstruct at (--record only)")
     ap.add_argument("--bootstrap", type=int, default=200, metavar="N",

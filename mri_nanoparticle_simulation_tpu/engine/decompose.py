@@ -49,6 +49,8 @@ subsample if that matters.
 
 from __future__ import annotations
 
+import os
+import sys
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -61,6 +63,17 @@ class DecompositionResult(NamedTuple):
     A: np.ndarray          #: [n, W] dipole-field phase at the base moments
     B: np.ndarray          #: [n, W] kick phase (moment-independent)
     stats: dict            #: escapes / coverage_violations / steps
+
+
+def _unpack_wins(wins, engine: str, num_water: int):
+    """One sprint's device record -> ([n_win, W] A, [n_win, W] B) host
+    arrays.  Scan emits [n_win, W, 2]; the Pallas kernel emits
+    [n_win, 2, R, 128] planes whose padded lanes are stripped here."""
+    w = np.asarray(wins)
+    if engine == "pallas":
+        return (w[:, 0].reshape(w.shape[0], -1)[:, :num_water],
+                w[:, 1].reshape(w.shape[0], -1)[:, :num_water])
+    return w[..., 0], w[..., 1]
 
 
 def run_decomposition(scene, params: Params, seed: int = 0,
@@ -125,15 +138,10 @@ def run_decomposition(scene, params: Params, seed: int = 0,
         for _ in range(n_sprints):
             ps, wins = sprint(mnp_pos, mnp_M, key_arr, ps, 0)
             if pending is not None:
-                # pending: [n_win, 2, R, 128] -> [n_win, W] per component
-                w = np.asarray(pending)
-                emit(w[:, 0].reshape(w.shape[0], -1)[:, :num_water],
-                     w[:, 1].reshape(w.shape[0], -1)[:, :num_water])
+                emit(*_unpack_wins(pending, engine, num_water))
             pending = wins
         if pending is not None:
-            w = np.asarray(pending)
-            emit(w[:, 0].reshape(w.shape[0], -1)[:, :num_water],
-                 w[:, 1].reshape(w.shape[0], -1)[:, :num_water])
+            emit(*_unpack_wins(pending, engine, num_water))
         final = pe.from_planes(ps, num_water)
     elif engine == "scan":
         sprint = re.make_sprint_fn(p, dtype, decompose=True)
@@ -141,12 +149,10 @@ def run_decomposition(scene, params: Params, seed: int = 0,
         for _ in range(n_sprints):
             state, wins = sprint(mnp_pos, mnp_M, key_arr, state, 0)
             if pending is not None:
-                w = np.asarray(pending)            # [n_win, W, 2]
-                emit(w[..., 0], w[..., 1])
+                emit(*_unpack_wins(pending, engine, num_water))
             pending = wins
         if pending is not None:
-            w = np.asarray(pending)
-            emit(w[..., 0], w[..., 1])
+            emit(*_unpack_wins(pending, engine, num_water))
         final = state
     else:
         raise ValueError(f"unknown engine {engine!r}")
@@ -160,6 +166,207 @@ def run_decomposition(scene, params: Params, seed: int = 0,
         "coverage_violations": int(np.asarray(final.coverage)),
     }
     return DecompositionResult(times_ms=times, A=A, B=B, stats=stats)
+
+
+def run_decomposition_durable(scene, params: Params, record_path: str,
+                              seed: int = 0, scene_seed: int = 0,
+                              engine: str = "pallas", dtype=None,
+                              rng_impl: str = "threefry",
+                              interpret: bool = False,
+                              max_steps: Optional[int] = None,
+                              checkpoint_path: Optional[str] = None,
+                              checkpoint_every_sprints: int = 1,
+                              fault_hook=None,
+                              progress: bool = False) -> DecompositionResult:
+    """:func:`run_decomposition` with a DISK-backed record and
+    checkpoint/resume — the long-record production form.
+
+    The per-sprint (A, B) blocks stream into an ``io.record.RecordStore``
+    directory instead of host RAM (a scale-up record is 32 GB; host
+    memory here stays one sprint block), and the walker state checkpoints
+    every ``checkpoint_every_sprints`` through ``io.checkpoint`` with the
+    record-before-checkpoint ordering discipline: a checkpoint at sprint
+    j is saved only after sprint j's record rows are committed, so on any
+    crash ``store.rows >= checkpoint-step rows`` and resume just trims
+    the record overhang (the CSV analogue is
+    ``resilience.trim_csv_overhang``).  Re-running the SAME call after a
+    process death resumes from the checkpoint and produces a record
+    bitwise-identical to an uninterrupted run (counter RNG; proven in
+    tests/test_record_store.py).  A re-run of a COMPLETE store returns
+    its result immediately without touching the device.
+
+    The 1-deep drain pipeline of :func:`run_decomposition` is kept
+    (sprint i+1 dispatches before sprint i's record drains); the state
+    checkpointed alongside sprint i's rows is the held post-sprint-i
+    state, not the in-flight one.
+
+    ``fault_hook(sprint_index)`` is the chaos seam of
+    ``resilience.FaultInjector``, called before each sprint dispatch.
+
+    Returns a :class:`DecompositionResult` whose A/B are READ-ONLY disk
+    memmaps — every downstream consumer (``curves_at_plane``,
+    ``bootstrap_t2``, ``inverse.fit_moment_scale_decomposed``) streams
+    from them unchanged.
+    """
+    import jax.numpy as jnp
+
+    from .. import rng
+    from ..io import checkpoint as ckpt_mod
+    from ..io import record as record_mod
+    from . import pallas_engine as pe
+    from . import reference_engine as re
+
+    dtype = dtype or jnp.float32
+    p = params.validate()
+    num_water = scene.waters.shape[0]
+    wps = p.sprint_steps // p.pfreq            # record rows per sprint
+    total = p.t if max_steps is None else min(p.t, max_steps)
+    n_sprints = total // p.sprint_steps
+    n_windows = n_sprints * wps
+    if n_windows == 0:
+        raise ValueError("durable decomposition needs at least one full "
+                         "sprint of windows")
+    if checkpoint_path is not None and checkpoint_every_sprints < 1:
+        raise ValueError("checkpoint_every_sprints must be >= 1")
+    scene_fp = ckpt_mod.scene_fingerprint(scene)
+    identity = {
+        "params_fp": ckpt_mod.params_fingerprint(p), "seed": int(seed),
+        "scene_seed": int(scene_seed), "engine": engine,
+        "rng_impl": rng_impl, "scene_fp": scene_fp,
+        # the knobs offline reconstruction needs (record_params)
+        "taucp": p.taucp, "tau": p.tau, "pfreq": p.pfreq,
+        "mmoment": p.mmoment,
+    }
+
+    def result_from(store, stats):
+        a, b = store.arrays()
+        return DecompositionResult(times_ms=store.times_ms(), A=a, B=b,
+                                   stats=stats)
+
+    if record_mod.is_record_dir(record_path):
+        store = record_mod.RecordStore.open(record_path, writable=True)
+        if (store.n_windows, store.num_water) != (n_windows, num_water):
+            raise ValueError(
+                f"record store at {record_path} holds a "
+                f"[{store.n_windows}, {store.num_water}] record; this "
+                f"run produces [{n_windows}, {num_water}] — refusing to "
+                f"mix records")
+        for k, v in identity.items():
+            theirs = store.meta.get(k)
+            if theirs != v:
+                raise ValueError(
+                    f"record store at {record_path} was written under "
+                    f"{k}={theirs!r}, this run uses {k}={v!r}; the "
+                    f"resumed record would silently mix random sequences "
+                    f"— use a fresh --record-dir or the original config")
+        if store.complete:
+            return result_from(store, dict(store.meta.get("stats", {})))
+    else:
+        store = record_mod.RecordStore.create(record_path, n_windows,
+                                              num_water, identity)
+
+    # resume point: the checkpoint pins the walker state; the store is
+    # trimmed to exactly the checkpointed sprint (record overhang = rows
+    # committed after the last checkpoint before the crash)
+    start_sprint = 0
+    state = None
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        state, ck_seed, ck_scene_seed = ckpt_mod.load_checkpoint(
+            checkpoint_path, p, dtype, engine=engine, rng_impl=rng_impl,
+            scene_fp=scene_fp)
+        if (ck_seed, ck_scene_seed) != (int(seed), int(scene_seed)):
+            raise ValueError(
+                f"checkpoint seeds (run={ck_seed}, scene={ck_scene_seed}) "
+                f"do not match this run's ({seed}, {scene_seed}); "
+                f"refusing to resume")
+        step = int(np.asarray(state.step))
+        if step % p.sprint_steps != 0:
+            raise ValueError(
+                f"checkpoint step {step} is not a sprint boundary "
+                f"(sprint_steps={p.sprint_steps}); it was not written by "
+                f"a durable decomposition run")
+        start_sprint = step // p.sprint_steps
+        need = start_sprint * wps
+        if store.rows < need:
+            raise ValueError(
+                f"checkpoint is AHEAD of the record store ({need} rows "
+                f"needed, {store.rows} committed) — the store was "
+                f"truncated or replaced; delete the checkpoint to "
+                f"restart, or restore the matching store")
+        dropped = store.truncate(need)
+        if dropped and progress:
+            print(f"  resume: trimmed {dropped} record row(s) past the "
+                  f"checkpoint (sprint {start_sprint})", file=sys.stderr)
+    else:
+        store.truncate(0)   # no checkpoint: any partial rows restart
+    if state is None:
+        state = re.init_state(scene.waters, p, dtype, decompose=True)
+
+    mnp_pos = jnp.asarray(np.asarray(scene.mnps[:, :3], np.float32), dtype)
+    mnp_M = jnp.asarray(np.asarray(scene.mnps[:, 4], np.float32), dtype)
+    k = rng.key_from_seed(seed)
+    key_arr = jnp.asarray([np.uint32(k[0]), np.uint32(k[1])])
+
+    if engine == "pallas":
+        sprint = pe.make_sprint_fn(p, num_water, dtype, rng_impl,
+                                   interpret=interpret, decompose=True)
+        dev_state = pe.to_planes(state, p)
+
+        def step_fn(s):
+            return sprint(mnp_pos, mnp_M, key_arr, s, 0)
+
+        def to_walker(s):
+            return pe.from_planes(s, num_water)
+    elif engine == "scan":
+        sprint = re.make_sprint_fn(p, dtype, decompose=True)
+        dev_state = state
+
+        def step_fn(s):
+            return sprint(mnp_pos, mnp_M, key_arr, s, 0)
+
+        def to_walker(s):
+            return s
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+
+    def save_ckpt(dev_s):
+        ckpt_mod.save_checkpoint(
+            checkpoint_path, to_walker(dev_s), p, seed, scene_seed,
+            engine=engine, rng_impl=rng_impl, scene_fp=scene_fp)
+
+    def commit(wins, dev_s, sprint_idx):
+        """Sprint ``sprint_idx``'s record rows, then (ordering!) its
+        checkpoint when one is due."""
+        store.append(*_unpack_wins(wins, engine, num_water))
+        if checkpoint_path is not None and \
+                (sprint_idx + 1) % checkpoint_every_sprints == 0:
+            save_ckpt(dev_s)
+
+    # 1-deep drain pipeline, as in run_decomposition
+    pending = None          # (wins, post-sprint state, sprint index)
+    for i in range(start_sprint, n_sprints):
+        if fault_hook is not None:
+            fault_hook(i)
+        new_state, wins = step_fn(dev_state)
+        if pending is not None:
+            commit(*pending)
+        pending = (wins, new_state, i)
+        dev_state = new_state
+        if progress:
+            print(f"  sprint {i + 1}/{n_sprints}", file=sys.stderr)
+    if pending is not None:
+        commit(*pending)
+
+    final = to_walker(dev_state)
+    stats = {
+        "steps": int(np.asarray(final.step)),
+        "escapes": int(np.asarray(final.escapes)),
+        "coverage_violations": int(np.asarray(final.coverage)),
+    }
+    if checkpoint_path is not None:
+        save_ckpt(dev_state)
+    store.finalize({"stats": stats})
+    return result_from(store, stats)
 
 
 def window_increments(A, B, params: Params):
@@ -472,26 +679,81 @@ def curves_at_plane(A, B, scales, taucps, params: Params,
                               quadrature=quadrature)
 
 
-def record_params(path: str, n_windows: int = None) -> Params:
-    """A minimal Params consistent with a saved record
-    (``mri-t2-sim --dump-record``): the time axis and echo knobs the
-    reconstruction math needs; every other field is an unused default.
-    Raises if the record predates the knob fields."""
+def open_record(path: str):
+    """Load a saved decomposition record from EITHER format: a
+    ``--dump-record`` .npz file (arrays in RAM) or an ``io.record``
+    store directory (``--record-dir``; A/B stay read-only disk memmaps,
+    so fits over records larger than RAM stream from disk).
+
+    Returns ``(A, B, meta)`` with ``meta`` a dict holding whichever of
+    ``times_ms / mmoment / seed / taucp / tau / pfreq`` the record
+    carries (value ``None`` when absent)."""
+    from ..io import record as record_mod
+
+    keys = ("times_ms", "mmoment", "seed", "taucp", "tau", "pfreq")
+    if record_mod.is_record_dir(path):
+        store = record_mod.RecordStore.open(path)
+        if not store.complete:
+            raise ValueError(
+                f"record store at {path} is incomplete "
+                f"({store.rows}/{store.n_windows} windows committed); "
+                f"finish or resume the run first")
+        a, b = store.arrays()
+        meta = {k: store.meta.get(k) for k in keys}
+        meta["times_ms"] = store.times_ms()
+        return a, b, meta
     with np.load(path) as z:
-        for k in ("taucp", "tau", "pfreq"):
-            if k not in z.files:
-                raise ValueError(
-                    f"{path} lacks {k!r}; re-dump the record with a "
-                    f"current build to reconstruct offline")
-        n = (z["A"].shape[0] if n_windows is None else n_windows)
-        taucp, tau = float(z["taucp"]), float(z["tau"])
-        pfreq = int(z["pfreq"])
-    if n == 0:
+        a, b = z["A"], z["B"]
+        meta = {k: (z[k] if k in z.files else None) for k in keys}
+    for k in ("mmoment", "seed", "taucp", "tau"):
+        if meta[k] is not None:
+            meta[k] = float(meta[k])
+    if meta["pfreq"] is not None:
+        meta["pfreq"] = int(meta["pfreq"])
+    return a, b, meta
+
+
+def record_params(path: str, n_windows: int = None,
+                  meta: dict = None) -> Params:
+    """A minimal Params consistent with a saved record
+    (``mri-t2-sim --dump-record`` / ``--record-dir``): the time axis and
+    echo knobs the reconstruction math needs; every other field is an
+    unused default.  Raises if the record predates the knob fields.
+    ``meta``: pass :func:`open_record`'s meta to skip re-opening the
+    record (for .npz, reading the shape decompresses the whole
+    potentially GB-scale A entry — pass ``n_windows`` to avoid it)."""
+    from ..io import record as record_mod
+
+    if meta is None:
+        if record_mod.is_record_dir(path):
+            store = record_mod.RecordStore.open(path)
+            meta = {k: store.meta.get(k) for k in ("taucp", "tau", "pfreq")}
+            if n_windows is None:
+                n_windows = store.rows
+        else:
+            with np.load(path) as z:
+                meta = {k: (float(z[k]) if k != "pfreq" else int(z[k]))
+                        for k in ("taucp", "tau", "pfreq")
+                        if k in z.files}
+                if n_windows is None:
+                    n_windows = z["A"].shape[0]
+    for k in ("taucp", "tau", "pfreq"):
+        if meta.get(k) is None:
+            raise ValueError(
+                f"{path} lacks {k!r}; re-dump the record with a "
+                f"current build to reconstruct offline")
+    if n_windows is None:
+        times = meta.get("times_ms")
+        if times is None:
+            raise ValueError(f"{path} lacks a time axis; pass n_windows")
+        n_windows = len(times)
+    taucp, tau, pfreq = meta["taucp"], meta["tau"], meta["pfreq"]
+    if n_windows == 0:
         raise ValueError(f"{path} holds an empty record (0 windows); "
                          f"nothing to reconstruct")
     pi = pfreq * tau
-    return Params(totaltime=n * pi, print_interval=pi, tau=tau,
-                  taucp=taucp, sprint_steps=n * pfreq,
+    return Params(totaltime=n_windows * pi, print_interval=pi, tau=tau,
+                  taucp=taucp, sprint_steps=n_windows * pfreq,
                   chunk_steps=pfreq).validate()
 
 
@@ -506,13 +768,12 @@ def reconstruct_record(path: str, scales, taucps=None,
     (normalized per-walker means)."""
     if taucps is not None and schedules is not None:
         raise ValueError("pass taucps OR schedules, not both")
-    with np.load(path) as z:
-        A, B = z["A"], z["B"]
+    A, B, meta = open_record(path)
     if taucps is None and schedules is None:
         return curves_at_scales(A, B, scales, quadrature=quadrature)
     # pass the window count: record_params would otherwise decompress
     # the (potentially GB-scale) A array a second time just for shape
-    p = record_params(path, n_windows=A.shape[0])
+    p = record_params(path, n_windows=A.shape[0], meta=meta)
     if schedules is not None:
         dA, dB = window_increments(A, B, p)
         return reconstruct_at_schedule(dA, dB, scales, schedules,
@@ -681,11 +942,11 @@ def bootstrap_t2_record(path: str, scale: float = 1.0,
                         taucp: Optional[float] = None, n_boot: int = 200,
                         seed: int = 0, ci: float = 0.95,
                         floor: float = 0.02) -> BootstrapT2:
-    """:func:`bootstrap_t2` from a saved ``--dump-record`` npz alone —
-    error bars on T2 with no simulator and no original Params object."""
-    with np.load(path) as z:
-        A, B = z["A"], z["B"]
-    p = record_params(path, n_windows=A.shape[0])
+    """:func:`bootstrap_t2` from a saved record (``--dump-record`` npz
+    or ``--record-dir`` store) alone — error bars on T2 with no
+    simulator and no original Params object."""
+    A, B, meta = open_record(path)
+    p = record_params(path, n_windows=A.shape[0], meta=meta)
     return bootstrap_t2(A, B, p, scale=scale, taucp=taucp, n_boot=n_boot,
                         seed=seed, ci=ci, floor=floor)
 
@@ -694,10 +955,10 @@ def bootstrap_dispersion_record(path: str, taucps, scale: float = 1.0,
                                 n_boot: int = 200, seed: int = 0,
                                 ci: float = 0.95,
                                 floor: float = 0.02) -> list:
-    """:func:`bootstrap_dispersion` from a saved ``--dump-record`` npz."""
-    with np.load(path) as z:
-        A, B = z["A"], z["B"]
-    p = record_params(path, n_windows=A.shape[0])
+    """:func:`bootstrap_dispersion` from a saved record (npz or store
+    directory)."""
+    A, B, meta = open_record(path)
+    p = record_params(path, n_windows=A.shape[0], meta=meta)
     return bootstrap_dispersion(A, B, p, taucps, scale=scale,
                                 n_boot=n_boot, seed=seed, ci=ci,
                                 floor=floor)

@@ -698,6 +698,21 @@ def main(argv=None):
                          "aligned echo spacing (engine/decompose.py) "
                          "and for closed-form inverse fits "
                          "(inverse.fit_moment_scale_decomposed)")
+    ap.add_argument("--record-dir", default=None, metavar="DIR",
+                    help="with --moment-scales/--echo-taucps: stream the "
+                         "per-walker record to a DISK-backed store "
+                         "directory (io/record.py) instead of host RAM "
+                         "and --dump-record's end-of-run .npz — host "
+                         "memory stays one sprint block regardless of "
+                         "record size, and with --checkpoint/"
+                         "--checkpoint-every the run RESUMES after a "
+                         "process death (re-run the same command; the "
+                         "record overhang past the checkpoint is "
+                         "trimmed and the result is bitwise-identical "
+                         "to an uninterrupted run).  Every --record "
+                         "consumer (mri-t2-fit, mri-t2-invert, "
+                         "decompose.reconstruct_record) accepts the "
+                         "directory in place of the .npz")
     ap.add_argument("--stream-plane", action="store_true",
                     help="with --moment-scales/--echo-taucps: reconstruct "
                          "the plane INCREMENTALLY per sprint "
@@ -829,12 +844,35 @@ def main(argv=None):
     if args.sweep and args.sweep_grid:
         ap.error("--sweep is one knob, --sweep-grid a cross product; "
                  "use one")
+    durable_decomp = decomp_mode and args.record_dir
     if (sweepish or args.ensemble > 1 or decomp_mode) and \
             (args.checkpoint or args.resume or args.checkpoint_every
-             or args.max_retries):
+             or args.max_retries) and not durable_decomp:
         ap.error("--checkpoint/--resume/--max-retries are single-run "
                  "features; drop them for --ensemble/--sweep/"
-                 "--moment-scales/--echo-taucps runs")
+                 "--moment-scales/--echo-taucps runs (decomposition "
+                 "runs checkpoint through --record-dir)")
+    if durable_decomp and (args.resume or args.max_retries):
+        ap.error("--record-dir resumes automatically when its "
+                 "checkpoint exists; drop --resume/--max-retries")
+    if args.record_dir:
+        if not decomp_mode:
+            ap.error("--record-dir stores a phase-decomposition record; "
+                     "run with --moment-scales and/or --echo-taucps")
+        if args.dump_record:
+            ap.error("--record-dir IS the saved record; drop "
+                     "--dump-record")
+        if args.stream_plane:
+            ap.error("--stream-plane never materializes the record; "
+                     "drop --record-dir (or drop --stream-plane to "
+                     "store the record)")
+        if args.checkpoint_every and not args.checkpoint:
+            ap.error("--checkpoint-every needs --checkpoint PATH")
+        import os as _os
+        _d = _os.path.dirname(_os.path.abspath(args.record_dir)) or "."
+        if not _os.path.isdir(_d):
+            ap.error(f"--record-dir parent directory does not exist: "
+                     f"{_d}")
     if decomp_mode and (sweepish or args.ensemble > 1):
         ap.error("--moment-scales/--echo-taucps are themselves sweeps "
                  "over the (moment, taucp) plane; drop --sweep/--ensemble")
@@ -1089,9 +1127,25 @@ def main(argv=None):
                 taucps_eff = taucps if taucps is not None \
                     else [params.taucp]
             else:
-                res = dec.run_decomposition(sc, params, seed=args.seed,
-                                            engine=args.engine,
-                                            rng_impl=cli_rng)
+                if args.record_dir:
+                    # disk-backed store + checkpoint/resume; A/B come
+                    # back as read-only memmaps, so the reconstruction
+                    # below streams from disk unchanged
+                    res = dec.run_decomposition_durable(
+                        sc, params, args.record_dir, seed=args.seed,
+                        scene_seed=args.scene_seed, engine=args.engine,
+                        rng_impl=cli_rng,
+                        checkpoint_path=args.checkpoint,
+                        checkpoint_every_sprints=args.checkpoint_every
+                        or 1, progress=True)
+                    print(f"Decomposition record stored: "
+                          f"{args.record_dir} (A/B {res.A.shape})",
+                          file=sys.stderr)
+                else:
+                    res = dec.run_decomposition(sc, params,
+                                                seed=args.seed,
+                                                engine=args.engine,
+                                                rng_impl=cli_rng)
                 if taucps is None:
                     curves = dec.curves_at_scales(res.A, res.B, scales,
                                                   quadrature=True)

@@ -452,13 +452,14 @@ def fit_from_record(record_path: str, target_csv: str, *,
     The target's sum_cos column is normalized by the record's walker
     count; its rows must cover at least the record's windows (extra
     tail rows are ignored; times are trusted to align — both sides are
-    window-gridded by construction)."""
+    window-gridded by construction).  ``record_path`` may be a
+    ``--dump-record`` .npz or a ``--record-dir`` store directory."""
+    from .engine.decompose import open_record
     from .io.writer import read_t2_csv
 
-    with np.load(record_path) as z:
-        A, B = z["A"], z["B"]
-        times = z["times_ms"] if "times_ms" in z.files else None
-        mmoment = float(z["mmoment"]) if "mmoment" in z.files else None
+    A, B, meta = open_record(record_path)
+    times = meta["times_ms"]
+    mmoment = meta["mmoment"]
     cols = read_t2_csv(target_csv)
     n, w = A.shape
     if len(cols[0]) < n:
@@ -514,9 +515,10 @@ def main(argv=None) -> int:
                     help="which physical parameter to recover: the "
                          "nanoparticle moment (default) or the global "
                          "diffusion-coefficient scale (ADC)")
-    ap.add_argument("--record", default=None, metavar="NPZ",
+    ap.add_argument("--record", default=None, metavar="PATH",
                     help="fit against a SAVED decomposition record "
-                         "(mri-t2-sim --dump-record): closed-form "
+                         "(mri-t2-sim --dump-record .npz or "
+                         "--record-dir store directory): closed-form "
                          "moment recovery from real data — pass the "
                          "measured curve via --target")
     ap.add_argument("--target", default=None, metavar="CSV",

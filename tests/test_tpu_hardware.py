@@ -516,3 +516,40 @@ class TestCustomSceneHardware:
                               scene=sc_b)
         with pytest.raises(ValueError, match="different scene"):
             r2.resume(ckpt)
+
+
+class TestDurableRecordHardware:
+    def test_record_store_crash_resume_on_chip(self, tmp_path):
+        """The disk-backed decomposition record (io/record.py) on the
+        REAL production kernel: a mid-run fault, then a resume from the
+        checkpoint (trimming the committed record overhang), must end
+        bitwise-identical to an uninterrupted durable run — the
+        long-record production workflow, on hardware."""
+        from mri_nanoparticle_simulation_tpu.engine import decompose as dec
+        from mri_nanoparticle_simulation_tpu.engine.resilience import \
+            FaultInjector
+        from mri_nanoparticle_simulation_tpu.io import record as record_mod
+        pp = P.small_test_params(num_water=128, mmoment=2e-14,
+                                 avoid_intracellular_throw=False,
+                                 sprint_steps=500, totaltime=0.003)
+        sc = BacteriaBox(pp, seed=3).populate()
+        plain = dec.run_decomposition_durable(
+            sc, pp, str(tmp_path / "plain"), seed=5, engine="pallas",
+            rng_impl="hardware")
+        d = str(tmp_path / "rec")
+        ck = str(tmp_path / "ck.npz")
+        hook = FaultInjector({4: 1})
+        with pytest.raises(RuntimeError, match="injected fault"):
+            dec.run_decomposition_durable(
+                sc, pp, d, seed=5, engine="pallas", rng_impl="hardware",
+                checkpoint_path=ck, checkpoint_every_sprints=2,
+                fault_hook=hook)
+        assert not record_mod.RecordStore.open(d).complete
+        res = dec.run_decomposition_durable(
+            sc, pp, d, seed=5, engine="pallas", rng_impl="hardware",
+            checkpoint_path=ck, checkpoint_every_sprints=2)
+        np.testing.assert_array_equal(np.asarray(res.A),
+                                      np.asarray(plain.A))
+        np.testing.assert_array_equal(np.asarray(res.B),
+                                      np.asarray(plain.B))
+        assert res.stats == plain.stats
