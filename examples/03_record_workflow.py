@@ -18,6 +18,10 @@ CLI equivalents:
     # after a process death; it resumes from the checkpoint)
     mri-t2-sim --moment-scales 1 --record-dir basis/ \
         --checkpoint ck.npz --checkpoint-every 8 ...
+    # dense sweeps too big even for disk records: stream the plane
+    # (O(taucps x walkers) memory) — durable with the same flag
+    mri-t2-sim --moment-scales 0.5,1,2 --echo-taucps 2.5,5.5 \
+        --stream-plane --checkpoint snap.npz ...
 """
 
 import os

@@ -168,6 +168,47 @@ def run_decomposition(scene, params: Params, seed: int = 0,
     return DecompositionResult(times_ms=times, A=A, B=B, stats=stats)
 
 
+def _setup_engine(engine: str, p: Params, scene, seed: int, state,
+                  dtype, rng_impl: str, interpret: bool):
+    """Shared durable-run plumbing: a per-sprint ``step_fn(dev_state) ->
+    (dev_state, wins)`` over the given engine, the initial device state,
+    and a ``to_walker`` converter for checkpointing."""
+    import jax.numpy as jnp
+
+    from .. import rng
+    from . import pallas_engine as pe
+    from . import reference_engine as re
+
+    num_water = scene.waters.shape[0]
+    mnp_pos = jnp.asarray(np.asarray(scene.mnps[:, :3], np.float32), dtype)
+    mnp_M = jnp.asarray(np.asarray(scene.mnps[:, 4], np.float32), dtype)
+    k = rng.key_from_seed(seed)
+    key_arr = jnp.asarray([np.uint32(k[0]), np.uint32(k[1])])
+
+    if engine == "pallas":
+        sprint = pe.make_sprint_fn(p, num_water, dtype, rng_impl,
+                                   interpret=interpret, decompose=True)
+        dev_state = pe.to_planes(state, p)
+
+        def step_fn(s):
+            return sprint(mnp_pos, mnp_M, key_arr, s, 0)
+
+        def to_walker(s):
+            return pe.from_planes(s, num_water)
+    elif engine == "scan":
+        sprint = re.make_sprint_fn(p, dtype, decompose=True)
+        dev_state = state
+
+        def step_fn(s):
+            return sprint(mnp_pos, mnp_M, key_arr, s, 0)
+
+        def to_walker(s):
+            return s
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+    return step_fn, dev_state, to_walker
+
+
 def run_decomposition_durable(scene, params: Params, record_path: str,
                               seed: int = 0, scene_seed: int = 0,
                               engine: str = "pallas", dtype=None,
@@ -210,10 +251,8 @@ def run_decomposition_durable(scene, params: Params, record_path: str,
     """
     import jax.numpy as jnp
 
-    from .. import rng
     from ..io import checkpoint as ckpt_mod
     from ..io import record as record_mod
-    from . import pallas_engine as pe
     from . import reference_engine as re
 
     dtype = dtype or jnp.float32
@@ -302,32 +341,8 @@ def run_decomposition_durable(scene, params: Params, record_path: str,
     if state is None:
         state = re.init_state(scene.waters, p, dtype, decompose=True)
 
-    mnp_pos = jnp.asarray(np.asarray(scene.mnps[:, :3], np.float32), dtype)
-    mnp_M = jnp.asarray(np.asarray(scene.mnps[:, 4], np.float32), dtype)
-    k = rng.key_from_seed(seed)
-    key_arr = jnp.asarray([np.uint32(k[0]), np.uint32(k[1])])
-
-    if engine == "pallas":
-        sprint = pe.make_sprint_fn(p, num_water, dtype, rng_impl,
-                                   interpret=interpret, decompose=True)
-        dev_state = pe.to_planes(state, p)
-
-        def step_fn(s):
-            return sprint(mnp_pos, mnp_M, key_arr, s, 0)
-
-        def to_walker(s):
-            return pe.from_planes(s, num_water)
-    elif engine == "scan":
-        sprint = re.make_sprint_fn(p, dtype, decompose=True)
-        dev_state = state
-
-        def step_fn(s):
-            return sprint(mnp_pos, mnp_M, key_arr, s, 0)
-
-        def to_walker(s):
-            return s
-    else:
-        raise ValueError(f"unknown engine {engine!r}")
+    step_fn, dev_state, to_walker = _setup_engine(
+        engine, p, scene, seed, state, dtype, rng_impl, interpret)
 
     def save_ckpt(dev_s):
         ckpt_mod.save_checkpoint(
@@ -367,6 +382,125 @@ def run_decomposition_durable(scene, params: Params, record_path: str,
         save_ckpt(dev_state)
     store.finalize({"stats": stats})
     return result_from(store, stats)
+
+
+def run_streaming_durable(scene, params: Params, plane: "StreamingPlane",
+                          snapshot_path: str, seed: int = 0,
+                          scene_seed: int = 0, engine: str = "pallas",
+                          dtype=None, rng_impl: str = "threefry",
+                          interpret: bool = False,
+                          max_steps: Optional[int] = None,
+                          snapshot_every_sprints: int = 1,
+                          fault_hook=None, progress: bool = False) -> dict:
+    """Crash-safe ``--stream-plane`` runs: the third decomposition form
+    (no record in RAM, no record on disk) made durable.
+
+    Feeds ``plane`` (a :class:`StreamingPlane`) exactly like
+    ``run_decomposition(consumer=plane)``, but every
+    ``snapshot_every_sprints`` sprints the walker state AND the plane's
+    consumed-stream state snapshot into ONE atomic npz
+    (``io.checkpoint.save_checkpoint(extra=plane.state_dict())``) — a
+    single file, so walker/plane consistency is structural rather than
+    an ordering discipline.  A killed run re-invoked with the same
+    arguments resumes from the snapshot and produces bitwise-identical
+    curves/echo matrices to an uninterrupted run (same per-sprint block
+    boundaries and row_block → identical float64 summation order;
+    pinned in tests/test_record_store.py).
+
+    The plane must be freshly constructed (or match the snapshot's
+    configuration digest).  Returns the run stats dict; read results
+    from ``plane.result()`` / ``plane.echo_matrix()``.
+    """
+    import jax.numpy as jnp
+
+    from ..io import checkpoint as ckpt_mod
+    from . import reference_engine as re
+
+    dtype = dtype or jnp.float32
+    p = params.validate()
+    wps = p.sprint_steps // p.pfreq
+    total = p.t if max_steps is None else min(p.t, max_steps)
+    n_sprints = total // p.sprint_steps
+    if n_sprints * wps != plane._n:
+        raise ValueError(
+            f"plane was declared with {plane._n} windows but this run "
+            f"produces {n_sprints * wps}; construct the StreamingPlane "
+            f"with n_windows = total_steps // pfreq")
+    if snapshot_every_sprints < 1:
+        raise ValueError("snapshot_every_sprints must be >= 1")
+    scene_fp = ckpt_mod.scene_fingerprint(scene)
+
+    start_sprint = 0
+    state = None
+    if os.path.exists(snapshot_path):
+        state, ck_seed, ck_scene_seed = ckpt_mod.load_checkpoint(
+            snapshot_path, p, dtype, engine=engine, rng_impl=rng_impl,
+            scene_fp=scene_fp)
+        if (ck_seed, ck_scene_seed) != (int(seed), int(scene_seed)):
+            raise ValueError(
+                f"snapshot seeds (run={ck_seed}, scene={ck_scene_seed}) "
+                f"do not match this run's ({seed}, {scene_seed}); "
+                f"refusing to resume")
+        step = int(np.asarray(state.step))
+        if step % p.sprint_steps != 0:
+            raise ValueError(
+                f"snapshot step {step} is not a sprint boundary "
+                f"(sprint_steps={p.sprint_steps})")
+        start_sprint = step // p.sprint_steps
+        plane.load_state(ckpt_mod.load_extra(snapshot_path))
+        if plane._r != start_sprint * wps:
+            raise ValueError(
+                f"snapshot is internally inconsistent: plane consumed "
+                f"{plane._r} windows but the walker state sits at "
+                f"sprint {start_sprint} ({start_sprint * wps} windows)")
+        if progress:
+            print(f"  resume: sprint {start_sprint}/{n_sprints} "
+                  f"({plane._r} windows already streamed)",
+                  file=sys.stderr)
+    elif plane._r != 0:
+        raise ValueError("no snapshot exists but the plane has already "
+                         "consumed rows; pass a fresh StreamingPlane")
+    if state is None:
+        state = re.init_state(scene.waters, p, dtype, decompose=True)
+
+    num_water = scene.waters.shape[0]
+    step_fn, dev_state, to_walker = _setup_engine(
+        engine, p, scene, seed, state, dtype, rng_impl, interpret)
+
+    def commit(wins, dev_s, sprint_idx):
+        plane.update(*_unpack_wins(wins, engine, num_water))
+        if (sprint_idx + 1) % snapshot_every_sprints == 0:
+            ckpt_mod.save_checkpoint(
+                snapshot_path, to_walker(dev_s), p, seed, scene_seed,
+                engine=engine, rng_impl=rng_impl, scene_fp=scene_fp,
+                extra=plane.state_dict())
+
+    pending = None
+    for i in range(start_sprint, n_sprints):
+        if fault_hook is not None:
+            fault_hook(i)
+        new_state, wins = step_fn(dev_state)
+        if pending is not None:
+            commit(*pending)
+        pending = (wins, new_state, i)
+        dev_state = new_state
+        if progress:
+            print(f"  sprint {i + 1}/{n_sprints}", file=sys.stderr)
+    if pending is not None:
+        commit(*pending)
+
+    final = to_walker(dev_state)
+    stats = {
+        "steps": int(np.asarray(final.step)),
+        "escapes": int(np.asarray(final.escapes)),
+        "coverage_violations": int(np.asarray(final.coverage)),
+    }
+    # final snapshot marks completion (resume of a finished run is a
+    # no-op loop; the plane state is the full stream)
+    ckpt_mod.save_checkpoint(
+        snapshot_path, final, p, seed, scene_seed, engine=engine,
+        rng_impl=rng_impl, scene_fp=scene_fp, extra=plane.state_dict())
+    return stats
 
 
 def window_increments(A, B, params: Params):
@@ -647,6 +781,58 @@ class StreamingPlane:
                     e["mat"][k] = np.cos(
                         e["scale"] * sa[r_loc] + sb[r_loc])
         self._r += nb
+
+    # -- snapshot / restore (durable streaming, run_streaming_durable) --
+    def config_digest(self) -> str:
+        """Hash of everything that shapes the stream's state and its
+        float64 summation order — a snapshot may only be restored into
+        an identically-configured plane."""
+        import hashlib
+        h = hashlib.sha256()
+        h.update(repr((self._n, self._scales.tolist(), self._taucps,
+                       self._quad, self._row_block, self._p.tcp,
+                       self._p.pfreq,
+                       [(e["scale"], e["taucp"]) for e in self._echo]))
+                 .encode())
+        return h.hexdigest()[:16]
+
+    def state_dict(self) -> dict:
+        """The consumed-stream state as flat numpy arrays (npz-able);
+        :meth:`load_state` restores it exactly (bitwise)."""
+        d = {"r": np.int64(self._r), "digest": self.config_digest()}
+        if self._SA is not None:
+            d.update(SA=self._SA, SB=self._SB, prev_A=self._prev_A,
+                     prev_B=self._prev_B, curves=self._curves)
+            for i, e in enumerate(self._echo):
+                d[f"echo{i}_SA"] = e["SA"]
+                d[f"echo{i}_SB"] = e["SB"]
+                d[f"echo{i}_mat"] = e["mat"]
+        return d
+
+    def load_state(self, d: dict) -> None:
+        """Restore a :meth:`state_dict` snapshot (same configuration
+        required; refuses a digest mismatch)."""
+        theirs = str(np.asarray(d["digest"]))
+        if theirs != self.config_digest():
+            raise ValueError(
+                f"stream snapshot was taken under a different plane "
+                f"configuration (digest {theirs} != "
+                f"{self.config_digest()}); scales/taucps/quadrature/"
+                f"row_block/echo_pairs must match exactly")
+        self._r = int(np.asarray(d["r"]))
+        if "SA" in d:
+            self._SA = np.array(d["SA"], np.float64)
+            self._SB = np.array(d["SB"], np.float64)
+            self._prev_A = np.array(d["prev_A"], np.float64)
+            self._prev_B = np.array(d["prev_B"], np.float64)
+            self._curves = np.array(d["curves"], np.float64)
+            for i, e in enumerate(self._echo):
+                e["SA"] = np.array(d[f"echo{i}_SA"], np.float64)
+                e["SB"] = np.array(d[f"echo{i}_SB"], np.float64)
+                e["mat"] = np.array(d[f"echo{i}_mat"], np.float64)
+        elif self._r:
+            raise ValueError("stream snapshot claims consumed rows but "
+                             "carries no state arrays")
 
     def _check_complete(self):
         if self._r != self._n:

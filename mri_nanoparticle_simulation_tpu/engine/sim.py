@@ -722,7 +722,12 @@ def main(argv=None):
                          "(32 GB at 100k walkers x 40k windows) to "
                          "O(taucps x waters).  Same curves to f64 "
                          "rounding; incompatible with --dump-record "
-                         "(there is no record to save)")
+                         "(there is no record to save).  With "
+                         "--checkpoint the stream is DURABLE: walker "
+                         "and plane state snapshot into one atomic "
+                         "file every --checkpoint-every sprints, and "
+                         "re-running the same command after a process "
+                         "death resumes bitwise")
     ap.add_argument("--fit-r2", default=None, metavar="PATH",
                     help="with --echo-taucps: fit each grid point's "
                          "spin-echo envelope (analysis.fit_t2 at "
@@ -844,14 +849,17 @@ def main(argv=None):
     if args.sweep and args.sweep_grid:
         ap.error("--sweep is one knob, --sweep-grid a cross product; "
                  "use one")
-    durable_decomp = decomp_mode and args.record_dir
+    durable_decomp = decomp_mode and (args.record_dir
+                                      or (args.stream_plane
+                                          and args.checkpoint))
     if (sweepish or args.ensemble > 1 or decomp_mode) and \
             (args.checkpoint or args.resume or args.checkpoint_every
              or args.max_retries) and not durable_decomp:
         ap.error("--checkpoint/--resume/--max-retries are single-run "
                  "features; drop them for --ensemble/--sweep/"
                  "--moment-scales/--echo-taucps runs (decomposition "
-                 "runs checkpoint through --record-dir)")
+                 "runs checkpoint through --record-dir, streaming "
+                 "runs through --stream-plane --checkpoint)")
     if durable_decomp and (args.resume or args.max_retries):
         ap.error("--record-dir resumes automatically when its "
                  "checkpoint exists; drop --resume/--max-retries")
@@ -1119,10 +1127,26 @@ def main(argv=None):
             if args.stream_plane:
                 plane = dec.StreamingPlane(params, params.t // params.pfreq,
                                            scales, taucps, quadrature=True)
-                res = dec.run_decomposition(sc, params, seed=args.seed,
-                                            engine=args.engine,
-                                            rng_impl=cli_rng,
-                                            consumer=plane)
+                if args.checkpoint:
+                    # durable streaming: walker + plane state snapshot
+                    # in one atomic file; a re-run after a process
+                    # death resumes and finishes bitwise-identically
+                    stats = dec.run_streaming_durable(
+                        sc, params, plane, args.checkpoint,
+                        seed=args.seed, scene_seed=args.scene_seed,
+                        engine=args.engine, rng_impl=cli_rng,
+                        snapshot_every_sprints=args.checkpoint_every
+                        or 1, progress=True)
+                    res = dec.DecompositionResult(
+                        times_ms=plane.times_ms,
+                        A=np.zeros((0, params.num_water)),
+                        B=np.zeros((0, params.num_water)), stats=stats)
+                else:
+                    res = dec.run_decomposition(sc, params,
+                                                seed=args.seed,
+                                                engine=args.engine,
+                                                rng_impl=cli_rng,
+                                                consumer=plane)
                 curves = plane.result()     # [s, t, n, 2], walker means
                 taucps_eff = taucps if taucps is not None \
                     else [params.taucp]

@@ -48,17 +48,24 @@ def scene_fingerprint(scene) -> str:
 def save_checkpoint(path: str, state: WalkerState, params: Params,
                     seed: int, scene_seed: int,
                     engine: str = "", rng_impl: str = "",
-                    scene_fp: str = "") -> None:
+                    scene_fp: str = "", extra: dict = None) -> None:
     """Atomic: writes to a temp file in the same directory and renames,
     so a process death mid-save can never leave a torn checkpoint (the
     elastic-recovery re-run contract depends on the file being either
-    the old intact snapshot or the new one, engine/resilience.py)."""
+    the old intact snapshot or the new one, engine/resilience.py).
+
+    ``extra``: additional arrays stored alongside the walker state in
+    the SAME atomic file (namespaced ``x_<key>``) — e.g. the streaming-
+    plane state of a durable ``--stream-plane`` run, whose consistency
+    with the walker state is then structural, not an ordering
+    discipline.  Read back with :func:`load_extra`."""
     import tempfile
     d = os.path.dirname(os.path.abspath(path)) or "."
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
     os.close(fd)
     _write_npz(
         tmp,
+        **{f"x_{k}": np.asarray(v) for k, v in (extra or {}).items()},
         version=FORMAT_VERSION,
         pos=np.asarray(state.pos),
         in_cell=np.asarray(state.in_cell),
@@ -133,3 +140,10 @@ def load_checkpoint(path: str, params: Params,
         else jnp.int32(0),
     )
     return state, int(z["seed"]), int(z["scene_seed"])
+
+
+def load_extra(path: str) -> dict:
+    """The ``extra`` arrays a checkpoint was saved with (empty dict if
+    none) — the counterpart of ``save_checkpoint(extra=...)``."""
+    with np.load(path) as z:
+        return {k[2:]: z[k] for k in z.files if k.startswith("x_")}

@@ -210,5 +210,9 @@ class RecordStore:
     def times_ms(self) -> np.ndarray:
         """Window end times of the committed rows, ms (requires the
         tau/pfreq meta the durable run records)."""
+        if "tau" not in self.meta or "pfreq" not in self.meta:
+            raise ValueError(
+                f"record store at {self.path} lacks tau/pfreq meta; "
+                f"no time axis can be derived")
         tau, pfreq = self.meta["tau"], self.meta["pfreq"]
         return np.arange(1, self.rows + 1, dtype=np.float64) * pfreq * tau

@@ -344,3 +344,108 @@ class TestCli:
         with pytest.raises(SystemExit):
             sim.main(["--moment-scales", "1", "--record-dir", d,
                       "--checkpoint-every", "2"])   # needs --checkpoint
+
+
+class TestStreamingDurable:
+    """Durable --stream-plane runs: walker + plane state in ONE atomic
+    snapshot, resume bitwise (decompose.run_streaming_durable)."""
+
+    def _plane(self, p, scales=(0.5, 1.0), taucps=None, echoes=()):
+        return dec.StreamingPlane(p, p.t // p.pfreq, list(scales),
+                                  taucps, quadrature=True,
+                                  echo_pairs=echoes)
+
+    def test_matches_consumer_run(self, setup, tmp_path):
+        p, sc = setup
+        ref = self._plane(p, echoes=[(1.0, p.taucp)])
+        dec.run_decomposition(sc, p, seed=5, engine="scan", consumer=ref)
+        plane = self._plane(p, echoes=[(1.0, p.taucp)])
+        stats = dec.run_streaming_durable(
+            sc, p, plane, str(tmp_path / "snap.npz"), seed=5,
+            engine="scan")
+        np.testing.assert_array_equal(plane.result(), ref.result())
+        te1, m1 = plane.echo_matrix()
+        te2, m2 = ref.echo_matrix()
+        np.testing.assert_array_equal(m1, m2)
+        assert stats["steps"] == p.t
+
+    def test_crash_resume_bitwise(self, setup, tmp_path):
+        p, sc = setup
+        ref = self._plane(p, echoes=[(1.0, p.taucp)])
+        dec.run_decomposition(sc, p, seed=5, engine="scan", consumer=ref)
+        snap = str(tmp_path / "snap.npz")
+        plane = self._plane(p, echoes=[(1.0, p.taucp)])
+        hook = FaultInjector({4: 1})
+        with pytest.raises(RuntimeError, match="injected fault"):
+            dec.run_streaming_durable(sc, p, plane, snap, seed=5,
+                                      engine="scan",
+                                      snapshot_every_sprints=2,
+                                      fault_hook=hook)
+        # resume needs a FRESH plane (the crashed one's in-RAM state is
+        # presumed lost with the process)
+        plane2 = self._plane(p, echoes=[(1.0, p.taucp)])
+        dec.run_streaming_durable(sc, p, plane2, snap, seed=5,
+                                  engine="scan",
+                                  snapshot_every_sprints=2)
+        np.testing.assert_array_equal(plane2.result(), ref.result())
+        np.testing.assert_array_equal(plane2.echo_matrix()[1],
+                                      ref.echo_matrix()[1])
+
+    def test_config_mismatch_refused(self, setup, tmp_path):
+        p, sc = setup
+        snap = str(tmp_path / "snap.npz")
+        plane = self._plane(p)
+        hook = FaultInjector({3: 1})
+        with pytest.raises(RuntimeError):
+            dec.run_streaming_durable(sc, p, plane, snap, seed=5,
+                                      engine="scan", fault_hook=hook)
+        other = self._plane(p, scales=(0.5, 2.0))   # different config
+        with pytest.raises(ValueError, match="configuration"):
+            dec.run_streaming_durable(sc, p, other, snap, seed=5,
+                                      engine="scan")
+        stale = self._plane(p)
+        stale.update(np.zeros((1, 64), np.float32),
+                     np.zeros((1, 64), np.float32))
+        import os as _os
+        _os.unlink(snap)
+        with pytest.raises(ValueError, match="fresh"):
+            dec.run_streaming_durable(sc, p, stale,
+                                      str(tmp_path / "none.npz"),
+                                      seed=5, engine="scan")
+
+    def test_complete_rerun_noop(self, setup, tmp_path):
+        p, sc = setup
+        snap = str(tmp_path / "snap.npz")
+        plane = self._plane(p)
+        dec.run_streaming_durable(sc, p, plane, snap, seed=5,
+                                  engine="scan")
+        plane2 = self._plane(p)
+        stats = dec.run_streaming_durable(sc, p, plane2, snap, seed=5,
+                                          engine="scan")
+        np.testing.assert_array_equal(plane2.result(), plane.result())
+        assert stats["steps"] == p.t
+
+    def test_cli_stream_checkpoint(self, tmp_path):
+        """--stream-plane --checkpoint: CSVs match the plain
+        --stream-plane run, and a re-run (complete snapshot) reproduces
+        them without simulating."""
+        from mri_nanoparticle_simulation_tpu.engine import sim
+        base = ["--num-water", "32", "--num-cells", "8",
+                "--totaltime", "0.002", "--sprint-steps", "1000",
+                "--chunk-steps", "100", "--near-k", "6",
+                "--taucp", "0.001", "--hash-dim", "8",
+                "--mmoment", "3.5e-13", "--engine", "scan",
+                "--rng", "threefry", "--scene-seed", "3", "--seed", "5",
+                "--moment-scales", "1,2", "--stream-plane"]
+        assert sim.main(base + ["--out", str(tmp_path / "a.csv")]) == 0
+        ck = str(tmp_path / "snap.npz")
+        assert sim.main(base + ["--out", str(tmp_path / "b.csv"),
+                                "--checkpoint", ck,
+                                "--checkpoint-every", "1"]) == 0
+        assert sim.main(base + ["--out", str(tmp_path / "c.csv"),
+                                "--checkpoint", ck]) == 0
+        for s in ("1", "2"):
+            a = open(str(tmp_path / f"a_mscale={s}.csv")).read()
+            b = open(str(tmp_path / f"b_mscale={s}.csv")).read()
+            c = open(str(tmp_path / f"c_mscale={s}.csv")).read()
+            assert a == b == c

@@ -553,3 +553,35 @@ class TestDurableRecordHardware:
         np.testing.assert_array_equal(np.asarray(res.B),
                                       np.asarray(plain.B))
         assert res.stats == plain.stats
+
+    def test_streaming_snapshot_resume_on_chip(self, tmp_path):
+        """Durable --stream-plane (walker + plane state in one atomic
+        snapshot) on the real kernel: crash, resume with a fresh plane,
+        bitwise-equal curves."""
+        from mri_nanoparticle_simulation_tpu.engine import decompose as dec
+        from mri_nanoparticle_simulation_tpu.engine.resilience import \
+            FaultInjector
+        pp = P.small_test_params(num_water=128, mmoment=2e-14,
+                                 avoid_intracellular_throw=False,
+                                 sprint_steps=500, totaltime=0.003)
+        sc = BacteriaBox(pp, seed=3).populate()
+
+        def plane():
+            return dec.StreamingPlane(pp, pp.t // pp.pfreq, [0.5, 1.0],
+                                      quadrature=True)
+        ref = plane()
+        dec.run_streaming_durable(sc, pp, ref,
+                                  str(tmp_path / "ref.npz"), seed=5,
+                                  engine="pallas", rng_impl="hardware")
+        snap = str(tmp_path / "snap.npz")
+        broken = plane()
+        with pytest.raises(RuntimeError, match="injected fault"):
+            dec.run_streaming_durable(
+                sc, pp, broken, snap, seed=5, engine="pallas",
+                rng_impl="hardware", snapshot_every_sprints=2,
+                fault_hook=FaultInjector({4: 1}))
+        resumed = plane()
+        dec.run_streaming_durable(sc, pp, resumed, snap, seed=5,
+                                  engine="pallas", rng_impl="hardware",
+                                  snapshot_every_sprints=2)
+        np.testing.assert_array_equal(resumed.result(), ref.result())
