@@ -503,6 +503,177 @@ def run_streaming_durable(scene, params: Params, plane: "StreamingPlane",
     return stats
 
 
+def make_plane_step(params: Params, num_water: int, scales, n_taucps: int,
+                    engine: str, dtype):
+    """The jitted on-device plane update of :func:`run_plane_on_device`.
+
+    Consumes one sprint's RAW record planes (never leaving the device),
+    carries per-taucp signed Kahan sums, and emits only the
+    ``[n_scales, n_taucps, wps, 2]`` walker-mean curve block — the
+    tunnel drain drops from the 8-byte-per-walker-window record to a
+    few KB per sprint.
+
+    Math (the device form of :class:`StreamingPlane`): with raw
+    per-window increments ``d_r`` recovered by undoing the base run's
+    flips, window j's phase at echo-spacing t and moment scale s is
+    ``g_{j-1}(s * SA_j + SB_j)`` where ``SA_j = sum_{k<=j} g_{k-1} dA_k``
+    — a cumsum per sprint plus a carried (SA, SB).  The carry is
+    f32 + Kahan compensation, the same precision discipline as the
+    engine's own phase accumulation (ACCURACY.md measures that scheme
+    at 5e-8 curve RMS over the full run); the host
+    :class:`StreamingPlane` (float64) remains the oracle it is tested
+    against.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    s_arr = jnp.asarray(np.asarray(scales, np.float32), dtype)
+
+    def unpack(wins):
+        # -> [wps, W] per component, on device
+        if engine == "pallas":     # [n_win, 2, R, 128] planes
+            w = wins.reshape(wins.shape[0], 2, -1)[:, :, :num_water]
+            return w[:, 0], w[:, 1]
+        return wins[..., 0], wins[..., 1]   # scan: [n_win, W, 2]
+
+    def step(wins, carry, u_prev, g_blk):
+        """``u_prev``: [wps] sign undoing the base flip before each row
+        (row 0's entry pairs with the carried prev row).  ``g_blk``:
+        [n_taucps, wps] reconstruction parities g_{j-1}.  ``carry`` =
+        (SA, cA, SB, cB [T, W], prev_A, prev_B [W])."""
+        SA, cA, SB, cB, prev_A, prev_B = carry
+        A, B = unpack(wins)
+        dA = A.at[0].add(-u_prev[0] * prev_A)
+        dA = dA.at[1:].add(-u_prev[1:, None] * A[:-1])
+        dB = B.at[0].add(-u_prev[0] * prev_B)
+        dB = dB.at[1:].add(-u_prev[1:, None] * B[:-1])
+
+        def per_taucp(t):
+            g = g_blk[t][:, None]                     # [wps, 1]
+            ca = jnp.cumsum(g * dA, axis=0)           # [wps, W]
+            cb = jnp.cumsum(g * dB, axis=0)
+            sa = SA[t] + ca                           # broadcast [wps, W]
+            sb = SB[t] + cb
+
+            def per_scale(sv):
+                inner = sv * sa + sb
+                return jnp.stack([jnp.mean(jnp.cos(inner), axis=1),
+                                  g_blk[t] * jnp.mean(jnp.sin(inner),
+                                                      axis=1)], axis=-1)
+
+            blk = jax.lax.map(per_scale, s_arr)       # [S, wps, 2]
+            # Kahan fold of the sprint's increment into the carry
+            def fold(s_sum, comp, inc):
+                y = inc - comp
+                t_new = s_sum + y
+                return t_new, (t_new - s_sum) - y
+            sa_new, ca_new = fold(SA[t], cA[t], ca[-1])
+            sb_new, cb_new = fold(SB[t], cB[t], cb[-1])
+            return blk, sa_new, ca_new, sb_new, cb_new
+
+        blks, SA2, cA2, SB2, cB2 = jax.lax.map(
+            per_taucp, jnp.arange(n_taucps))
+        new_carry = (SA2, cA2, SB2, cB2, A[-1], B[-1])
+        # [T, S, wps, 2] -> [S, T, wps, 2] (the host-plane axis order)
+        return new_carry, jnp.transpose(blks, (1, 0, 2, 3))
+
+    return jax.jit(step)
+
+
+def run_plane_on_device(scene, params: Params, scales, taucps=None,
+                        seed: int = 0, engine: str = "pallas",
+                        dtype=None, rng_impl: str = "threefry",
+                        interpret: bool = False,
+                        max_steps: Optional[int] = None):
+    """The (moment x taucp) plane computed ON DEVICE as the simulation
+    runs — the production form of the dense-sweep workflow.
+
+    :func:`run_decomposition` + :class:`StreamingPlane` drain the
+    per-walker record to the host every sprint (8 bytes x walkers x
+    windows — 1.3 GB for the full reference run, the dominant cost of a
+    record run through a tunneled runtime) and re-accumulate in host
+    float64 on (possibly) one core.  Here the raw record planes never
+    leave the device: a jitted update (:func:`make_plane_step`) folds
+    them into carried per-taucp signed Kahan sums and only the
+    ``[S, T, wps, 2]`` curve block crosses to the host per sprint (KBs).
+
+    Precision: carries are f32 + Kahan — the engine's own phase-
+    accumulation discipline — so curves match the float64 host plane to
+    f32 rounding (tested, and bounded by the same argument as
+    ACCURACY.md's phase-drift dossier).  For walker-bootstrap error
+    bars use the host :class:`StreamingPlane` (``echo_pairs``) or a
+    record; this path returns curves only.
+
+    Returns ``(times_ms, curves [S, T, n, 2], stats)`` with curves as
+    walker MEANS stacking (cos, sin) — :class:`StreamingPlane.result`'s
+    quadrature contract.
+    """
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    p = params.validate()
+    num_water = scene.waters.shape[0]
+    wps = p.sprint_steps // p.pfreq
+    total = p.t if max_steps is None else min(p.t, max_steps)
+    n_sprints = total // p.sprint_steps
+    n = n_sprints * wps
+    if n == 0:
+        raise ValueError("run_plane_on_device needs at least one full "
+                         "sprint of windows")
+    taucps_l = [p.taucp] if taucps is None else \
+        [float(t) for t in np.asarray(taucps, np.float64).reshape(-1)]
+    tcps = [p.replace(taucp=t).validate().tcp for t in taucps_l]
+    T = len(taucps_l)
+    s_arr = np.asarray(scales, np.float64).reshape(-1)
+
+    # host-precomputed sign tables, sliced per sprint (shapes static ->
+    # one compile): u_prev[r] undoes the base flip before record row r;
+    # g[t, r] is the reconstruction parity g_{j-1} for row r
+    j = np.arange(1, n + 1, dtype=np.int64)
+    undo = np.where((j * p.pfreq) % p.tcp == 0, -1.0, 1.0)
+    u_prev_full = np.concatenate([[1.0], undo[:-1]]).astype(np.float32)
+    g_full = np.stack([_flip_parity(n, tcp, p.pfreq)
+                       for tcp in tcps]).astype(np.float32)
+
+    state = None
+    from . import reference_engine as re
+    state = re.init_state(scene.waters, p, dtype, decompose=True)
+    step_fn, dev_state, to_walker = _setup_engine(
+        engine, p, scene, seed, state, dtype, rng_impl, interpret)
+    plane_step = make_plane_step(p, num_water, s_arr, T, engine, dtype)
+
+    carry = (jnp.zeros((T, num_water), dtype),
+             jnp.zeros((T, num_water), dtype),
+             jnp.zeros((T, num_water), dtype),
+             jnp.zeros((T, num_water), dtype),
+             jnp.zeros((num_water,), dtype),
+             jnp.zeros((num_water,), dtype))
+    blocks = []
+    pending = None      # 1-deep drain overlap (blocks are tiny, but the
+    # device->host sync would otherwise serialize sprints)
+    for i in range(n_sprints):
+        dev_state, wins = step_fn(dev_state)
+        lo = i * wps
+        carry, blk = plane_step(wins, carry,
+                                jnp.asarray(u_prev_full[lo:lo + wps]),
+                                jnp.asarray(g_full[:, lo:lo + wps]))
+        if pending is not None:
+            blocks.append(np.asarray(pending))
+        pending = blk
+    if pending is not None:
+        blocks.append(np.asarray(pending))
+
+    final = to_walker(dev_state)
+    stats = {
+        "steps": int(np.asarray(final.step)),
+        "escapes": int(np.asarray(final.escapes)),
+        "coverage_violations": int(np.asarray(final.coverage)),
+    }
+    curves = np.concatenate(blocks, axis=2)     # [S, T, n, 2]
+    times = np.arange(1, n + 1, dtype=np.float64) * p.pfreq * p.tau
+    return times, curves, stats
+
+
 def window_increments(A, B, params: Params):
     """Undo the base run's Carr-Purcell flips: raw per-window phase
     increments ``(dA, dB)`` as float64 host arrays.

@@ -713,6 +713,18 @@ def main(argv=None):
                          "consumer (mri-t2-fit, mri-t2-invert, "
                          "decompose.reconstruct_record) accepts the "
                          "directory in place of the .npz")
+    ap.add_argument("--plane-device", action="store_true",
+                    help="with --moment-scales/--echo-taucps: compute "
+                         "the (moment x taucp) plane ON DEVICE "
+                         "(decompose.run_plane_on_device) — the raw "
+                         "per-walker record never crosses to the host "
+                         "(the dominant cost of record runs through a "
+                         "tunneled runtime); only KB-scale curve blocks "
+                         "drain per sprint.  Carries are f32 + Kahan "
+                         "(the engine's own phase discipline): curves "
+                         "match the float64 host reconstruction to f32 "
+                         "rounding.  For walker-bootstrap error bars "
+                         "use --stream-plane or --record-dir instead")
     ap.add_argument("--stream-plane", action="store_true",
                     help="with --moment-scales/--echo-taucps: reconstruct "
                          "the plane INCREMENTALLY per sprint "
@@ -890,6 +902,19 @@ def main(argv=None):
     if args.fit_r2 and not args.echo_taucps:
         ap.error("--fit-r2 is the dispersion over the --echo-taucps "
                  "grid; pass the echo spacings to fit")
+    if args.plane_device:
+        if not decomp_mode:
+            ap.error("--plane-device computes a phase-decomposition "
+                     "plane; run with --moment-scales and/or "
+                     "--echo-taucps")
+        for bad, flag in ((args.stream_plane, "--stream-plane"),
+                          (args.dump_record, "--dump-record"),
+                          (args.record_dir, "--record-dir"),
+                          (args.checkpoint, "--checkpoint")):
+            if bad:
+                ap.error(f"--plane-device keeps the record on the "
+                         f"device; {flag} needs the host/disk record "
+                         f"paths — drop one of the two")
     if args.stream_plane:
         if not decomp_mode:
             ap.error("--stream-plane streams a phase-decomposition "
@@ -1124,7 +1149,17 @@ def main(argv=None):
                                           seed=args.scene_seed).populate()
         t0 = time.perf_counter()
         with profiling.device_trace(args.trace):
-            if args.stream_plane:
+            if args.plane_device:
+                # on-device plane: the record never crosses the tunnel
+                t_pd, curves, stats = dec.run_plane_on_device(
+                    sc, params, scales, taucps, seed=args.seed,
+                    engine=args.engine, rng_impl=cli_rng)
+                res = dec.DecompositionResult(
+                    times_ms=t_pd, A=np.zeros((0, params.num_water)),
+                    B=np.zeros((0, params.num_water)), stats=stats)
+                taucps_eff = taucps if taucps is not None \
+                    else [params.taucp]
+            elif args.stream_plane:
                 plane = dec.StreamingPlane(params, params.t // params.pfreq,
                                            scales, taucps, quadrature=True)
                 if args.checkpoint:

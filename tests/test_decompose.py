@@ -364,3 +364,42 @@ class TestStreamingPlane:
         with pytest.raises(ValueError, match="no spin echo"):
             dec.StreamingPlane(p, 2, [1.0],
                                echo_pairs=[(1.0, p.totaltime)])
+
+
+class TestDevicePlane:
+    """On-device plane reconstruction (run_plane_on_device): the raw
+    record never leaves the device; carried f32+Kahan signed sums must
+    reproduce the float64 host StreamingPlane to f32 rounding."""
+
+    @pytest.mark.parametrize("engine", ["scan", "pallas"])
+    def test_matches_host_plane(self, setup, engine):
+        p, sc = setup
+        taucps = [p.taucp, 0.001]
+        scales = [0.5, 1.0, 2.0]
+        plane = dec.StreamingPlane(p, p.t // p.pfreq, scales, taucps,
+                                   quadrature=True)
+        dec.run_decomposition(sc, p, seed=5, engine=engine,
+                              interpret=(engine == "pallas"),
+                              consumer=plane)
+        host = plane.result()                    # [S, T, n, 2] f64
+        t_d, dev, stats = dec.run_plane_on_device(
+            sc, p, scales, taucps, seed=5, engine=engine,
+            interpret=(engine == "pallas"))
+        assert dev.shape == host.shape
+        np.testing.assert_allclose(dev, host, atol=1e-4)
+        assert stats["steps"] == p.t
+        np.testing.assert_allclose(t_d, plane.times_ms)
+
+    def test_sprint_boundary_flips(self, setup):
+        """The base run's CP flips land on sprint boundaries in this
+        config (tcp divides sprint_steps), so the cross-sprint carry
+        (prev row + the boundary's u_prev[0] = -1) is exercised on
+        every sprint."""
+        p, sc = setup
+        assert p.sprint_steps % p.tcp == 0
+        _, dev, _ = dec.run_plane_on_device(sc, p, [1.0], None, seed=5,
+                                            engine="scan")
+        r = dec.run_decomposition(sc, p, seed=5, engine="scan")
+        direct = np.mean(np.cos(np.asarray(r.A, np.float64)
+                                + np.asarray(r.B, np.float64)), axis=1)
+        np.testing.assert_allclose(dev[0, 0, :, 0], direct, atol=1e-4)

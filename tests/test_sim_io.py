@@ -865,3 +865,44 @@ class TestDumpStatsCli:
         assert "Number of MNPs, 6" in text
         assert "Number of Waters, 32" in text
         assert "Number of Cells, 6" in text
+
+
+class TestCliPlaneDevice:
+    ARGS = ["--num-water", "32", "--num-cells", "8",
+            "--totaltime", "0.002", "--sprint-steps", "1000",
+            "--chunk-steps", "100", "--near-k", "6",
+            "--taucp", "0.001", "--hash-dim", "8",
+            "--mmoment", "3.5e-13",
+            "--engine", "scan", "--rng", "threefry"]
+
+    def test_plane_device_matches_stream(self, tmp_path):
+        """--plane-device (record never leaves the device, f32+Kahan
+        carries) writes the same plane CSVs as the f64 host
+        --stream-plane path to f32 rounding."""
+        a = str(tmp_path / "host.csv")
+        b = str(tmp_path / "dev.csv")
+        common = self.ARGS + ["--moment-scales", "1,2",
+                              "--echo-taucps", "0.001,0.002"]
+        assert sim.main(common + ["--stream-plane", "--out", a]) == 0
+        assert sim.main(common + ["--plane-device", "--out", b]) == 0
+        for s in ("1", "2"):
+            for t in ("0.001", "0.002"):
+                h = np.loadtxt(str(tmp_path / f"host_mscale={s}_taucp={t}.csv"),
+                               delimiter=",")
+                d = np.loadtxt(str(tmp_path / f"dev_mscale={s}_taucp={t}.csv"),
+                               delimiter=",")
+                np.testing.assert_allclose(d, h, atol=32 * 1e-4)
+
+    def test_plane_device_validation(self, tmp_path):
+        with pytest.raises(SystemExit):
+            sim.main(["--plane-device",
+                      "--out", str(tmp_path / "x.csv")])
+        with pytest.raises(SystemExit):
+            sim.main(self.ARGS + ["--moment-scales", "1",
+                                  "--plane-device", "--stream-plane",
+                                  "--out", str(tmp_path / "x.csv")])
+        with pytest.raises(SystemExit):
+            sim.main(self.ARGS + ["--moment-scales", "1",
+                                  "--plane-device", "--checkpoint",
+                                  str(tmp_path / "c.npz"),
+                                  "--out", str(tmp_path / "x.csv")])

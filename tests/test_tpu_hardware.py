@@ -585,3 +585,25 @@ class TestDurableRecordHardware:
                                   engine="pallas", rng_impl="hardware",
                                   snapshot_every_sprints=2)
         np.testing.assert_array_equal(resumed.result(), ref.result())
+
+
+class TestDevicePlaneHardware:
+    def test_plane_on_device_matches_host(self):
+        """run_plane_on_device through the real Mosaic kernel: the
+        on-device f32+Kahan plane must match the float64 host
+        StreamingPlane fed by the same engine's drained record."""
+        from mri_nanoparticle_simulation_tpu.engine import decompose as dec
+        pp = P.small_test_params(num_water=128, mmoment=2e-14,
+                                 avoid_intracellular_throw=False)
+        sc = BacteriaBox(pp, seed=3).populate()
+        taucps = [pp.taucp, 0.001]
+        scales = [0.5, 1.0, 2.0]
+        plane = dec.StreamingPlane(pp, pp.t // pp.pfreq, scales, taucps,
+                                   quadrature=True)
+        dec.run_decomposition(sc, pp, seed=5, engine="pallas",
+                              rng_impl="hardware", consumer=plane)
+        _, dev, stats = dec.run_plane_on_device(
+            sc, pp, scales, taucps, seed=5, engine="pallas",
+            rng_impl="hardware")
+        np.testing.assert_allclose(dev, plane.result(), atol=1e-4)
+        assert stats["coverage_violations"] == 0
