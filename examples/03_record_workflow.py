@@ -22,6 +22,12 @@ CLI equivalents:
     # (O(taucps x walkers) memory) — durable with the same flag
     mri-t2-sim --moment-scales 0.5,1,2 --echo-taucps 2.5,5.5 \
         --stream-plane --checkpoint snap.npz ...
+    # production speed: the plane folded ON DEVICE (no record crosses
+    # the tunnel; 18x the host stream at reference scale), error bars
+    # from the on-device spin-echo capture
+    mri-t2-sim --moment-scales 0.5,1,2 --echo-taucps 2.5,5.5 \
+        --plane-device --dump-echoes echoes.npz ...
+    mri-t2-fit --echoes echoes.npz --bootstrap 200
 """
 
 import os
@@ -91,7 +97,23 @@ train = dec.reconstruct_at_schedule(dA, dB, [1.0],
                                     schedules=[[5, 9, 17, 33]])
 print("variable-spacing train m(t_end):", f"{train[0, 0, -1]:+.4f}")
 
-# --- 6. durable on-disk record (crash-safe) ---------------------------
+# --- 6. production form: plane + error bars fully on device -----------
+# the same plane and the same bootstrap inputs with NO record anywhere:
+# per-sprint record planes fold into carried Kahan sums on the device
+# (only KB curve blocks drain) and the per-walker spin-echo rows are
+# gathered in the same pass
+_, dev_plane, _, echoes = dec.run_plane_on_device(
+    scene, params, scales, taucps, seed=0, engine=engine,
+    interpret=(engine == "pallas" and not ON_TPU),
+    echo_pairs=[(1.0, params.taucp)])
+print("on-device plane matches the record reconstruction:",
+      bool(np.allclose(dev_plane[..., 0], plane, atol=1e-4)))
+b_dev = dec.bootstrap_from_echoes(echoes[0].times_ms, echoes[0].cos,
+                                  n_boot=100, seed=1)
+print(f"on-device echoes: T2 = {b_dev.fit.t2_ms:.3g} ms, 95% CI "
+      f"[{b_dev.t2_lo_ms:.3g}, {b_dev.t2_hi_ms:.3g}]")
+
+# --- 7. durable on-disk record (crash-safe) ---------------------------
 # the same run streamed into a disk store with checkpoints: host RAM
 # stays one sprint block; killing the process and re-running resumes
 # from the checkpoint bitwise (tests/test_record_store.py proves it

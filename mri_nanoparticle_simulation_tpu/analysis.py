@@ -209,6 +209,12 @@ def main(argv=None) -> int:
                     help="decomposition record (--dump-record .npz or "
                          "--record-dir store directory): walker-"
                          "bootstrap T2 with a confidence interval")
+    ap.add_argument("--echoes", default=None, metavar="NPZ",
+                    help="on-device spin-echo capture (mri-t2-sim "
+                         "--plane-device --dump-echoes): walker-"
+                         "bootstrap T2 with confidence intervals for "
+                         "every captured (moment-scale x taucp) grid "
+                         "point — no record ever existed")
     ap.add_argument("--scale", type=float, default=1.0,
                     help="moment scale to reconstruct at (--record only)")
     ap.add_argument("--bootstrap", type=int, default=200, metavar="N",
@@ -229,12 +235,13 @@ def main(argv=None) -> int:
     if args.taucp_grid is not None and args.record is None:
         ap.error("--taucp-grid reconstructs echo spacings from a "
                  "decomposition record; pass --record")
-    if args.out_table is not None and args.taucp_grid is None:
-        ap.error("--out-table goes with --taucp-grid")
+    if args.out_table is not None and args.taucp_grid is None \
+            and args.echoes is None:
+        ap.error("--out-table goes with --taucp-grid or --echoes")
     if args.taucp is not None and not args.taucp > 0:
         ap.error("--taucp must be > 0 (ms)")
-    if not args.csv and args.record is None:
-        ap.error("give CSV path(s) and/or --record")
+    if not args.csv and args.record is None and args.echoes is None:
+        ap.error("give CSV path(s), --record, and/or --echoes")
     if args.magnitude and not args.csv:
         ap.error("--magnitude applies to CSV inputs")
     for path in args.csv:
@@ -243,6 +250,45 @@ def main(argv=None) -> int:
         print(f"{path}: T2 = {f.t2_ms:.4g} ms  (A = {f.amplitude:.4g}, "
               f"R^2 = {f.r_squared:.5f}, {f.n_used} rows, "
               f"rms residual {f.rms_residual:.3g})")
+    if args.echoes is not None:
+        from .engine.decompose import bootstrap_from_echoes, load_echoes
+        if not args.bootstrap >= 2:
+            ap.error("--bootstrap must be >= 2")
+        nan = float("nan")
+        rows = []
+        for e in load_echoes(args.echoes):
+            row = {"mscale": e.scale, "taucp_ms": e.taucp_ms,
+                   "r2_per_ms": nan, "t2_ms": nan, "t2_lo_ms": nan,
+                   "t2_hi_ms": nan, "t2_stderr_ms": nan, "n_ok": 0}
+            try:
+                b = bootstrap_from_echoes(
+                    e.times_ms, e.cos, n_boot=args.bootstrap,
+                    seed=args.seed, ci=args.ci, floor=args.floor)
+                row.update(r2_per_ms=1.0 / b.fit.t2_ms, t2_ms=b.fit.t2_ms,
+                           t2_lo_ms=b.t2_lo_ms, t2_hi_ms=b.t2_hi_ms,
+                           t2_stderr_ms=b.t2_stderr_ms, n_ok=b.n_ok)
+            except ValueError as err:
+                print(f"{args.echoes} mscale={e.scale:g} "
+                      f"taucp={e.taucp_ms:g}: unfittable ({err})")
+            rows.append(row)
+        cols = ("mscale", "taucp_ms", "r2_per_ms", "t2_ms", "t2_lo_ms",
+                "t2_hi_ms", "t2_stderr_ms", "n_ok")
+        if args.out_table:
+            with open(args.out_table, "w") as f:
+                f.write("\n".join(
+                    [",".join(cols)]
+                    + [",".join(str(r[c]) for c in cols) for r in rows])
+                    + "\n")
+            print(f"echo-bootstrap table written: {args.out_table}")
+        pct = 100.0 * args.ci
+        for r in rows:
+            if r["n_ok"]:
+                print(f"{args.echoes} mscale={r['mscale']:g} "
+                      f"taucp={r['taucp_ms']:g}: "
+                      f"T2 = {r['t2_ms']:.4g} ms "
+                      f"[{r['t2_lo_ms']:.4g}, {r['t2_hi_ms']:.4g}] "
+                      f"{pct:g}% CI, sigma = {r['t2_stderr_ms']:.3g} ms "
+                      f"({r['n_ok']}/{args.bootstrap} resamples)")
     if args.record is not None and args.taucp_grid is not None:
         from .engine.decompose import bootstrap_dispersion_record
         if not args.bootstrap >= 2:

@@ -504,7 +504,7 @@ def run_streaming_durable(scene, params: Params, plane: "StreamingPlane",
 
 
 def make_plane_step(params: Params, num_water: int, scales, n_taucps: int,
-                    engine: str, dtype):
+                    engine: str, dtype, echo_specs=()):
     """The jitted on-device plane update of :func:`run_plane_on_device`.
 
     Consumes one sprint's RAW record planes (never leaving the device),
@@ -523,6 +523,13 @@ def make_plane_step(params: Params, num_water: int, scales, n_taucps: int,
     at 5e-8 curve RMS over the full run); the host
     :class:`StreamingPlane` (float64) remains the oracle it is tested
     against.
+
+    ``echo_specs``: static ``((scale_value, taucp_index), ...)`` —
+    per spec, the step also gathers the PER-WALKER ``cos`` rows at the
+    requested local row indices (spin-echo rows, padded; see
+    :func:`run_plane_on_device`) so walker-bootstrap error bars come
+    from the same on-device pass ([E_max, W] per spec — KBs, not the
+    record).
     """
     import jax
     import jax.numpy as jnp
@@ -536,11 +543,13 @@ def make_plane_step(params: Params, num_water: int, scales, n_taucps: int,
             return w[:, 0], w[:, 1]
         return wins[..., 0], wins[..., 1]   # scan: [n_win, W, 2]
 
-    def step(wins, carry, u_prev, g_blk):
+    def step(wins, carry, u_prev, g_blk, echo_rows):
         """``u_prev``: [wps] sign undoing the base flip before each row
         (row 0's entry pairs with the carried prev row).  ``g_blk``:
         [n_taucps, wps] reconstruction parities g_{j-1}.  ``carry`` =
-        (SA, cA, SB, cB [T, W], prev_A, prev_B [W])."""
+        (SA, cA, SB, cB [T, W], prev_A, prev_B [W]).  ``echo_rows``:
+        [n_specs, E_max] local row indices (padding rows are masked on
+        the host)."""
         SA, cA, SB, cB, prev_A, prev_B = carry
         A, B = unpack(wins)
         dA = A.at[0].add(-u_prev[0] * prev_A)
@@ -548,67 +557,134 @@ def make_plane_step(params: Params, num_water: int, scales, n_taucps: int,
         dB = B.at[0].add(-u_prev[0] * prev_B)
         dB = dB.at[1:].add(-u_prev[1:, None] * B[:-1])
 
-        def per_taucp(t):
+        def fold(s_sum, comp, inc):   # Kahan fold of a sprint increment
+            y = inc - comp
+            t_new = s_sum + y
+            return t_new, (t_new - s_sum) - y
+
+        blks = []
+        sa_all, ca_all, sb_all, cb_all = [], [], [], []
+        sabs = []
+        for t in range(n_taucps):     # small static T: unrolled
             g = g_blk[t][:, None]                     # [wps, 1]
             ca = jnp.cumsum(g * dA, axis=0)           # [wps, W]
             cb = jnp.cumsum(g * dB, axis=0)
             sa = SA[t] + ca                           # broadcast [wps, W]
             sb = SB[t] + cb
+            sabs.append((sa, sb))
 
-            def per_scale(sv):
+            def per_scale(sv, sa=sa, sb=sb, t=t):
                 inner = sv * sa + sb
                 return jnp.stack([jnp.mean(jnp.cos(inner), axis=1),
                                   g_blk[t] * jnp.mean(jnp.sin(inner),
                                                       axis=1)], axis=-1)
 
-            blk = jax.lax.map(per_scale, s_arr)       # [S, wps, 2]
-            # Kahan fold of the sprint's increment into the carry
-            def fold(s_sum, comp, inc):
-                y = inc - comp
-                t_new = s_sum + y
-                return t_new, (t_new - s_sum) - y
+            blks.append(jax.lax.map(per_scale, s_arr))   # [S, wps, 2]
             sa_new, ca_new = fold(SA[t], cA[t], ca[-1])
             sb_new, cb_new = fold(SB[t], cB[t], cb[-1])
-            return blk, sa_new, ca_new, sb_new, cb_new
+            sa_all.append(sa_new)
+            ca_all.append(ca_new)
+            sb_all.append(sb_new)
+            cb_all.append(cb_new)
 
-        blks, SA2, cA2, SB2, cB2 = jax.lax.map(
-            per_taucp, jnp.arange(n_taucps))
-        new_carry = (SA2, cA2, SB2, cB2, A[-1], B[-1])
-        # [T, S, wps, 2] -> [S, T, wps, 2] (the host-plane axis order)
-        return new_carry, jnp.transpose(blks, (1, 0, 2, 3))
+        new_carry = (jnp.stack(sa_all), jnp.stack(ca_all),
+                     jnp.stack(sb_all), jnp.stack(cb_all), A[-1], B[-1])
+        out_blk = jnp.stack(blks, axis=1)             # [S, T, wps, 2]
+        echo_out = []
+        for i, (sv, ti) in enumerate(echo_specs):
+            sa, sb = sabs[ti]
+            rows = echo_rows[i]                       # [E_max]
+            mat = jnp.cos(dtype(sv) * jnp.take(sa, rows, axis=0)
+                          + jnp.take(sb, rows, axis=0))   # [E_max, W]
+            echo_out.append(mat)
+        if echo_specs:
+            return new_carry, out_blk, jnp.stack(echo_out)
+        return new_carry, out_blk
 
     return jax.jit(step)
+
+
+class EchoCapture(NamedTuple):
+    scale: float            #: moment scale of this capture
+    taucp_ms: float         #: echo spacing
+    times_ms: np.ndarray    #: [n_echoes] spin-echo times
+    cos: np.ndarray         #: [n_echoes, W] per-walker cos at the echoes
+
+
+def save_echoes(path: str, echoes, seed=None) -> None:
+    """Save a list of :class:`EchoCapture` as one .npz (the
+    ``mri-t2-sim --plane-device --dump-echoes`` artifact).  The cos
+    matrices are stored float32 — losslessly, since the on-device plane
+    computes them in f32 — so a full-scale grid stays KB-to-MB scale
+    where the decomposition record is hundreds of MB."""
+    d = {"n_pairs": np.int64(len(echoes))}
+    if seed is not None:
+        d["seed"] = np.int64(seed)
+    for i, e in enumerate(echoes):
+        d[f"pair{i}_scale"] = np.float64(e.scale)
+        d[f"pair{i}_taucp"] = np.float64(e.taucp_ms)
+        d[f"pair{i}_times_ms"] = np.asarray(e.times_ms, np.float64)
+        d[f"pair{i}_cos"] = np.asarray(e.cos, np.float32)
+    np.savez_compressed(path, **d)
+
+
+def load_echoes(path: str):
+    """Load :func:`save_echoes` output back into
+    :class:`EchoCapture` entries (``mri-t2-fit --echoes``)."""
+    with np.load(path) as z:
+        if "n_pairs" not in z.files:
+            raise ValueError(
+                f"{path} is not an echo-capture file; expected the "
+                f"mri-t2-sim --plane-device --dump-echoes .npz schema")
+        return [EchoCapture(scale=float(z[f"pair{i}_scale"]),
+                            taucp_ms=float(z[f"pair{i}_taucp"]),
+                            times_ms=np.asarray(z[f"pair{i}_times_ms"],
+                                                np.float64),
+                            cos=np.asarray(z[f"pair{i}_cos"], np.float64))
+                for i in range(int(z["n_pairs"]))]
 
 
 def run_plane_on_device(scene, params: Params, scales, taucps=None,
                         seed: int = 0, engine: str = "pallas",
                         dtype=None, rng_impl: str = "threefry",
                         interpret: bool = False,
-                        max_steps: Optional[int] = None):
+                        max_steps: Optional[int] = None,
+                        echo_pairs=()):
     """The (moment x taucp) plane computed ON DEVICE as the simulation
     runs — the production form of the dense-sweep workflow.
 
     :func:`run_decomposition` + :class:`StreamingPlane` drain the
     per-walker record to the host every sprint (8 bytes x walkers x
-    windows — 1.3 GB for the full reference run, the dominant cost of a
-    record run through a tunneled runtime) and re-accumulate in host
-    float64 on (possibly) one core.  Here the raw record planes never
-    leave the device: a jitted update (:func:`make_plane_step`) folds
-    them into carried per-taucp signed Kahan sums and only the
-    ``[S, T, wps, 2]`` curve block crosses to the host per sprint (KBs).
+    windows — 1.3 GB for the full reference run; measured 5.6 s/sprint
+    against the kernel's 0.43 s, i.e. the drain WAS the workflow's
+    cost).  Here the raw record planes never leave the device: a jitted
+    update (:func:`make_plane_step`) folds them into carried per-taucp
+    signed Kahan sums and only the ``[S, T, wps, 2]`` curve block
+    crosses to the host per sprint (KBs).  Measured at full reference
+    scale on one v5e: the 9-point plane in 14.2 s warm vs 257 s for the
+    host-record stream.
 
     Precision: carries are f32 + Kahan — the engine's own phase-
     accumulation discipline — so curves match the float64 host plane to
     f32 rounding (tested, and bounded by the same argument as
-    ACCURACY.md's phase-drift dossier).  For walker-bootstrap error
-    bars use the host :class:`StreamingPlane` (``echo_pairs``) or a
-    record; this path returns curves only.
+    ACCURACY.md's phase-drift dossier).
 
-    Returns ``(times_ms, curves [S, T, n, 2], stats)`` with curves as
-    walker MEANS stacking (cos, sin) — :class:`StreamingPlane.result`'s
-    quadrature contract.
+    ``echo_pairs``: optional ``[(scale, taucp_ms), ...]`` whose
+    PER-WALKER spin-echo cos matrices are gathered on device in the
+    same pass ([n_echoes, W] each — KBs) and returned as
+    :class:`EchoCapture` entries, ready for
+    :func:`bootstrap_from_echoes` — Monte-Carlo T2 error bars at
+    production speed, no record anywhere.
+
+    Returns ``(times_ms, curves [S, T, n, 2], stats, echoes)`` with
+    curves as walker MEANS stacking (cos, sin) —
+    :class:`StreamingPlane.result`'s quadrature contract; ``echoes`` is
+    a list of :class:`EchoCapture` (empty without ``echo_pairs``).
     """
     import jax.numpy as jnp
+
+    from ..analysis import echo_indices
+    from . import reference_engine as re
 
     dtype = dtype or jnp.float32
     p = params.validate()
@@ -622,9 +698,30 @@ def run_plane_on_device(scene, params: Params, scales, taucps=None,
                          "sprint of windows")
     taucps_l = [p.taucp] if taucps is None else \
         [float(t) for t in np.asarray(taucps, np.float64).reshape(-1)]
+    T_req = len(taucps_l)
+    s_arr = np.asarray(scales, np.float64).reshape(-1)
+    times = np.arange(1, n + 1, dtype=np.float64) * p.pfreq * p.tau
+
+    # echo specs: (scale value, index into the taucp table) — echo
+    # taucps not among the requested ones append extra cumsum lanes
+    # whose curve rows are sliced off the output
+    echo_specs = []
+    echo_meta = []
+    for es, et in echo_pairs:
+        et = float(et)
+        if et not in taucps_l:
+            p.replace(taucp=et).validate()
+            taucps_l.append(et)
+        ti = taucps_l.index(et)
+        eidx = echo_indices(times, et)
+        if eidx.size == 0:
+            raise ValueError(
+                f"no spin echo (t = 2k*taucp = {2 * et:g} ms) falls "
+                f"inside the {times[-1]:g} ms run")
+        echo_specs.append((float(es), ti))
+        echo_meta.append({"scale": float(es), "taucp": et, "eidx": eidx})
     tcps = [p.replace(taucp=t).validate().tcp for t in taucps_l]
     T = len(taucps_l)
-    s_arr = np.asarray(scales, np.float64).reshape(-1)
 
     # host-precomputed sign tables, sliced per sprint (shapes static ->
     # one compile): u_prev[r] undoes the base flip before record row r;
@@ -635,12 +732,27 @@ def run_plane_on_device(scene, params: Params, scales, taucps=None,
     g_full = np.stack([_flip_parity(n, tcp, p.pfreq)
                        for tcp in tcps]).astype(np.float32)
 
-    state = None
-    from . import reference_engine as re
+    # per-sprint echo row tables, padded to one static width (row 0,
+    # masked on the host by simply not scattering padding entries)
+    n_specs = len(echo_specs)
+    e_max = 1
+    sprint_rows = []        # [n_sprints][n_specs] -> (local_rows, global_ks)
+    if n_specs:
+        for i in range(n_sprints):
+            lo = i * wps
+            per_spec = []
+            for m in echo_meta:
+                sel = np.nonzero((m["eidx"] >= lo)
+                                 & (m["eidx"] < lo + wps))[0]
+                per_spec.append((m["eidx"][sel] - lo, sel))
+                e_max = max(e_max, sel.size)
+            sprint_rows.append(per_spec)
+
     state = re.init_state(scene.waters, p, dtype, decompose=True)
     step_fn, dev_state, to_walker = _setup_engine(
         engine, p, scene, seed, state, dtype, rng_impl, interpret)
-    plane_step = make_plane_step(p, num_water, s_arr, T, engine, dtype)
+    plane_step = make_plane_step(p, num_water, s_arr, T, engine, dtype,
+                                 echo_specs=tuple(echo_specs))
 
     carry = (jnp.zeros((T, num_water), dtype),
              jnp.zeros((T, num_water), dtype),
@@ -648,20 +760,44 @@ def run_plane_on_device(scene, params: Params, scales, taucps=None,
              jnp.zeros((T, num_water), dtype),
              jnp.zeros((num_water,), dtype),
              jnp.zeros((num_water,), dtype))
+    echo_mats = [np.empty((m["eidx"].size, num_water), np.float64)
+                 for m in echo_meta]
     blocks = []
     pending = None      # 1-deep drain overlap (blocks are tiny, but the
     # device->host sync would otherwise serialize sprints)
+
+    def drain(pend):
+        blk, emat, rows_i = pend
+        blocks.append(np.asarray(blk))
+        if n_specs:
+            em = np.asarray(emat)
+            for si, (local, global_ks) in enumerate(rows_i):
+                # only the real (unpadded) rows scatter into the matrix
+                echo_mats[si][global_ks] = em[si, :local.size]
+
     for i in range(n_sprints):
         dev_state, wins = step_fn(dev_state)
         lo = i * wps
-        carry, blk = plane_step(wins, carry,
-                                jnp.asarray(u_prev_full[lo:lo + wps]),
-                                jnp.asarray(g_full[:, lo:lo + wps]))
+        rows_i = sprint_rows[i] if n_specs else []
+        if n_specs:
+            rows_arr = np.zeros((n_specs, e_max), np.int32)
+            for si, (local, _) in enumerate(rows_i):
+                rows_arr[si, :local.size] = local
+            carry, blk, emat = plane_step(
+                wins, carry, jnp.asarray(u_prev_full[lo:lo + wps]),
+                jnp.asarray(g_full[:, lo:lo + wps]),
+                jnp.asarray(rows_arr))
+        else:
+            carry, blk = plane_step(
+                wins, carry, jnp.asarray(u_prev_full[lo:lo + wps]),
+                jnp.asarray(g_full[:, lo:lo + wps]),
+                jnp.zeros((0, 1), jnp.int32))
+            emat = None
         if pending is not None:
-            blocks.append(np.asarray(pending))
-        pending = blk
+            drain(pending)
+        pending = (blk, emat, rows_i)
     if pending is not None:
-        blocks.append(np.asarray(pending))
+        drain(pending)
 
     final = to_walker(dev_state)
     stats = {
@@ -669,9 +805,12 @@ def run_plane_on_device(scene, params: Params, scales, taucps=None,
         "escapes": int(np.asarray(final.escapes)),
         "coverage_violations": int(np.asarray(final.coverage)),
     }
-    curves = np.concatenate(blocks, axis=2)     # [S, T, n, 2]
-    times = np.arange(1, n + 1, dtype=np.float64) * p.pfreq * p.tau
-    return times, curves, stats
+    # appended echo-only taucp lanes are not part of the requested plane
+    curves = np.concatenate(blocks, axis=2)[:, :T_req]   # [S, T, n, 2]
+    echoes = [EchoCapture(scale=m["scale"], taucp_ms=m["taucp"],
+                          times_ms=times[m["eidx"]], cos=echo_mats[si])
+              for si, m in enumerate(echo_meta)]
+    return times, curves, stats, echoes
 
 
 def window_increments(A, B, params: Params):

@@ -725,6 +725,15 @@ def main(argv=None):
                          "match the float64 host reconstruction to f32 "
                          "rounding.  For walker-bootstrap error bars "
                          "use --stream-plane or --record-dir instead")
+    ap.add_argument("--dump-echoes", default=None, metavar="NPZ",
+                    help="with --plane-device: also gather the "
+                         "PER-WALKER spin-echo cos matrices for every "
+                         "(moment-scale x echo-taucp) grid point on "
+                         "device (KBs each) and save them as .npz — "
+                         "mri-t2-fit --echoes NPZ --bootstrap N then "
+                         "delivers walker-bootstrap T2 confidence "
+                         "intervals for the whole grid with no record "
+                         "ever existing")
     ap.add_argument("--stream-plane", action="store_true",
                     help="with --moment-scales/--echo-taucps: reconstruct "
                          "the plane INCREMENTALLY per sprint "
@@ -915,6 +924,11 @@ def main(argv=None):
                 ap.error(f"--plane-device keeps the record on the "
                          f"device; {flag} needs the host/disk record "
                          f"paths — drop one of the two")
+    if args.dump_echoes and not args.plane_device:
+        ap.error("--dump-echoes captures spin-echo matrices during an "
+                 "on-device plane run; add --plane-device (record-based "
+                 "paths bootstrap from the record itself, mri-t2-fit "
+                 "--record)")
     if args.stream_plane:
         if not decomp_mode:
             ap.error("--stream-plane streams a phase-decomposition "
@@ -1151,14 +1165,33 @@ def main(argv=None):
         with profiling.device_trace(args.trace):
             if args.plane_device:
                 # on-device plane: the record never crosses the tunnel
-                t_pd, curves, stats = dec.run_plane_on_device(
+                taucps_eff = taucps if taucps is not None \
+                    else [params.taucp]
+                echo_pairs = []
+                if args.dump_echoes:
+                    # every grid point whose first spin echo (t=2*taucp)
+                    # fits inside the run; points without one cannot be
+                    # bootstrapped and are skipped with a note
+                    for s in scales:
+                        for t_cp in taucps_eff:
+                            if 2.0 * t_cp <= params.totaltime:
+                                echo_pairs.append((s, t_cp))
+                            else:
+                                print(f"  --dump-echoes: skipping "
+                                      f"mscale={s:g} taucp={t_cp:g} "
+                                      f"(no spin echo inside "
+                                      f"{params.totaltime:g} ms)",
+                                      file=sys.stderr)
+                    if not echo_pairs:
+                        ap.error("--dump-echoes: no (scale, taucp) grid "
+                                 "point hosts a spin echo inside the run")
+                t_pd, curves, stats, echoes_out = dec.run_plane_on_device(
                     sc, params, scales, taucps, seed=args.seed,
-                    engine=args.engine, rng_impl=cli_rng)
+                    engine=args.engine, rng_impl=cli_rng,
+                    echo_pairs=echo_pairs)
                 res = dec.DecompositionResult(
                     times_ms=t_pd, A=np.zeros((0, params.num_water)),
                     B=np.zeros((0, params.num_water)), stats=stats)
-                taucps_eff = taucps if taucps is not None \
-                    else [params.taucp]
             elif args.stream_plane:
                 plane = dec.StreamingPlane(params, params.t // params.pfreq,
                                            scales, taucps, quadrature=True)
@@ -1253,6 +1286,13 @@ def main(argv=None):
                 pfreq=params.pfreq)
             print(f"Decomposition record written: {args.dump_record} "
                   f"(A/B {np.asarray(res.A).shape})", file=sys.stderr)
+        if args.dump_echoes:
+            # after the CSVs, like --dump-record: a dump failure must
+            # never cost the run's primary products
+            dec.save_echoes(args.dump_echoes, echoes_out, seed=args.seed)
+            print(f"Spin-echo capture written: {args.dump_echoes} "
+                  f"({len(echoes_out)} grid point(s); bootstrap with "
+                  f"mri-t2-fit --echoes)", file=sys.stderr)
         if args.fit_r2:
             from .. import analysis
             with open(args.fit_r2, "w") as f:

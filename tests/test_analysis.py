@@ -258,6 +258,86 @@ class TestStreamingBootstrap:
         assert b_s.n_ok == b_r.n_ok
 
 
+class TestEchoFileBootstrap:
+    """The --dump-echoes / mri-t2-fit --echoes artifact: on-device
+    spin-echo captures saved as one small npz, bootstrapped offline —
+    Monte-Carlo T2 error bars with no decomposition record anywhere."""
+
+    @pytest.fixture()
+    def echoes_npz(self, tmp_path):
+        from mri_nanoparticle_simulation_tpu.engine import decompose as dec
+        rng = np.random.default_rng(7)
+        te = np.arange(1, 21) * 0.5          # 20 echoes over 10 ms
+        caps = []
+        for scale, t2 in ((1.0, 8.0), (2.0, 4.0)):
+            # per-walker echo cos: the shared envelope + walker scatter
+            cos = (np.exp(-te / t2)[:, None]
+                   + rng.normal(0, 0.05, (te.size, 256)))
+            caps.append(dec.EchoCapture(scale=scale, taucp_ms=0.25,
+                                        times_ms=te, cos=cos))
+        path = str(tmp_path / "echoes.npz")
+        dec.save_echoes(path, caps, seed=3)
+        return path, caps
+
+    def test_roundtrip(self, echoes_npz):
+        from mri_nanoparticle_simulation_tpu.engine import decompose as dec
+        path, caps = echoes_npz
+        back = dec.load_echoes(path)
+        assert len(back) == 2
+        for b, c in zip(back, caps):
+            assert (b.scale, b.taucp_ms) == (c.scale, c.taucp_ms)
+            np.testing.assert_array_equal(b.times_ms, c.times_ms)
+            # cos stored f32 (lossless for on-device captures; this
+            # synthetic f64 fixture rounds)
+            np.testing.assert_allclose(b.cos, c.cos, atol=1e-6)
+
+    def test_cli_bootstraps_every_pair(self, echoes_npz, tmp_path, capsys):
+        from mri_nanoparticle_simulation_tpu.engine import decompose as dec
+        path, _ = echoes_npz
+        table = str(tmp_path / "t.csv")
+        assert an.main(["--echoes", path, "--bootstrap", "32",
+                        "--seed", "1", "--out-table", table]) == 0
+        out = capsys.readouterr().out
+        assert out.count("CI") == 2
+        lines = open(table).read().strip().splitlines()
+        assert lines[0] == ("mscale,taucp_ms,r2_per_ms,t2_ms,t2_lo_ms,"
+                            "t2_hi_ms,t2_stderr_ms,n_ok")
+        assert len(lines) == 3
+        # the CLI is exactly bootstrap_from_echoes on the loaded capture
+        e = dec.load_echoes(path)[0]
+        b = dec.bootstrap_from_echoes(e.times_ms, e.cos, n_boot=32, seed=1)
+        row0 = lines[1].split(",")
+        assert float(row0[0]) == 1.0
+        np.testing.assert_allclose(float(row0[3]), b.fit.t2_ms, rtol=1e-12)
+        np.testing.assert_allclose(float(row0[4]), b.t2_lo_ms, rtol=1e-12)
+        # the recovered T2s separate the two grid points correctly
+        assert float(lines[1].split(",")[3]) > float(lines[2].split(",")[3])
+
+    def test_cli_guards(self, tmp_path):
+        with pytest.raises(SystemExit):
+            an.main(["--echoes", "x.npz", "--bootstrap", "1"])
+        # a non-echo npz is refused with the schema message
+        bad = str(tmp_path / "bad.npz")
+        np.savez(bad, A=np.zeros((2, 2)))
+        with pytest.raises(ValueError, match="echo-capture"):
+            an.main(["--echoes", bad])
+
+    def test_unfittable_pair_gets_nan_row(self, tmp_path, capsys):
+        """A capture with a single echo cannot fit; the CLI reports it
+        and the table carries the nan sentinel row."""
+        from mri_nanoparticle_simulation_tpu.engine import decompose as dec
+        path = str(tmp_path / "one.npz")
+        dec.save_echoes(path, [dec.EchoCapture(
+            scale=1.0, taucp_ms=1.0, times_ms=np.array([2.0]),
+            cos=np.full((1, 16), 0.5))])
+        table = str(tmp_path / "t.csv")
+        assert an.main(["--echoes", path, "--bootstrap", "8",
+                        "--out-table", table]) == 0
+        assert "unfittable" in capsys.readouterr().out
+        row = open(table).read().strip().splitlines()[1].split(",")
+        assert row[-1] == "0" and row[3] == "nan"
+
+
 class TestBootstrapDispersion:
     """The CPMG dispersion table WITH confidence intervals from one
     record (decompose.bootstrap_dispersion / mri-t2-fit --taucp-grid)."""

@@ -382,7 +382,7 @@ class TestDevicePlane:
                               interpret=(engine == "pallas"),
                               consumer=plane)
         host = plane.result()                    # [S, T, n, 2] f64
-        t_d, dev, stats = dec.run_plane_on_device(
+        t_d, dev, stats, _ = dec.run_plane_on_device(
             sc, p, scales, taucps, seed=5, engine=engine,
             interpret=(engine == "pallas"))
         assert dev.shape == host.shape
@@ -397,9 +397,44 @@ class TestDevicePlane:
         every sprint."""
         p, sc = setup
         assert p.sprint_steps % p.tcp == 0
-        _, dev, _ = dec.run_plane_on_device(sc, p, [1.0], None, seed=5,
-                                            engine="scan")
+        _, dev, _, _ = dec.run_plane_on_device(sc, p, [1.0], None,
+                                               seed=5, engine="scan")
         r = dec.run_decomposition(sc, p, seed=5, engine="scan")
         direct = np.mean(np.cos(np.asarray(r.A, np.float64)
                                 + np.asarray(r.B, np.float64)), axis=1)
         np.testing.assert_allclose(dev[0, 0, :, 0], direct, atol=1e-4)
+
+    def test_echo_capture_matches_host(self, setup):
+        """On-device per-walker echo matrices (echo_pairs) must match
+        the host StreamingPlane's in-stream capture to f32 rounding,
+        and feed bootstrap_from_echoes — error bars with no record."""
+        p, sc = setup
+        pairs = [(1.0, p.taucp), (2.0, 0.001)]
+        host = dec.StreamingPlane(p, p.t // p.pfreq, [1.0], None,
+                                  quadrature=True, echo_pairs=pairs)
+        dec.run_decomposition(sc, p, seed=5, engine="scan",
+                              consumer=host)
+        _, _, _, echoes = dec.run_plane_on_device(
+            sc, p, [1.0], None, seed=5, engine="scan",
+            echo_pairs=pairs)
+        assert len(echoes) == 2
+        for i, e in enumerate(echoes):
+            te_h, mat_h = host.echo_matrix(i)
+            np.testing.assert_allclose(e.times_ms, te_h)
+            np.testing.assert_allclose(e.cos, mat_h, atol=1e-4)
+        # the capture IS bootstrap_from_echoes' input contract
+        # ([n_echoes, W] float); the fit itself needs >= 3 echoes,
+        # which this 20-window fixture cannot host — the full
+        # bootstrap-from-device-echoes path runs in the hardware suite
+        assert echoes[0].cos.shape == (echoes[0].times_ms.size, 64)
+
+    def test_echo_pair_taucp_not_in_plane(self, setup):
+        """An echo taucp absent from the requested taucps gets an extra
+        internal cumsum lane; the CURVES output must still cover only
+        the requested taucps."""
+        p, sc = setup
+        _, curves, _, echoes = dec.run_plane_on_device(
+            sc, p, [1.0], [p.taucp], seed=5, engine="scan",
+            echo_pairs=[(1.0, 0.001)])
+        assert curves.shape[1] == 1          # only the requested taucp
+        assert echoes[0].taucp_ms == 0.001

@@ -893,10 +893,41 @@ class TestCliPlaneDevice:
                                delimiter=",")
                 np.testing.assert_allclose(d, h, atol=32 * 1e-4)
 
+    def test_dump_echoes(self, tmp_path, capsys):
+        """--dump-echoes captures the per-walker spin-echo matrices on
+        device for every grid point with an echo inside the run (taucp
+        0.002 has none at totaltime 0.002 and is skipped with a note)
+        and mri-t2-fit --echoes consumes the npz."""
+        from mri_nanoparticle_simulation_tpu.engine import decompose as dec
+        npz = str(tmp_path / "echoes.npz")
+        assert sim.main(self.ARGS + ["--moment-scales", "1,2",
+                                     "--echo-taucps", "0.001,0.002",
+                                     "--plane-device",
+                                     "--dump-echoes", npz,
+                                     "--out", str(tmp_path / "d.csv")]) == 0
+        err = capsys.readouterr().err
+        assert "skipping mscale=1 taucp=0.002" in err
+        echoes = dec.load_echoes(npz)
+        assert [(e.scale, e.taucp_ms) for e in echoes] == \
+            [(1.0, 0.001), (2.0, 0.001)]
+        for e in echoes:
+            assert e.cos.shape == (e.times_ms.size, 32)
+            assert np.all(np.abs(e.cos) <= 1.0)
+        # one echo inside this tiny run: the fit CLI reports the nan
+        # sentinel rather than crashing
+        from mri_nanoparticle_simulation_tpu import analysis as an
+        assert an.main(["--echoes", npz, "--bootstrap", "8"]) == 0
+        assert "unfittable" in capsys.readouterr().out
+
     def test_plane_device_validation(self, tmp_path):
         with pytest.raises(SystemExit):
             sim.main(["--plane-device",
                       "--out", str(tmp_path / "x.csv")])
+        with pytest.raises(SystemExit):
+            # --dump-echoes needs --plane-device
+            sim.main(self.ARGS + ["--moment-scales", "1",
+                                  "--dump-echoes", str(tmp_path / "e.npz"),
+                                  "--out", str(tmp_path / "x.csv")])
         with pytest.raises(SystemExit):
             sim.main(self.ARGS + ["--moment-scales", "1",
                                   "--plane-device", "--stream-plane",

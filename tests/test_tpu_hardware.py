@@ -598,12 +598,17 @@ class TestDevicePlaneHardware:
         sc = BacteriaBox(pp, seed=3).populate()
         taucps = [pp.taucp, 0.001]
         scales = [0.5, 1.0, 2.0]
+        pairs = [(1.0, pp.taucp)]
         plane = dec.StreamingPlane(pp, pp.t // pp.pfreq, scales, taucps,
-                                   quadrature=True)
+                                   quadrature=True, echo_pairs=pairs)
         dec.run_decomposition(sc, pp, seed=5, engine="pallas",
                               rng_impl="hardware", consumer=plane)
-        _, dev, stats = dec.run_plane_on_device(
+        _, dev, stats, echoes = dec.run_plane_on_device(
             sc, pp, scales, taucps, seed=5, engine="pallas",
-            rng_impl="hardware")
+            rng_impl="hardware", echo_pairs=pairs)
         np.testing.assert_allclose(dev, plane.result(), atol=1e-4)
         assert stats["coverage_violations"] == 0
+        # the on-device echo capture matches the host one and feeds
+        # the walker bootstrap — production-speed error bars, no record
+        te_h, mat_h = plane.echo_matrix(0)
+        np.testing.assert_allclose(echoes[0].cos, mat_h, atol=1e-4)
