@@ -209,6 +209,56 @@ def _setup_engine(engine: str, p: Params, scene, seed: int, state,
     return step_fn, dev_state, to_walker
 
 
+def _setup_engine_sharded(engine: str, p: Params, scene, seed: int, state,
+                          dtype, rng_impl: str, interpret: bool, mesh):
+    """:func:`_setup_engine` under single-process walker sharding: the
+    per-sprint step runs the sharded sprint (parallel/sharding.py) over
+    the mesh, with the decompose-mode record staying sharded with its
+    walkers (no psum exists to hide the layout)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from .. import rng
+    from ..parallel import sharding
+    from . import pallas_engine as pe
+
+    num_water = scene.waters.shape[0]
+    n_shards = mesh.shape[sharding.WALKER_AXIS]
+    rep = NamedSharding(mesh, P())
+    mnp_pos = jax.device_put(
+        jnp.asarray(np.asarray(scene.mnps[:, :3], np.float32), dtype), rep)
+    mnp_M = jax.device_put(
+        jnp.asarray(np.asarray(scene.mnps[:, 4], np.float32), dtype), rep)
+    k = rng.key_from_seed(seed)
+    key_arr = jax.device_put(
+        jnp.asarray([np.uint32(k[0]), np.uint32(k[1])]), rep)
+
+    if engine == "pallas":
+        sprint = sharding.make_sharded_pallas_sprint_fn(
+            p, num_water, mesh, dtype, rng_impl, interpret, decompose=True)
+        dev = sharding.to_planes_sharded(state, p, n_shards)
+        row = P(sharding.WALKER_AXIS)
+        plane = P(None, sharding.WALKER_AXIS)
+        spec = pe.PlaneState(px=row, py=row, pz=row, in_cell=row,
+                             phase=plane, phase_comp=plane, step=P(),
+                             escapes=P(), coverage=P())
+    elif engine == "scan":
+        sprint = sharding.make_sharded_decomp_sprint_fn(p, mesh, dtype)
+        dev = state
+        spec = sharding.decomp_state_spec()
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+    dev_state = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), dev, spec)
+
+    def step_fn(s):
+        return sprint(mnp_pos, mnp_M, key_arr, s)
+
+    return step_fn, dev_state
+
+
 def run_decomposition_durable(scene, params: Params, record_path: str,
                               seed: int = 0, scene_seed: int = 0,
                               engine: str = "pallas", dtype=None,
@@ -504,8 +554,10 @@ def run_streaming_durable(scene, params: Params, plane: "StreamingPlane",
 
 
 def make_plane_step(params: Params, num_water: int, scales, n_taucps: int,
-                    engine: str, dtype, echo_specs=()):
-    """The jitted on-device plane update of :func:`run_plane_on_device`.
+                    engine: str, dtype, echo_specs=(), raw: bool = False):
+    """The jitted on-device plane update of :func:`run_plane_on_device`
+    (``raw=True`` returns the unjitted step — the per-shard body of
+    :func:`make_sharded_plane_step`).
 
     Consumes one sprint's RAW record planes (never leaving the device),
     carries per-taucp signed Kahan sums, and emits only the
@@ -562,16 +614,22 @@ def make_plane_step(params: Params, num_water: int, scales, n_taucps: int,
             t_new = s_sum + y
             return t_new, (t_new - s_sum) - y
 
+        # echo specs grouped by taucp lane so the gathers happen INSIDE
+        # that lane's iteration — the full [wps, W] prefix sums stay
+        # fusable per lane instead of living across the whole step
+        echo_by_t: dict = {}
+        for i, (sv, ti) in enumerate(echo_specs):
+            echo_by_t.setdefault(ti, []).append((i, sv))
+
         blks = []
         sa_all, ca_all, sb_all, cb_all = [], [], [], []
-        sabs = []
+        echo_out = [None] * len(echo_specs)
         for t in range(n_taucps):     # small static T: unrolled
             g = g_blk[t][:, None]                     # [wps, 1]
             ca = jnp.cumsum(g * dA, axis=0)           # [wps, W]
             cb = jnp.cumsum(g * dB, axis=0)
             sa = SA[t] + ca                           # broadcast [wps, W]
             sb = SB[t] + cb
-            sabs.append((sa, sb))
 
             def per_scale(sv, sa=sa, sb=sb, t=t):
                 inner = sv * sa + sb
@@ -580,6 +638,11 @@ def make_plane_step(params: Params, num_water: int, scales, n_taucps: int,
                                                       axis=1)], axis=-1)
 
             blks.append(jax.lax.map(per_scale, s_arr))   # [S, wps, 2]
+            for i, sv in echo_by_t.get(t, ()):
+                rows = echo_rows[i]                   # [E_max]
+                echo_out[i] = jnp.cos(
+                    dtype(sv) * jnp.take(sa, rows, axis=0)
+                    + jnp.take(sb, rows, axis=0))     # [E_max, W]
             sa_new, ca_new = fold(SA[t], cA[t], ca[-1])
             sb_new, cb_new = fold(SB[t], cB[t], cb[-1])
             sa_all.append(sa_new)
@@ -590,18 +653,62 @@ def make_plane_step(params: Params, num_water: int, scales, n_taucps: int,
         new_carry = (jnp.stack(sa_all), jnp.stack(ca_all),
                      jnp.stack(sb_all), jnp.stack(cb_all), A[-1], B[-1])
         out_blk = jnp.stack(blks, axis=1)             # [S, T, wps, 2]
-        echo_out = []
-        for i, (sv, ti) in enumerate(echo_specs):
-            sa, sb = sabs[ti]
-            rows = echo_rows[i]                       # [E_max]
-            mat = jnp.cos(dtype(sv) * jnp.take(sa, rows, axis=0)
-                          + jnp.take(sb, rows, axis=0))   # [E_max, W]
-            echo_out.append(mat)
         if echo_specs:
             return new_carry, out_blk, jnp.stack(echo_out)
         return new_carry, out_blk
 
+    if raw:
+        return step
     return jax.jit(step)
+
+
+def make_sharded_plane_step(params: Params, num_water: int, scales,
+                            n_taucps: int, engine: str, dtype, mesh,
+                            echo_specs=()):
+    """:func:`make_plane_step` under walker sharding: each shard folds
+    its own walkers' record planes (the per-walker math is elementwise,
+    so carries stay sharded exactly like the record) and only the
+    [S, T, wps, 2] curve block crosses the mesh — one ``psum`` of the
+    per-shard walker means (equal shard sizes, so the mean of means IS
+    the global mean).  Echo matrices stay sharded over walker columns
+    (out_spec ``P(None, None, walkers)``) — they are per-walker data.
+
+    The local step is built at ``local_w`` so the production kernel's
+    per-shard plane padding unpacks correctly (the global
+    [n_win, 2, R, 128] record concatenates per-shard padded blocks on
+    the row axis — a GLOBAL pad-strip slice would misalign walkers, the
+    same reason run_decomposition_multihost drains per shard)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import sharding
+
+    n_shards = mesh.shape[sharding.WALKER_AXIS]
+    if num_water % n_shards != 0:
+        raise ValueError(f"num_water ({num_water}) must divide evenly "
+                         f"over {n_shards} devices")
+    local_step = make_plane_step(params, num_water // n_shards, scales,
+                                 n_taucps, engine, dtype,
+                                 echo_specs=echo_specs, raw=True)
+
+    def shard_fn(wins, carry, u_prev, g_blk, echo_rows):
+        out = local_step(wins, carry, u_prev, g_blk, echo_rows)
+        blk = jax.lax.psum(out[1], sharding.WALKER_AXIS) / n_shards
+        return (out[0], blk) + tuple(out[2:])
+
+    col = P(None, sharding.WALKER_AXIS)
+    wins_spec = P(None, None, sharding.WALKER_AXIS, None) \
+        if engine == "pallas" else P(None, sharding.WALKER_AXIS, None)
+    carry_spec = (col, col, col, col, P(sharding.WALKER_AXIS),
+                  P(sharding.WALKER_AXIS))
+    out_specs = (carry_spec, P())
+    if echo_specs:
+        out_specs = out_specs + (P(None, None, sharding.WALKER_AXIS),)
+    sharded = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(wins_spec, carry_spec, P(), P(), P()),
+        out_specs=out_specs, check_vma=False)
+    return jax.jit(sharded)
 
 
 class EchoCapture(NamedTuple):
@@ -649,7 +756,7 @@ def run_plane_on_device(scene, params: Params, scales, taucps=None,
                         dtype=None, rng_impl: str = "threefry",
                         interpret: bool = False,
                         max_steps: Optional[int] = None,
-                        echo_pairs=()):
+                        echo_pairs=(), mesh=None):
     """The (moment x taucp) plane computed ON DEVICE as the simulation
     runs — the production form of the dense-sweep workflow.
 
@@ -675,6 +782,15 @@ def run_plane_on_device(scene, params: Params, scales, taucps=None,
     :class:`EchoCapture` entries, ready for
     :func:`bootstrap_from_echoes` — Monte-Carlo T2 error bars at
     production speed, no record anywhere.
+
+    ``mesh``: optional walker-sharding mesh (CLI ``--shard-walkers``)
+    — sprints AND the plane folding run sharded
+    (:func:`make_sharded_plane_step`: per-shard Kahan carries, one psum
+    of the walker means per sprint), so dense sweeps at scale-up walker
+    counts spread over local devices with nothing per-walker ever
+    crossing the mesh.  Global Threefry lanes keep per-walker physics
+    equal to the single-device run; curves differ only by the f32
+    mean-of-means grouping (tested at the usual f32 tolerance).
 
     Returns ``(times_ms, curves [S, T, n, 2], stats, echoes)`` with
     curves as walker MEANS stacking (cos, sin) —
@@ -749,10 +865,21 @@ def run_plane_on_device(scene, params: Params, scales, taucps=None,
             sprint_rows.append(per_spec)
 
     state = re.init_state(scene.waters, p, dtype, decompose=True)
-    step_fn, dev_state, to_walker = _setup_engine(
-        engine, p, scene, seed, state, dtype, rng_impl, interpret)
-    plane_step = make_plane_step(p, num_water, s_arr, T, engine, dtype,
-                                 echo_specs=tuple(echo_specs))
+    if mesh is not None:
+        # walker-sharded: sharded sprints + per-shard plane folding with
+        # one psum of the walker means (make_sharded_plane_step); the
+        # record planes never leave their shard's device
+        step_fn, dev_state = _setup_engine_sharded(
+            engine, p, scene, seed, state, dtype, rng_impl, interpret,
+            mesh)
+        plane_step = make_sharded_plane_step(
+            p, num_water, s_arr, T, engine, dtype, mesh,
+            echo_specs=tuple(echo_specs))
+    else:
+        step_fn, dev_state, _ = _setup_engine(
+            engine, p, scene, seed, state, dtype, rng_impl, interpret)
+        plane_step = make_plane_step(p, num_water, s_arr, T, engine,
+                                     dtype, echo_specs=tuple(echo_specs))
 
     carry = (jnp.zeros((T, num_water), dtype),
              jnp.zeros((T, num_water), dtype),
@@ -799,11 +926,11 @@ def run_plane_on_device(scene, params: Params, scales, taucps=None,
     if pending is not None:
         drain(pending)
 
-    final = to_walker(dev_state)
+    # step/escapes/coverage live unsharded on both engines' state trees
     stats = {
-        "steps": int(np.asarray(final.step)),
-        "escapes": int(np.asarray(final.escapes)),
-        "coverage_violations": int(np.asarray(final.coverage)),
+        "steps": int(np.asarray(dev_state.step)),
+        "escapes": int(np.asarray(dev_state.escapes)),
+        "coverage_violations": int(np.asarray(dev_state.coverage)),
     }
     # appended echo-only taucp lanes are not part of the requested plane
     curves = np.concatenate(blocks, axis=2)[:, :T_req]   # [S, T, n, 2]

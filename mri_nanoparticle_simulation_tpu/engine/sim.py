@@ -905,9 +905,11 @@ def main(argv=None):
     if decomp_mode and (sweepish or args.ensemble > 1):
         ap.error("--moment-scales/--echo-taucps are themselves sweeps "
                  "over the (moment, taucp) plane; drop --sweep/--ensemble")
-    if decomp_mode and args.shard_walkers:
+    if decomp_mode and args.shard_walkers and not args.plane_device:
         ap.error("--moment-scales/--echo-taucps record per-walker phase "
-                 "components on one device; drop --shard-walkers")
+                 "components on one device; drop --shard-walkers (or add "
+                 "--plane-device, whose sharded plane folding keeps the "
+                 "record distributed with its walkers)")
     if args.fit_r2 and not args.echo_taucps:
         ap.error("--fit-r2 is the dispersion over the --echo-taucps "
                  "grid; pass the echo spacings to fit")
@@ -1185,10 +1187,17 @@ def main(argv=None):
                     if not echo_pairs:
                         ap.error("--dump-echoes: no (scale, taucp) grid "
                                  "point hosts a spin echo inside the run")
+                plane_mesh = None
+                if args.shard_walkers:
+                    from ..parallel import sharding as sh
+                    plane_mesh = sh.make_walker_mesh()
+                    print(f"Sharding walkers + plane folding over "
+                          f"{plane_mesh.shape[sh.WALKER_AXIS]} device(s)",
+                          file=sys.stderr)
                 t_pd, curves, stats, echoes_out = dec.run_plane_on_device(
                     sc, params, scales, taucps, seed=args.seed,
                     engine=args.engine, rng_impl=cli_rng,
-                    echo_pairs=echo_pairs)
+                    echo_pairs=echo_pairs, mesh=plane_mesh)
                 res = dec.DecompositionResult(
                     times_ms=t_pd, A=np.zeros((0, params.num_water)),
                     B=np.zeros((0, params.num_water)), stats=stats)

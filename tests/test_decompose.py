@@ -428,6 +428,39 @@ class TestDevicePlane:
         # bootstrap-from-device-echoes path runs in the hardware suite
         assert echoes[0].cos.shape == (echoes[0].times_ms.size, 64)
 
+    @pytest.mark.parametrize("engine", ["scan", "pallas"])
+    def test_sharded_plane_matches_single_device(self, setup, engine):
+        """run_plane_on_device(mesh=...): sharded sprints + per-shard
+        plane folding with one psum of walker means.  Global Threefry
+        lanes keep per-walker physics equal to the single-device run, so
+        the ECHO matrices (per-walker data) match bitwise-tight and the
+        CURVES differ only by the f32 mean-of-means grouping."""
+        import jax
+        from mri_nanoparticle_simulation_tpu.parallel import sharding
+        p, sc = setup
+        mesh = sharding.make_walker_mesh(jax.devices("cpu"))
+        pairs = [(1.0, p.taucp)]
+        interp = engine == "pallas"
+        t1, c1, s1, e1 = dec.run_plane_on_device(
+            sc, p, [0.5, 1.0], [p.taucp, 0.001], seed=5, engine=engine,
+            interpret=interp, echo_pairs=pairs)
+        t2, c2, s2, e2 = dec.run_plane_on_device(
+            sc, p, [0.5, 1.0], [p.taucp, 0.001], seed=5, engine=engine,
+            interpret=interp, echo_pairs=pairs, mesh=mesh)
+        np.testing.assert_array_equal(t1, t2)
+        np.testing.assert_allclose(c2, c1, atol=1e-4)
+        np.testing.assert_allclose(e2[0].cos, e1[0].cos, atol=1e-6)
+        assert s2 == s1
+
+    def test_sharded_plane_rejects_indivisible_walkers(self, setup):
+        import jax
+        from mri_nanoparticle_simulation_tpu.parallel import sharding
+        p, sc = setup
+        mesh = sharding.make_walker_mesh(jax.devices("cpu")[:3])
+        with pytest.raises(ValueError, match="divide evenly"):
+            dec.run_plane_on_device(sc, p, [1.0], None, seed=5,
+                                    engine="scan", mesh=mesh)
+
     def test_echo_pair_taucp_not_in_plane(self, setup):
         """An echo taucp absent from the requested taucps gets an extra
         internal cumsum lane; the CURVES output must still cover only

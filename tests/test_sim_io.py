@@ -893,6 +893,23 @@ class TestCliPlaneDevice:
                                delimiter=",")
                 np.testing.assert_allclose(d, h, atol=32 * 1e-4)
 
+    def test_plane_device_shard_walkers(self, tmp_path):
+        """--plane-device --shard-walkers: sharded sprints + sharded
+        plane folding write the same CSVs as the single-device plane
+        run up to the f32 mean-of-means grouping."""
+        a = str(tmp_path / "one.csv")
+        b = str(tmp_path / "sh.csv")
+        common = self.ARGS + ["--moment-scales", "1,2"]
+        assert sim.main(common + ["--plane-device", "--out", a]) == 0
+        assert sim.main(common + ["--plane-device", "--shard-walkers",
+                                  "--out", b]) == 0
+        for s in ("1", "2"):
+            one = np.loadtxt(str(tmp_path / f"one_mscale={s}.csv"),
+                             delimiter=",")
+            sh = np.loadtxt(str(tmp_path / f"sh_mscale={s}.csv"),
+                            delimiter=",")
+            np.testing.assert_allclose(sh, one, atol=32 * 1e-4)
+
     def test_dump_echoes(self, tmp_path, capsys):
         """--dump-echoes captures the per-walker spin-echo matrices on
         device for every grid point with an echo inside the run (taucp
