@@ -55,7 +55,10 @@ def echo_times(taucp_ms: float, total_ms: float) -> np.ndarray:
     """Spin-echo centers t = 2k·taucp in (0, total]."""
     if not taucp_ms > 0:
         raise ValueError(f"taucp must be > 0 ms (got {taucp_ms!r})")
-    n = int(np.floor(total_ms / (2.0 * taucp_ms)))
+    # the epsilon keeps an echo that lands exactly on total_ms: the
+    # binary ratio can fall a few ulps short of the integer (e.g.
+    # 0.0002 / (2 * 0.0001)), which would silently drop the last echo
+    n = int(np.floor(total_ms / (2.0 * taucp_ms) + 1e-9))
     return np.arange(1, n + 1) * (2.0 * taucp_ms)
 
 

@@ -211,29 +211,28 @@ def _setup_engine(engine: str, p: Params, scene, seed: int, state,
 
 def _setup_engine_sharded(engine: str, p: Params, scene, seed: int, state,
                           dtype, rng_impl: str, interpret: bool, mesh):
-    """:func:`_setup_engine` under single-process walker sharding: the
-    per-sprint step runs the sharded sprint (parallel/sharding.py) over
-    the mesh, with the decompose-mode record staying sharded with its
-    walkers (no psum exists to hide the layout)."""
+    """:func:`_setup_engine` under walker sharding: the per-sprint step
+    runs the sharded sprint (parallel/sharding.py) over the mesh, with
+    the decompose-mode record staying sharded with its walkers (no psum
+    exists to hide the layout).  Inputs are constructed as GLOBAL arrays
+    (distributed.put_global), so the same code runs over a local mesh
+    or a multi-process (DCN) world."""
     import jax
-    import jax.numpy as jnp
-    from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
     from .. import rng
     from ..parallel import sharding
+    from ..parallel.distributed import put_global
     from . import pallas_engine as pe
 
     num_water = scene.waters.shape[0]
     n_shards = mesh.shape[sharding.WALKER_AXIS]
-    rep = NamedSharding(mesh, P())
-    mnp_pos = jax.device_put(
-        jnp.asarray(np.asarray(scene.mnps[:, :3], np.float32), dtype), rep)
-    mnp_M = jax.device_put(
-        jnp.asarray(np.asarray(scene.mnps[:, 4], np.float32), dtype), rep)
+    np_dt = np.dtype(dtype)
+    mnp_pos = put_global(mesh, P(), np.asarray(scene.mnps[:, :3], np_dt))
+    mnp_M = put_global(mesh, P(), np.asarray(scene.mnps[:, 4], np_dt))
     k = rng.key_from_seed(seed)
-    key_arr = jax.device_put(
-        jnp.asarray([np.uint32(k[0]), np.uint32(k[1])]), rep)
+    key_arr = put_global(mesh, P(),
+                         np.asarray([np.uint32(k[0]), np.uint32(k[1])]))
 
     if engine == "pallas":
         sprint = sharding.make_sharded_pallas_sprint_fn(
@@ -251,7 +250,7 @@ def _setup_engine_sharded(engine: str, p: Params, scene, seed: int, state,
     else:
         raise ValueError(f"unknown engine {engine!r}")
     dev_state = jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), dev, spec)
+        lambda x, s: put_global(mesh, s, np.asarray(x)), dev, spec)
 
     def step_fn(s):
         return sprint(mnp_pos, mnp_M, key_arr, s)
@@ -791,6 +790,10 @@ def run_plane_on_device(scene, params: Params, scales, taucps=None,
     crossing the mesh.  Global Threefry lanes keep per-walker physics
     equal to the single-device run; curves differ only by the f32
     mean-of-means grouping (tested at the usual f32 tolerance).
+    Under a MULTI-PROCESS mesh each process fills only its addressable
+    walker columns of the echo matrices (zero elsewhere) — call
+    :func:`parallel.distributed.run_plane_multihost`, which allgathers
+    them, instead of using this entry point directly.
 
     Returns ``(times_ms, curves [S, T, n, 2], stats, echoes)`` with
     curves as walker MEANS stacking (cos, sin) —
@@ -881,13 +884,32 @@ def run_plane_on_device(scene, params: Params, scales, taucps=None,
         plane_step = make_plane_step(p, num_water, s_arr, T, engine,
                                      dtype, echo_specs=tuple(echo_specs))
 
-    carry = (jnp.zeros((T, num_water), dtype),
-             jnp.zeros((T, num_water), dtype),
-             jnp.zeros((T, num_water), dtype),
-             jnp.zeros((T, num_water), dtype),
-             jnp.zeros((num_water,), dtype),
-             jnp.zeros((num_water,), dtype))
-    echo_mats = [np.empty((m["eidx"].size, num_water), np.float64)
+    np_dt = np.dtype(dtype)
+    if mesh is not None:
+        # global arrays so the same code runs under 1 or N processes
+        # (put_global = make_array_from_callback; on a single-process
+        # mesh it is just a sharded device_put)
+        from jax.sharding import PartitionSpec as _P
+
+        from ..parallel import sharding as _sh
+        from ..parallel.distributed import put_global
+        _col = _P(None, _sh.WALKER_AXIS)
+        _row = _P(_sh.WALKER_AXIS)
+
+        def put_in(x):
+            return put_global(mesh, _P(), np.asarray(x))
+
+        carry = tuple(put_global(mesh, s, np.zeros(shp, np_dt))
+                      for s, shp in ((_col, (T, num_water)),) * 4
+                      + ((_row, (num_water,)),) * 2)
+    else:
+        put_in = jnp.asarray
+        carry = (jnp.zeros((T, num_water), dtype),) * 4 \
+            + (jnp.zeros((num_water,), dtype),) * 2
+    # zeros (not empty): under multi-process meshes each process fills
+    # only its addressable walker columns; disjoint-column zero matrices
+    # then sum to the full capture (distributed.run_plane_multihost)
+    echo_mats = [np.zeros((m["eidx"].size, num_water), np.float64)
                  for m in echo_meta]
     blocks = []
     pending = None      # 1-deep drain overlap (blocks are tiny, but the
@@ -895,8 +917,20 @@ def run_plane_on_device(scene, params: Params, scales, taucps=None,
 
     def drain(pend):
         blk, emat, rows_i = pend
-        blocks.append(np.asarray(blk))
-        if n_specs:
+        blocks.append(np.asarray(blk))   # psum'd/replicated: host-readable
+        if not n_specs:
+            return
+        if mesh is not None:
+            # sharded over walker columns: scatter each addressable
+            # shard into its global column range (a process only holds
+            # its own walkers' columns)
+            for shd in emat.addressable_shards:
+                em = np.asarray(shd.data)
+                c0 = shd.index[2].start or 0
+                for si, (local, global_ks) in enumerate(rows_i):
+                    echo_mats[si][global_ks, c0:c0 + em.shape[2]] = \
+                        em[si, :local.size]
+        else:
             em = np.asarray(emat)
             for si, (local, global_ks) in enumerate(rows_i):
                 # only the real (unpadded) rows scatter into the matrix
@@ -911,14 +945,13 @@ def run_plane_on_device(scene, params: Params, scales, taucps=None,
             for si, (local, _) in enumerate(rows_i):
                 rows_arr[si, :local.size] = local
             carry, blk, emat = plane_step(
-                wins, carry, jnp.asarray(u_prev_full[lo:lo + wps]),
-                jnp.asarray(g_full[:, lo:lo + wps]),
-                jnp.asarray(rows_arr))
+                wins, carry, put_in(u_prev_full[lo:lo + wps]),
+                put_in(g_full[:, lo:lo + wps]), put_in(rows_arr))
         else:
             carry, blk = plane_step(
-                wins, carry, jnp.asarray(u_prev_full[lo:lo + wps]),
-                jnp.asarray(g_full[:, lo:lo + wps]),
-                jnp.zeros((0, 1), jnp.int32))
+                wins, carry, put_in(u_prev_full[lo:lo + wps]),
+                put_in(g_full[:, lo:lo + wps]),
+                put_in(np.zeros((0, 1), np.int32)))
             emat = None
         if pending is not None:
             drain(pending)

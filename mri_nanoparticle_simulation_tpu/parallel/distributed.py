@@ -298,6 +298,44 @@ def run_decomposition_multihost(scene, params, mesh=None, seed: int = 0,
                                B=full[..., 1], stats=stats)
 
 
+def run_plane_multihost(scene, params, scales, taucps=None, mesh=None,
+                        seed: int = 0, engine: str = "scan",
+                        rng_impl: str = "threefry",
+                        interpret: bool = False, echo_pairs=(),
+                        max_steps=None):
+    """On-device (moment x taucp) plane folding over a global (multi-
+    host) mesh: decompose.run_plane_on_device(mesh=...) with every input
+    constructed as a global array, so the sharded plane step's psum of
+    per-shard walker means rides ICI within hosts and DCN across them;
+    per sprint only the KB-scale (replicated) curve block reaches each
+    host.  ``echo_pairs`` matrices are per-walker and therefore sharded:
+    each process scatters only its addressable columns and ONE
+    process_allgather at the end assembles the full capture on every
+    process (disjoint zero-filled columns sum exactly).
+
+    Same physics contract as the single-device plane: global Threefry
+    lanes make per-walker values partition-invariant; curves differ
+    only by the f32 mean-of-means grouping (2-process dryrun).
+    Returns what run_plane_on_device returns.
+    """
+    import jax
+
+    from ..engine import decompose
+
+    mesh = mesh or global_walker_mesh()
+    times, curves, stats, echoes = decompose.run_plane_on_device(
+        scene, params, scales, taucps, seed=seed, engine=engine,
+        rng_impl=rng_impl, interpret=interpret, echo_pairs=echo_pairs,
+        max_steps=max_steps, mesh=mesh)
+    if jax.process_count() > 1 and echoes:
+        from jax.experimental import multihost_utils
+        echoes = [
+            e._replace(cos=np.asarray(
+                multihost_utils.process_allgather(e.cos)).sum(axis=0))
+            for e in echoes]
+    return times, curves, stats, echoes
+
+
 def local_trial_mesh(n_trials: int, walker_shards: int = 1):
     """Right-sized trial mesh over THIS process's local devices (the
     cross-host ensemble layout: a trial's whole computation stays on one
@@ -597,6 +635,22 @@ def _dryrun(num_processes: int, process_id: int, coordinator: str,
                                              max_steps=p.sprint_steps)
     np.testing.assert_array_equal(rec_pmh.A, rec_p1.A)
     np.testing.assert_array_equal(rec_pmh.B, rec_p1.B)
+
+    # on-device plane folding over the global mesh: per-shard Kahan
+    # carries + one psum of walker means per sprint; curves must match
+    # the single-device plane at the f32 grouping tolerance and the
+    # allgathered per-walker echo capture must match it near-bitwise
+    pairs = [(1.0, p.taucp)]
+    _, pl_mh, pst_mh, ech_mh = run_plane_multihost(
+        sc, p, [1.0, 2.0], None, seed=0, echo_pairs=pairs,
+        max_steps=p.sprint_steps)
+    with jax.default_device(jax.local_devices()[0]):
+        _, pl_1, pst_1, ech_1 = decompose.run_plane_on_device(
+            sc, p, [1.0, 2.0], None, seed=0, engine="scan",
+            echo_pairs=pairs, max_steps=p.sprint_steps)
+    np.testing.assert_allclose(pl_mh, pl_1, atol=1e-4)
+    np.testing.assert_allclose(ech_mh[0].cos, ech_1[0].cos, atol=1e-6)
+    assert pst_mh == pst_1
 
     # paired parameter grid across DCN: grid points split 2+2 over the
     # processes, each point sharing scene seed base_seed (paired), must

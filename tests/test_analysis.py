@@ -39,6 +39,13 @@ class TestFitSynthetic:
 
 
 class TestEchoSampling:
+    def test_boundary_echo_survives_float_ratio(self):
+        """An echo landing exactly on the run end must not be dropped by
+        the binary ratio falling ulps short of the integer (2*0.0001 !=
+        0.0002 in binary; caught live by the driver dryrun)."""
+        te = an.echo_times(0.0001, 0.0002)
+        np.testing.assert_allclose(te, [0.0002])
+
     def test_echo_times(self):
         np.testing.assert_allclose(an.echo_times(5.5, 40.0),
                                    [11.0, 22.0, 33.0])
