@@ -785,6 +785,12 @@ def main(argv=None):
                          "cells) to PATH and exit — the reference's "
                          "SimboxTest / print_simulation_stats product "
                          "(SimulationBox.cpp:214-237) as a runtime flag")
+    ap.add_argument("--save-scene", default=None, metavar="NPZ",
+                    help="archive the run's exact scene (cells, MNPs + "
+                         "images, waters, lookup table) as a .npz "
+                         "before simulating — reload it with "
+                         "--scene-file, render it with mri-t2-plot "
+                         "--scene")
     args = ap.parse_args(argv)
 
     params = Params(
@@ -842,6 +848,19 @@ def main(argv=None):
             return FCCLatticeBox(params, seed=args.scene_seed,
                                  lattice_a=args.lattice_a).populate()
         return None
+
+    if args.save_scene:
+        if not args.save_scene.endswith(".npz"):
+            args.save_scene += ".npz"    # np.savez appends it anyway
+        _inner_build = build_scene
+
+        def build_scene():
+            sc = _inner_build() or BacteriaBox(
+                params, seed=args.scene_seed).populate()
+            from ..scene import io as scene_io
+            scene_io.save_scene(sc, args.save_scene)
+            print(f"Scene archived: {args.save_scene}", file=sys.stderr)
+            return sc
 
     if args.dump_field:
         from ..fields import debug as dbg
@@ -983,11 +1002,11 @@ def main(argv=None):
         if not (sweepish or args.ensemble > 1):
             ap.error("--walker-shards is the ensemble/sweep 2D-mesh "
                      "knob; single runs shard with --shard-walkers")
-    if (args.scene_family != "bacteria" or args.scene_file) and \
-            (sweepish or args.ensemble > 1):
-        ap.error("--scene-family/--scene-file are single-run features "
-                 "(ensembles/sweeps build their per-trial BacteriaBox "
-                 "scenes internally)")
+    if (args.scene_family != "bacteria" or args.scene_file
+            or args.save_scene) and (sweepish or args.ensemble > 1):
+        ap.error("--scene-family/--scene-file/--save-scene are "
+                 "single-run features (ensembles/sweeps build their "
+                 "per-trial BacteriaBox scenes internally)")
     # ensembles/sweeps run the same RNG the single-run path would
     # (SimulationRunner defaults to the hardware PRNG on pallas)
     if args.rng is not None:

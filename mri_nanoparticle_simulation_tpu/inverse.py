@@ -265,12 +265,19 @@ def make_engine_curve_fn(params: Params, scene, seed: int = 0,
                          engine: str = "pallas",
                          rng_impl: str = "threefry",
                          interpret: bool = False, dtype=None) -> Callable:
-    """Build ``curve(d_scale) -> m[t]`` on the PRODUCTION engine (or the
-    scan engine): a plain forward evaluation at a concrete diffusion
-    scale — not differentiable through Pallas, but every call shares one
-    compiled program via the kernel's d_scale launch scalar, and the
+    """Build ``curve(d_scale=1.0, *, m_scale=1.0, cell_r=None) -> m[t]``
+    on the PRODUCTION engine (or the scan engine): a plain forward
+    evaluation at concrete physical-parameter values — not
+    differentiable through Pallas, but every call shares one compiled
+    program (``d_scale``/``cell_r`` are the kernel's launch scalars;
+    ``m_scale`` multiplies the traced ``mnp_M`` array), and the
     Threefry / hardware-PRNG streams depend only on (seed, step), so all
-    evaluations see identical random draws (common random numbers)."""
+    evaluations see identical random draws (common random numbers).
+
+    ``cell_r`` overrides the residency radius on the FIXED scene (same
+    cell centers, different radius); the caller owns the coverage
+    argument for radii above the params value (see
+    :func:`fit_cell_radius_crn`, which validates the bracket top)."""
     import jax.numpy as jnp
 
     from . import rng
@@ -294,12 +301,15 @@ def make_engine_curve_fn(params: Params, scene, seed: int = 0,
     else:
         raise ValueError(f"unknown engine {engine!r}")
 
-    def curve(d_scale: float) -> np.ndarray:
+    def curve(d_scale: float = 1.0, *, m_scale: float = 1.0,
+              cell_r: Optional[float] = None) -> np.ndarray:
+        mM = mnp_M if m_scale == 1.0 else mnp_M * dtype(m_scale)
+        cr = None if cell_r is None else dtype(cell_r)
         st = st0
         outs = []
         for _ in range(n_sprints):
-            st, wins = sprint(mnp_pos, mnp_M, key_arr, st, 0,
-                              d_scale=float(d_scale))
+            st, wins = sprint(mnp_pos, mM, key_arr, st, 0,
+                              cell_r=cr, d_scale=float(d_scale))
             outs.append(np.asarray(wins)[:, 0])
         return np.concatenate(outs) / p.num_water
 
@@ -358,6 +368,22 @@ def fit_diffusion_scale_crn(target, params: Params, scene, *,
 
     # golden-section on log d: unimodal within a sane bracket (the MSE
     # of a monotone-in-D decay family against one of its members)
+    _golden_log_search(loss, lo, hi, iters)
+    best = int(np.argmin(hist_l))
+    return MomentFitResult(
+        scale=float(hist_d[best]),
+        mmoment=float("nan"),
+        loss=float(hist_l[best]),
+        scale_history=np.asarray(hist_d),
+        loss_history=np.asarray(hist_l),
+    )
+
+
+def _golden_log_search(loss, lo: float, hi: float, iters: int) -> None:
+    """Golden-section minimization of ``loss(log_x)`` over
+    ``[log lo, log hi]`` with ``iters`` total evaluations (scale
+    parameters live on a ratio scale, so the search runs on logs).
+    History/result capture belongs to the ``loss`` closure."""
     invphi = (np.sqrt(5.0) - 1.0) / 2.0
     a, b = np.log(lo), np.log(hi)
     c, d_ = b - invphi * (b - a), a + invphi * (b - a)
@@ -371,12 +397,207 @@ def fit_diffusion_scale_crn(target, params: Params, scene, *,
             a, c, fc = c, d_, fd
             d_ = a + invphi * (b - a)
             fd = loss(d_)
+
+
+def fit_cell_radius_crn(target, params: Params, scene, *,
+                        seed: int = 0,
+                        bracket: tuple = (0.3, 1.0),
+                        iters: int = 20, engine: str = "pallas",
+                        rng_impl: str = "threefry",
+                        interpret: bool = False,
+                        dtype=None) -> MomentFitResult:
+    """Cell-size recovery at PRODUCTION scale: golden-section search for
+    the cell radius (um) minimizing the curve MSE on a FIXED scene —
+    same cell centers and walkers, the radius entering only through the
+    kernel's cell_r launch scalar (residency, field mask, membrane
+    events and kick gating), so every evaluation shares ONE compiled
+    program and common random numbers.  The microstructure question:
+    what cell size produced this decay?
+
+    Like the D axis, cell_r BENDS trajectories (no decomposition
+    shortcut exists), and like :func:`fit_diffusion_scale_crn` the
+    counter RNG makes the loss a deterministic, noise-free function of
+    the radius, so ~20 bracketed evaluations resolve it.
+
+    Coverage honesty: the near-list reach is ``cell_r + travel`` and
+    grows monotonically with cell_r, so the covering-lattice certificate
+    is checked ONCE here at the bracket TOP — every probed radius below
+    it is then covered.  Brackets above the scene's validated radius
+    raise before any kernel runs.
+
+    Returns a :class:`MomentFitResult` with ``scale`` = fitted cell_r in
+    um (``mmoment`` is nan — not a moment fit)."""
+    lo, hi = float(bracket[0]), float(bracket[1])
+    if not (0 < lo < hi):
+        raise ValueError(f"bracket must satisfy 0 < lo < hi; got {bracket}")
+    p_hi = params.replace(cell_r=hi).validate()
+    from .fields import expansion
+    worst = expansion.validate_near_k(scene.mnps[:, :3], p_hi)
+    if worst > params.near_k:
+        raise ValueError(
+            f"bracket top cell_r={hi} needs near_k >= {worst} on this "
+            f"scene (configured {params.near_k}); raise near_k or lower "
+            f"the bracket")
+    curve = make_engine_curve_fn(params, scene, seed=seed, engine=engine,
+                                 rng_impl=rng_impl, interpret=interpret,
+                                 dtype=dtype)
+    target = np.asarray(target, np.float64)
+    n = params.t // params.pfreq
+    if target.shape != (n,):
+        raise ValueError(f"target must have one value per output window "
+                         f"([{n}]), got {target.shape}")
+
+    hist_r, hist_l = [], []
+
+    def loss(logr):
+        r = float(np.exp(logr))
+        val = float(np.mean((np.asarray(curve(cell_r=r), np.float64)
+                             - target) ** 2))
+        hist_r.append(r)
+        hist_l.append(val)
+        return val
+
+    _golden_log_search(loss, lo, hi, iters)
     best = int(np.argmin(hist_l))
     return MomentFitResult(
-        scale=float(hist_d[best]),
+        scale=float(hist_r[best]),
         mmoment=float("nan"),
         loss=float(hist_l[best]),
-        scale_history=np.asarray(hist_d),
+        scale_history=np.asarray(hist_r),
+        loss_history=np.asarray(hist_l),
+    )
+
+
+class JointFitResult(NamedTuple):
+    m_scale: float          #: fitted moment scale (relative to params.mmoment)
+    d_scale: float          #: fitted diffusion-coefficient scale
+    mmoment: float          #: fitted absolute moment (m_scale * params.mmoment)
+    loss: float             #: best mean-squared curve error
+    m_history: np.ndarray   #: [n_evals] probed moment scales
+    d_history: np.ndarray   #: [n_evals] probed diffusion scales
+    loss_history: np.ndarray  #: [n_evals] loss per evaluation
+
+
+def _nelder_mead(loss, x0: np.ndarray, step: np.ndarray,
+                 max_evals: int, xtol: float = 1e-4) -> None:
+    """Minimal deterministic Nelder-Mead on ``loss(x)`` (x: [n]).
+    Standard reflect/expand/contract/shrink coefficients; stops at
+    ``max_evals`` evaluations or simplex diameter < ``xtol``.  History
+    and best-point capture belong to the ``loss`` closure (which also
+    enforces bounds by returning +inf outside them)."""
+    n = x0.size
+    evals = [0]
+
+    def f(x):
+        evals[0] += 1
+        return loss(x)
+
+    simplex = [np.asarray(x0, np.float64)]
+    for i in range(n):
+        v = np.asarray(x0, np.float64).copy()
+        v[i] += step[i]
+        simplex.append(v)
+    vals = [f(v) for v in simplex]
+    while evals[0] < max_evals:
+        order = np.argsort(vals)
+        simplex = [simplex[i] for i in order]
+        vals = [vals[i] for i in order]
+        if max(np.max(np.abs(v - simplex[0])) for v in simplex[1:]) < xtol:
+            break
+        centroid = np.mean(simplex[:-1], axis=0)
+        xr = centroid + (centroid - simplex[-1])        # reflection
+        fr = f(xr)
+        if fr < vals[0]:
+            xe = centroid + 2.0 * (centroid - simplex[-1])  # expansion
+            fe = f(xe)
+            simplex[-1], vals[-1] = (xe, fe) if fe < fr else (xr, fr)
+        elif fr < vals[-2]:
+            simplex[-1], vals[-1] = xr, fr
+        else:
+            xc = centroid + 0.5 * (simplex[-1] - centroid)  # contraction
+            fc = f(xc)
+            if fc < vals[-1]:
+                simplex[-1], vals[-1] = xc, fc
+            else:                                       # shrink toward best
+                for i in range(1, n + 1):
+                    simplex[i] = simplex[0] + 0.5 * (simplex[i] - simplex[0])
+                    vals[i] = f(simplex[i])
+
+
+def fit_joint_crn(target, params: Params, scene, *, seed: int = 0,
+                  m_bracket: tuple = (0.25, 4.0),
+                  d_bracket: tuple = (0.05, 1.0),
+                  max_evals: int = 80, engine: str = "pallas",
+                  rng_impl: str = "threefry", interpret: bool = False,
+                  dtype=None) -> JointFitResult:
+    """JOINT recovery of (moment scale, diffusion scale) from one
+    observed decay — the real measured-data problem, where neither the
+    nanoparticle load nor the tissue ADC is known a priori, and the two
+    axes are entangled (both deepen the decay; they separate through the
+    echo-shape/motional-narrowing signature).
+
+    Derivative-free Nelder-Mead on (log s, log d): each evaluation is a
+    full forward run of the production Pallas kernel with the moment
+    entering through the traced ``mnp_M`` array and the diffusion scale
+    through the d_scale launch scalar — ONE compiled program for the
+    entire fit, and common random numbers (counter RNG keyed by
+    (seed, step)) make the 2D loss a deterministic surface with its
+    minimum exactly at the truth when the target shares the seed.
+    Probes outside the brackets cost +inf (never simulated), which also
+    keeps every probed d inside the coverage-certified (0, d_hi] range
+    (size params' D to the bracket top, as with
+    :func:`fit_diffusion_scale_crn`).
+
+    ~60-80 evaluations resolve both scales to <1% at test scale; at full
+    reference scale each evaluation is one ~13 s production run.
+
+    The alternative decomposition-record profile fit (closed-form s per
+    probed d) costs a per-walker record drain per evaluation — cheaper
+    only when the record is being produced anyway; this direct search is
+    the production path."""
+    m_lo, m_hi = float(m_bracket[0]), float(m_bracket[1])
+    d_lo, d_hi = float(d_bracket[0]), float(d_bracket[1])
+    for name, (lo, hi) in (("m_bracket", (m_lo, m_hi)),
+                           ("d_bracket", (d_lo, d_hi))):
+        if not (0 < lo < hi):
+            raise ValueError(f"{name} must satisfy 0 < lo < hi; "
+                             f"got {(lo, hi)}")
+    curve = make_engine_curve_fn(params, scene, seed=seed, engine=engine,
+                                 rng_impl=rng_impl, interpret=interpret,
+                                 dtype=dtype)
+    target = np.asarray(target, np.float64)
+    n = params.t // params.pfreq
+    if target.shape != (n,):
+        raise ValueError(f"target must have one value per output window "
+                         f"([{n}]), got {target.shape}")
+
+    hist_m, hist_d, hist_l = [], [], []
+
+    def loss(x):
+        s, d = float(np.exp(x[0])), float(np.exp(x[1]))
+        if not (m_lo <= s <= m_hi and d_lo <= d <= d_hi):
+            return float("inf")
+        val = float(np.mean(
+            (np.asarray(curve(d, m_scale=s), np.float64) - target) ** 2))
+        hist_m.append(s)
+        hist_d.append(d)
+        hist_l.append(val)
+        return val
+
+    x0 = np.array([np.log(m_lo * m_hi) / 2.0, np.log(d_lo * d_hi) / 2.0])
+    step = np.array([np.log(m_hi / m_lo) / 4.0, np.log(d_hi / d_lo) / 4.0])
+    _nelder_mead(loss, x0, step, max_evals)
+    if not hist_l:
+        raise RuntimeError("no in-bracket evaluation happened; check the "
+                           "brackets")
+    best = int(np.argmin(hist_l))
+    return JointFitResult(
+        m_scale=float(hist_m[best]),
+        d_scale=float(hist_d[best]),
+        mmoment=float(hist_m[best]) * params.mmoment,
+        loss=float(hist_l[best]),
+        m_history=np.asarray(hist_m),
+        d_history=np.asarray(hist_d),
         loss_history=np.asarray(hist_l),
     )
 
@@ -511,10 +732,17 @@ def main(argv=None) -> int:
                          "common random numbers on the production "
                          "Pallas kernel (the production path for the "
                          "D axis)")
-    ap.add_argument("--axis", choices=["moment", "D"], default="moment",
+    ap.add_argument("--axis", choices=["moment", "D", "cell_r", "joint"],
+                    default="moment",
                     help="which physical parameter to recover: the "
-                         "nanoparticle moment (default) or the global "
-                         "diffusion-coefficient scale (ADC)")
+                         "nanoparticle moment (default), the global "
+                         "diffusion-coefficient scale (ADC), the cell "
+                         "radius (um, CRN bracket search on a fixed "
+                         "scene), or 'joint' — moment AND diffusion "
+                         "scale together by CRN Nelder-Mead (the "
+                         "measured-data problem; --true-scale sets the "
+                         "hidden moment scale, the hidden d_scale is "
+                         "fixed at 0.6)")
     ap.add_argument("--record", default=None, metavar="PATH",
                     help="fit against a SAVED decomposition record "
                          "(mri-t2-sim --dump-record .npz or "
@@ -552,10 +780,19 @@ def main(argv=None) -> int:
             ap.error("--axis D fits within the certified bracket "
                      "(0, 1]: size the params' D to the bracket top "
                      "(see inverse.make_diffusion_curve_fn)")
+    elif args.axis in ("cell_r", "joint"):
+        if args.method != "crn":
+            ap.error(f"--axis {args.axis} is a CRN bracket search "
+                     f"(cell_r enters through booleans — not usefully "
+                     f"differentiable; joint fits are 2D); use "
+                     f"--method crn")
+        if args.axis == "cell_r" and not 0.3 <= args.true_scale <= 1.0:
+            ap.error("--axis cell_r demo searches radii in "
+                     "[0.3, 1.0] um; pick --true-scale inside it")
     elif args.method == "crn":
-        ap.error("'crn' searches the d_scale launch scalar; use it "
-                 "with --axis D (the moment axis has the exact "
-                 "'decompose' shortcut instead)")
+        ap.error("'crn' searches the launch scalars; use it with "
+                 "--axis D, cell_r or joint (the moment axis has the "
+                 "exact 'decompose' shortcut instead)")
 
     # ~20x the tiny-test moment: deep intra-window dephasing gives the
     # fit a strong signal (at 3.5e-15 the curve barely decays)
@@ -574,12 +811,26 @@ def main(argv=None) -> int:
         import jax
         eng = ("pallas" if any(d.platform == "tpu"
                                for d in jax.devices()) else "scan")
+        if args.axis == "cell_r":
+            # size the static near list for the bracket top so the
+            # coverage certificate holds at every probed radius
+            from .fields import expansion
+            worst = expansion.validate_near_k(
+                sc.mnps[:, :3], p.replace(cell_r=1.0))
+            if worst > p.near_k:
+                p = p.replace(near_k=worst)
         curve = make_engine_curve_fn(p, sc, seed=args.seed, engine=eng)
     elif args.axis == "D":
         curve = make_diffusion_curve_fn(p, sc, seed=args.seed)
     else:
         curve = make_curve_fn(p, sc, seed=args.seed)
-    target = np.asarray(curve(args.true_scale))
+    hidden_d = 0.6          # the joint demo's second hidden parameter
+    if args.axis == "joint":
+        target = np.asarray(curve(hidden_d, m_scale=args.true_scale))
+    elif args.axis == "cell_r":
+        target = np.asarray(curve(cell_r=args.true_scale))
+    else:
+        target = np.asarray(curve(args.true_scale))
     print(f"target: {len(target)} windows, final m = {target[-1]:.4f} "
           f"(hidden {args.axis} scale {args.true_scale})")
     if args.method == "decompose":
@@ -588,6 +839,21 @@ def main(argv=None) -> int:
         fit = fit_moment_scale_decomposed(
             target, rec.A, rec.B, mmoment=p.mmoment,
             init_scale=args.init_scale, iters=args.iters, lr=args.lr)
+    elif args.method == "crn" and args.axis == "joint":
+        jfit = fit_joint_crn(target, p, sc, seed=args.seed,
+                             max_evals=args.iters, engine=eng)
+        err = max(abs(jfit.m_scale - args.true_scale) / args.true_scale,
+                  abs(jfit.d_scale - hidden_d) / hidden_d)
+        print(f"recovered (moment, D) scales = ({jfit.m_scale:.5f}, "
+              f"{jfit.d_scale:.5f}) (true ({args.true_scale}, "
+              f"{hidden_d}), worst rel err {err:.2e}), "
+              f"loss {jfit.loss:.3e} after {len(jfit.loss_history)} "
+              f"evaluations")
+        return 0 if err < 0.05 else 1
+    elif args.method == "crn" and args.axis == "cell_r":
+        fit = fit_cell_radius_crn(target, p, sc, seed=args.seed,
+                                  bracket=(0.3, 1.0), iters=args.iters,
+                                  engine=eng)
     elif args.method == "crn":
         # bracket straddles the hidden truth: lo never above half of it
         # (a truth below a fixed lo would silently converge to the

@@ -219,10 +219,90 @@ def plot_dispersion(table_path: str, out_png: str,
     return out_png
 
 
+def plot_scene(scene_npz: str, out_png: str,
+               title: Optional[str] = None, dark: bool = False,
+               max_waters: int = 2000) -> str:
+    """Scene-geometry figure from a scene .npz archive
+    (``mri-t2-sim --save-scene`` / ``scene.save_scene``): three
+    orthogonal projections (XY, XZ, YZ) of the cells (circles at true
+    cell_r scale), the MNP periodic images outside the box (small
+    crosses), and the initial walker positions (dots).  The reference's
+    workflow here was dumping ``simulation_stats.csv`` and eyeballing it
+    in external tools (SimulationBox.cpp:214-237, SimboxTest.cpp).
+
+    ``max_waters`` subsamples the walker dots deterministically (every
+    k-th) so scale-up scenes stay legible."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Circle
+
+    with np.load(scene_npz) as z:
+        for need in ("cells", "mnps", "waters"):
+            if need not in z.files:
+                raise ValueError(f"{scene_npz} is not a scene archive "
+                                 f"(missing {need!r}); expected "
+                                 f"mri-t2-sim --save-scene output")
+        cells = np.asarray(z["cells"], np.float64)
+        mnps = np.asarray(z["mnps"], np.float64)
+        waters = np.asarray(z["waters"], np.float64)
+        n_intra = int(z["num_intra_mnps"]) if "num_intra_mnps" in z.files \
+            else len(cells)
+        geom = bytes(z["geom_repr"]).decode() if "geom_repr" in z.files \
+            else ""
+    fields = dict(kv.split("=", 1) for kv in geom.split(";") if "=" in kv)
+    try:
+        cell_r = float(fields["cell_r"])
+        bound = float(fields["bound"])
+    except KeyError:
+        raise ValueError(f"{scene_npz} carries no geometry record "
+                         f"(geom_repr); re-save it with this build's "
+                         f"scene.save_scene / --save-scene")
+    if len(waters) > max_waters:
+        waters = waters[:: int(np.ceil(len(waters) / max_waters))]
+
+    th = DARK if dark else LIGHT
+    images = mnps[n_intra:]
+    lo = min(0.0, images[:, :3].min() if len(images) else 0.0)
+    hi = max(bound, images[:, :3].max() if len(images) else bound)
+    pad = 0.02 * (hi - lo)
+    fig, axes = plt.subplots(1, 3, figsize=(12.0, 4.3), dpi=160)
+    fig.patch.set_facecolor(th.surface)
+    planes = (("x", "y", 0, 1), ("x", "z", 0, 2), ("y", "z", 1, 2))
+    for ax, (nx, ny, i, j) in zip(axes, planes):
+        _style_axes(ax, th)
+        ax.set_aspect("equal")
+        ax.set_xlim(lo - pad, hi + pad)
+        ax.set_ylim(lo - pad, hi + pad)
+        # the periodic box outline (ink, recessive)
+        ax.plot([0, bound, bound, 0, 0], [0, 0, bound, bound, 0],
+                color=th.grid, linewidth=1.0)
+        for c in cells:
+            ax.add_patch(Circle((c[i], c[j]), cell_r, fill=False,
+                                edgecolor=th.series[0], linewidth=1.2,
+                                alpha=0.9))
+        if len(images):
+            ax.scatter(images[:, i], images[:, j], s=8, marker="+",
+                       color=th.ink2, linewidths=0.8, alpha=0.7)
+        ax.scatter(waters[:, i], waters[:, j], s=2.5, marker="o",
+                   color=th.series[1], alpha=0.45, edgecolors="none")
+        ax.set_xlabel(f"{nx} (µm)", color=th.ink2, fontsize=10)
+        ax.set_ylabel(f"{ny} (µm)", color=th.ink2, fontsize=10)
+    if title is None:
+        title = (f"{len(cells)} cells (r = {cell_r:g} µm), "
+                 f"{len(images)} periodic images, "
+                 f"{len(waters)} walkers shown")
+    fig.suptitle(title, color=th.ink, fontsize=12, x=0.01, ha="left")
+    fig.tight_layout(rect=(0, 0, 1, 0.94))
+    fig.savefig(out_png, facecolor=th.surface)
+    plt.close(fig)
+    return out_png
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
-        description="Plot simulator CSV products: decay curves or "
-                    "fitted dispersion tables -> PNG")
+        description="Plot simulator CSV products: decay curves, "
+                    "fitted dispersion tables, or scene geometry -> PNG")
     ap.add_argument("inputs", nargs="+",
                     help="T2 CSVs (decay curves, one line each) or, "
                          "with --table, ONE dispersion table")
@@ -231,6 +311,11 @@ def main(argv=None) -> int:
                     help="inputs[0] is a --fit-t2/--fit-r2 dispersion "
                          "table (r2/t2 vs the swept knob) instead of "
                          "decay CSVs")
+    ap.add_argument("--scene", action="store_true",
+                    help="inputs[0] is a scene .npz archive "
+                         "(mri-t2-sim --save-scene): render the "
+                         "geometry — cells, periodic MNP images, "
+                         "walker starts — in three projections")
     ap.add_argument("--ycol", default="r2_per_ms",
                     choices=["r2_per_ms", "t2_ms", "r_squared"],
                     help="table column to plot (with --table)")
@@ -248,7 +333,17 @@ def main(argv=None) -> int:
                          "an inverted one)")
     args = ap.parse_args(argv)
 
-    if args.table:
+    if args.table and args.scene:
+        ap.error("--table and --scene are different inputs; pick one")
+    if args.scene:
+        if len(args.inputs) != 1:
+            ap.error("--scene plots ONE scene archive")
+        if args.magnitude or args.logy:
+            ap.error("--magnitude/--logy apply to decay curves, "
+                     "not scene geometry")
+        plot_scene(args.inputs[0], args.out, title=args.title,
+                   dark=args.dark)
+    elif args.table:
         if len(args.inputs) != 1:
             ap.error("--table plots ONE dispersion table")
         if args.magnitude:

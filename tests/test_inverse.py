@@ -243,3 +243,130 @@ class TestDiffusionRecoveryCRN:
             inv.main(["--axis", "moment", "--method", "crn"])
         with pytest.raises(SystemExit):
             inv.main(["--axis", "D", "--true-scale", "1.5"])
+
+
+class TestCellRadiusRecoveryCRN:
+    """Cell-size recovery on a fixed scene: the cell_r launch scalar as
+    an inverse axis (residency, field mask and kick gating all move with
+    the radius; trajectories bend, so — like D — the fit is a CRN
+    bracket search, not AD)."""
+
+    @staticmethod
+    def _cover(p, sc, hi=1.0):
+        """Size near_k for the bracket top so the coverage certificate
+        holds at every probed radius (monotone reach in cell_r)."""
+        from mri_nanoparticle_simulation_tpu.fields import expansion
+        worst = expansion.validate_near_k(sc.mnps[:, :3],
+                                          p.replace(cell_r=hi))
+        return p if worst <= p.near_k else p.replace(near_k=worst)
+
+    def test_same_seed_recovery(self):
+        """Hidden radius 0.7 um: ~20 bracketed evaluations resolve it to
+        <1% (CRN loss exactly zero at the truth)."""
+        p, sc = _setup(num_water=128, mmoment=5e-14)
+        p = self._cover(p, sc)
+        target = np.asarray(inv.make_engine_curve_fn(
+            p, sc, seed=2, engine="scan")(cell_r=0.7))
+        fit = inv.fit_cell_radius_crn(target, p, sc, seed=2,
+                                      bracket=(0.4, 1.0), iters=20,
+                                      engine="scan")
+        assert abs(fit.scale - 0.7) / 0.7 < 0.01
+        assert fit.loss < 1e-7
+        assert np.all(fit.scale_history >= 0.4 - 1e-9)
+        assert np.all(fit.scale_history <= 1.0 + 1e-9)
+        assert np.isnan(fit.mmoment)
+
+    def test_default_radius_is_identity(self):
+        """curve(cell_r=params.cell_r) equals the no-override curve —
+        the launch scalar bakes to the same program."""
+        p, sc = _setup(num_water=64, mmoment=5e-14)
+        c = inv.make_engine_curve_fn(p, sc, seed=2, engine="scan")
+        np.testing.assert_array_equal(c(1.0), c(cell_r=p.cell_r))
+
+    def test_bracket_coverage_enforced(self):
+        """A bracket top whose reach overflows the configured near list
+        must raise BEFORE any kernel runs (silent misclassification of
+        residency was the failure mode the certificate exists for)."""
+        p = small_test_params(num_water=64, num_cells=48)
+        sc = BacteriaBox(p, seed=1).populate()
+        n = p.t // p.pfreq
+        from mri_nanoparticle_simulation_tpu.fields import expansion
+        worst = expansion.validate_near_k(sc.mnps[:, :3],
+                                          p.replace(cell_r=2.5))
+        assert worst > p.near_k, \
+            "fixture scene must overflow the near list at cell_r=2.5"
+        with pytest.raises(ValueError, match="near_k"):
+            inv.fit_cell_radius_crn(np.zeros(n), p, sc,
+                                    bracket=(0.4, 2.5))
+
+    def test_bracket_and_shape_validated(self):
+        p, sc = _setup(num_water=64)
+        with pytest.raises(ValueError, match="bracket"):
+            inv.fit_cell_radius_crn(np.zeros(1), p, sc,
+                                    bracket=(1.0, 0.5))
+
+    def test_cli_cell_r_axis(self, capsys):
+        assert inv.main(["--num-water", "64", "--axis", "cell_r",
+                         "--method", "crn", "--true-scale", "0.7",
+                         "--iters", "20"]) == 0
+        assert "recovered scale" in capsys.readouterr().out
+
+
+class TestJointRecoveryCRN:
+    """Joint (moment, diffusion) recovery — the measured-data problem
+    where neither is known.  Nelder-Mead on (log s, log d) with common
+    random numbers; every evaluation rides ONE compiled program (moment
+    through the traced mnp_M array, D through the launch scalar)."""
+
+    def test_same_seed_recovery(self):
+        p, sc = _setup(num_water=128, mmoment=5e-14)
+        target = np.asarray(inv.make_engine_curve_fn(
+            p, sc, seed=2, engine="scan")(0.5, m_scale=1.6))
+        fit = inv.fit_joint_crn(target, p, sc, seed=2,
+                                m_bracket=(0.25, 4.0),
+                                d_bracket=(0.1, 1.0), max_evals=80,
+                                engine="scan")
+        assert abs(fit.m_scale - 1.6) / 1.6 < 0.02
+        assert abs(fit.d_scale - 0.5) / 0.5 < 0.02
+        assert fit.mmoment == pytest.approx(fit.m_scale * p.mmoment)
+        assert fit.loss < 1e-6
+        # probes never left the brackets (inf outside, not simulated)
+        assert np.all(fit.m_history >= 0.25 - 1e-9)
+        assert np.all(fit.m_history <= 4.0 + 1e-9)
+        assert np.all(fit.d_history >= 0.1 - 1e-9)
+        assert np.all(fit.d_history <= 1.0 + 1e-9)
+
+    def test_m_scale_matches_scaled_moment_params(self):
+        """curve(m_scale=s) equals a fresh curve on a scene whose mnp_M
+        is scaled by hand — the traced-array moment axis is exact."""
+        import dataclasses
+        p, sc = _setup(num_water=64, mmoment=5e-14)
+        c = inv.make_engine_curve_fn(p, sc, seed=2, engine="scan")
+        mn = sc.mnps.copy()
+        mn[:, 4] *= 2.0
+        c2 = inv.make_engine_curve_fn(p, dataclasses.replace(sc, mnps=mn),
+                                      seed=2, engine="scan")
+        np.testing.assert_allclose(c(1.0, m_scale=2.0), c2(1.0),
+                                   rtol=0, atol=1e-6)
+
+    def test_brackets_and_shape_validated(self):
+        p, sc = _setup(num_water=64)
+        n = p.t // p.pfreq
+        with pytest.raises(ValueError, match="m_bracket"):
+            inv.fit_joint_crn(np.zeros(n), p, sc, m_bracket=(2.0, 1.0))
+        with pytest.raises(ValueError, match="d_bracket"):
+            inv.fit_joint_crn(np.zeros(n), p, sc, d_bracket=(0, 1.0))
+        with pytest.raises(ValueError, match="one value per output"):
+            inv.fit_joint_crn(np.zeros(3), p, sc)
+
+    def test_cli_joint_axis(self, capsys):
+        assert inv.main(["--num-water", "64", "--axis", "joint",
+                         "--method", "crn", "--true-scale", "1.5",
+                         "--iters", "70"]) == 0
+        assert "recovered (moment, D) scales" in capsys.readouterr().out
+
+    def test_cli_rejects_non_crn_methods(self):
+        with pytest.raises(SystemExit):
+            inv.main(["--axis", "joint", "--method", "ad"])
+        with pytest.raises(SystemExit):
+            inv.main(["--axis", "cell_r", "--method", "decompose"])

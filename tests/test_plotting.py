@@ -123,3 +123,52 @@ class TestMagnitudeCurves:
         with pytest.raises(SystemExit):
             plotting.main([str(path), "--table", "--magnitude",
                            "--out", out])
+
+
+class TestScenePlot:
+    """mri-t2-plot --scene: geometry render from a scene archive (the
+    reference's simulation_stats.csv eyeball workflow, productized)."""
+
+    @staticmethod
+    def _scene_npz(tmp_path):
+        from mri_nanoparticle_simulation_tpu.params import \
+            small_test_params
+        from mri_nanoparticle_simulation_tpu.scene import BacteriaBox
+        from mri_nanoparticle_simulation_tpu.scene.io import save_scene
+        p = small_test_params(num_water=48)
+        sc = BacteriaBox(p, seed=3).populate()
+        return save_scene(sc, str(tmp_path / "scene.npz"))
+
+    def test_writes_png(self, tmp_path):
+        npz = self._scene_npz(tmp_path)
+        out = str(tmp_path / "scene.png")
+        assert plotting.main([npz, "--scene", "--out", out]) == 0
+        assert (tmp_path / "scene.png").stat().st_size > 10_000
+
+    def test_dark_and_default_title(self, tmp_path):
+        npz = self._scene_npz(tmp_path)
+        out = str(tmp_path / "scene_dark.png")
+        assert plotting.plot_scene(npz, out, dark=True) == out
+        assert (tmp_path / "scene_dark.png").stat().st_size > 10_000
+
+    def test_non_scene_npz_rejected(self, tmp_path):
+        bad = tmp_path / "bad.npz"
+        np.savez(bad, a=np.zeros(3))
+        with pytest.raises(ValueError, match="not a scene archive"):
+            plotting.plot_scene(str(bad), str(tmp_path / "x.png"))
+
+    def test_scene_excludes_other_modes(self, tmp_path):
+        npz = self._scene_npz(tmp_path)
+        with pytest.raises(SystemExit):
+            plotting.main([npz, "--scene", "--table",
+                           "--out", str(tmp_path / "x.png")])
+        with pytest.raises(SystemExit):
+            plotting.main([npz, "--scene", "--magnitude",
+                           "--out", str(tmp_path / "x.png")])
+
+    def test_walker_subsampling(self, tmp_path):
+        """max_waters caps the dots deterministically (legibility at
+        scale-up walker counts)."""
+        npz = self._scene_npz(tmp_path)
+        out = str(tmp_path / "sub.png")
+        assert plotting.plot_scene(npz, out, max_waters=10) == out

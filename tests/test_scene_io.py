@@ -188,3 +188,32 @@ class TestCellsCsvAndCli:
             sim.main(["--scene-file", str(f), "--sweep", "taucp",
                       "--sweep-values", "0.001",
                       "--out", str(tmp_path / "x.csv")])
+
+
+class TestSaveSceneCli:
+    """mri-t2-sim --save-scene: archive the run's exact geometry."""
+
+    ARGS = ["--num-water", "32", "--num-cells", "8",
+            "--totaltime", "0.002", "--sprint-steps", "1000",
+            "--chunk-steps", "100", "--near-k", "3",
+            "--taucp", "0.001", "--hash-dim", "8",
+            "--engine", "scan", "--seed", "7", "--scene-seed", "5"]
+
+    def test_round_trip_reproduces_run(self, tmp_path):
+        """A run re-executed from its own --save-scene archive writes a
+        bitwise-identical CSV (the archive IS the geometry)."""
+        npz = str(tmp_path / "geom.npz")
+        out1 = str(tmp_path / "a.csv")
+        assert sim.main(self.ARGS + ["--save-scene", npz,
+                                     "--out", out1]) == 0
+        out2 = str(tmp_path / "b.csv")
+        assert sim.main(self.ARGS + ["--scene-file", npz,
+                                     "--out", out2]) == 0
+        with open(out1) as f1, open(out2) as f2:
+            assert f1.read() == f2.read()
+
+    def test_rejected_for_sweeps(self, tmp_path):
+        with pytest.raises(SystemExit):
+            sim.main(["--save-scene", str(tmp_path / "g.npz"),
+                      "--sweep", "taucp", "--sweep-values", "0.001",
+                      "--out", str(tmp_path / "x.csv")])
