@@ -23,8 +23,13 @@ static inline double golden_dipole_bz(double dx, double dy, double dz,
 // Octree::get_field re-adds residents UNmasked (octree.cpp:151-158 —
 // SURVEY §7 quirk 2), so we post-correct: subtract every resident
 // contribution the GPU would have zeroed (distance <= cell_r).
+// ``cell_r``: the RUNTIME mask radius — defaults to the build value;
+// the t2 oracle's cell_r arm overrides it after the scene is built
+// (the GPU masks at query time with its __constant__ params copy, so a
+// changed constant radius is exactly this post-build override).
 static inline double golden_field_gpu(Octree *tree, water_info *w,
-                                      int *n_res_out = nullptr) {
+                                      int *n_res_out = nullptr,
+                                      double cell_r = p.cell_r) {
     oct_node *leaf = tree->get_voxel(w);
     double B = tree->get_field(w, leaf);
     int n_res = 0;
@@ -32,7 +37,7 @@ static inline double golden_field_gpu(Octree *tree, water_info *w,
         n_res = (int)leaf->resident->size();
         for (const MNP_info &np : *leaf->resident) {
             double dx = w->x - np.x, dy = w->y - np.y, dz = w->z - np.z;
-            if (NORMSQ(dx, dy, dz) <= p.cell_r * p.cell_r)
+            if (NORMSQ(dx, dy, dz) <= cell_r * cell_r)
                 B -= golden_dipole_bz(dx, dy, dz, np.M);
         }
     }

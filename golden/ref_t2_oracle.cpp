@@ -71,6 +71,10 @@ struct Lookup {
     std::vector<int> flat;
     int dim, cap;
     const Triple *cells;
+    // runtime residency radius (p.cell_r is static const; the cell_r
+    // arm varies the KERNEL-side radius on fixed geometry, mirroring
+    // the framework's cell_r launch scalar)
+    double cell_r = p.cell_r;
 
     void update_nearest(water_info *w) const {
         // updateNearest, cuda_sim.cu:453-485
@@ -93,7 +97,7 @@ struct Lookup {
             }
             nearest++;
         }
-        w->in_cell = (cDist < p.cell_r * p.cell_r);
+        w->in_cell = (cDist < cell_r * cell_r);
         w->nearest = cIndex;
     }
 };
@@ -103,7 +107,7 @@ int main(int argc, char **argv) {
         fprintf(stderr,
                 "usage: %s <scene_seed> <rng_seed> <out_csv> [n_water=4032] "
                 "[steps=1000000] [pfreq=1000] [tcp=250000] "
-                "[moment_scale=1] [d_scale=1]\n",
+                "[moment_scale=1] [d_scale=1] [cell_r_run=p.cell_r]\n",
                 argv[0]);
         return 2;
     }
@@ -121,6 +125,12 @@ int main(int argc, char **argv) {
                 argc > 9 ? argv[9] : "1");
         return 2;
     }
+    double cell_r_run = argc > 10 ? atof(argv[10]) : p.cell_r;
+    if (!(cell_r_run > 0) || cell_r_run != cell_r_run) {
+        fprintf(stderr, "cell_r_run must be a positive number; got '%s'\n",
+                argc > 10 ? argv[10] : "default");
+        return 2;
+    }
     double dstd = sqrt(dsc);
     if (n_water > p.num_water) n_water = p.num_water;
     long n_windows = steps / pfreq;
@@ -131,6 +141,7 @@ int main(int argc, char **argv) {
     Octree *tree = box.getOctree();
 
     Lookup lk;
+    lk.cell_r = cell_r_run;
     lk.dim = p.hashDim;
     lk.cap = p.maxNeighbors;
     lk.cells = box.getCells();
@@ -194,7 +205,9 @@ int main(int argc, char **argv) {
                 // cuda_sim.cu:625-640 (as-written kick: Cauchy term x 0)
                 double nD = U(prng);
                 (void)nD;  // consumed like the reference's 5th stream
-                double B = golden_field_gpu(tree, &w) * mscale;
+                double B =
+                    golden_field_gpu(tree, &w, nullptr, cell_r_run)
+                    * mscale;
                 double kick =
                     (w.in_cell ? chem_kick : 0.0) + B * b_to_phase;
                 win_sum += kick;

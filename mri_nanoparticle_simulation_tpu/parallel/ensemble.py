@@ -338,6 +338,7 @@ def run_ensemble(params: Params, n_trials: int,
                  mmoments: Optional[Sequence[float]] = None,
                  taucps: Optional[Sequence[float]] = None,
                  cell_rs: Optional[Sequence[float]] = None,
+                 run_cell_rs: Optional[Sequence[float]] = None,
                  d_scales: Optional[Sequence[float]] = None,
                  scene_seeds: Optional[Sequence[int]] = None,
                  run_seeds: Optional[Sequence[int]] = None,
@@ -363,6 +364,14 @@ def run_ensemble(params: Params, n_trials: int,
     d_scales > 1 walk farther per chunk, so the near-list coverage is
     validated against the SCALED diffusion coefficients per trial.
 
+    ``run_cell_rs`` (µm, len T) also rides the cell_r launch scalar but
+    keeps every scene's GEOMETRY at ``params.cell_r`` — same centers and
+    walkers, only the runtime residency radius varies (the
+    :func:`inverse.fit_cell_radius_crn` semantics, and the golden
+    harness's cell_r arm).  ``cell_rs`` by contrast rebuilds each
+    trial's scene at its radius (the full geometry knob); the two are
+    mutually exclusive.
+
     ``scene_seeds`` / ``run_seeds`` (each len T) override the default
     ``base_seed + i`` / ``run_seed + i`` per-trial seeds.  Repeating a
     seed across trials gives them the same scene and the same RNG
@@ -386,10 +395,20 @@ def run_ensemble(params: Params, n_trials: int,
     if taucps is not None:
         for v in taucps:
             params.replace(taucp=float(v)).validate()
+    if cell_rs is not None and run_cell_rs is not None:
+        raise ValueError("cell_rs rebuilds each scene at its radius; "
+                         "run_cell_rs varies only the runtime residency "
+                         "radius on fixed geometry — pass one, not both")
     if cell_rs is not None:
         # same host-side validation as taucps: a zero/negative radius
         # would otherwise only fail obscurely inside scene building
         for v in cell_rs:
+            params.replace(cell_r=float(v)).validate()
+    if run_cell_rs is not None:
+        if len(run_cell_rs) != n_trials:
+            raise ValueError(f"run_cell_rs must have one value per trial "
+                             f"([{n_trials}]), got {len(run_cell_rs)}")
+        for v in run_cell_rs:
             params.replace(cell_r=float(v)).validate()
     if d_scales is not None:
         for v in d_scales:
@@ -415,6 +434,7 @@ def run_ensemble(params: Params, n_trials: int,
     mmoments = pad_vals(mmoments)
     taucps = pad_vals(taucps)
     cell_rs = pad_vals(cell_rs)
+    run_cell_rs = pad_vals(run_cell_rs)
     d_scales = pad_vals(d_scales)
     scene_seeds = pad_vals(scene_seeds)
     run_seeds = pad_vals(run_seeds)
@@ -428,6 +448,10 @@ def run_ensemble(params: Params, n_trials: int,
         for i, s in enumerate(scenes[:n_trials]):
             p_i = params if cell_rs is None \
                 else params.replace(cell_r=float(cell_rs[i]))
+            if run_cell_rs is not None:
+                # fixed geometry, runtime residency radius: the reach
+                # (cell_r + travel) follows the RUN radius
+                p_i = p_i.replace(cell_r=float(run_cell_rs[i]))
             if d_scales is not None and float(d_scales[i]) > 1:
                 # the chunk-travel bound scales with sqrt(D): validate
                 # the near-list coverage at the trial's actual reach
@@ -481,8 +505,9 @@ def run_ensemble(params: Params, n_trials: int,
     tcps = jnp.asarray(
         [params.tcp if taucps is None else int(round(taucps[i] / params.tau))
          for i in range(n_padded)], jnp.uint32)
+    run_crs = run_cell_rs if run_cell_rs is not None else cell_rs
     crs = jnp.asarray(
-        [params.cell_r if cell_rs is None else float(cell_rs[i])
+        [params.cell_r if run_crs is None else float(run_crs[i])
          for i in range(n_padded)], jnp.float32)
     dss = jnp.asarray(
         [1.0 if d_scales is None else float(d_scales[i])

@@ -59,44 +59,52 @@ TCP = 125_000
 MSCALE = 20.0
 
 
-def oracle_csv(work_dir: str, trial: int, d_scale: float = 1.0) -> str:
+def oracle_csv(work_dir: str, trial: int, d_scale: float = 1.0,
+               cell_r: float = 0.0) -> str:
     tag = "" if d_scale == 1.0 else f"_d{d_scale:g}"
+    if cell_r:
+        tag += f"_r{cell_r:g}"
     return os.path.join(work_dir, f"oracle{tag}_{trial}.csv")
 
 
 def run_oracle_trials(work_dir: str, n_trials: int,
-                      d_scale: float = 1.0):
+                      d_scale: float = 1.0, cell_r: float = 0.0):
     exe = os.path.join(GOLDEN, "build", "ref_t2_oracle")
     if not os.path.exists(exe):
         subprocess.run(["bash", os.path.join(GOLDEN, "build.sh")],
                        check=True, capture_output=True)
     for t in range(n_trials):
-        path = oracle_csv(work_dir, t, d_scale)
+        path = oracle_csv(work_dir, t, d_scale, cell_r)
         if os.path.exists(path):
             continue
-        print(f"[oracle] trial {t} (d_scale={d_scale:g}) ...",
+        print(f"[oracle] trial {t} (d_scale={d_scale:g}"
+              + (f", cell_r={cell_r:g}" if cell_r else "") + ") ...",
               file=sys.stderr, flush=True)
-        subprocess.run(
-            [exe, str(5000 + t), str(900 + t), path, str(N_WATER),
-             str(STEPS), str(PFREQ), str(TCP), str(MSCALE),
-             str(d_scale)],
-            check=True, capture_output=True)
+        cmd = [exe, str(5000 + t), str(900 + t), path, str(N_WATER),
+               str(STEPS), str(PFREQ), str(TCP), str(MSCALE),
+               str(d_scale)]
+        if cell_r:
+            cmd.append(str(cell_r))
+        subprocess.run(cmd, check=True, capture_output=True)
 
 
-def load_oracle(work_dir: str, d_scale: float = 1.0):
+def load_oracle(work_dir: str, d_scale: float = 1.0,
+                cell_r: float = 0.0):
     curves = []
     t = 0
-    while os.path.exists(oracle_csv(work_dir, t, d_scale)):
-        d = np.loadtxt(oracle_csv(work_dir, t, d_scale), delimiter=",")
+    while os.path.exists(oracle_csv(work_dir, t, d_scale, cell_r)):
+        d = np.loadtxt(oracle_csv(work_dir, t, d_scale, cell_r),
+                       delimiter=",")
         curves.append(d[:, 1] / N_WATER)
         t += 1
     if not curves:
         raise SystemExit("no oracle CSVs found; run without --skip-oracle")
     return np.asarray(curves), np.loadtxt(
-        oracle_csv(work_dir, 0, d_scale), delimiter=",")[:, 0]
+        oracle_csv(work_dir, 0, d_scale, cell_r), delimiter=",")[:, 0]
 
 
-def run_framework_trials(n_trials: int, d_scale: float = 1.0):
+def run_framework_trials(n_trials: int, d_scale: float = 1.0,
+                         cell_r: float = 0.0):
     """Production engine (pallas, hardware RNG when on TPU), matched
     params: as-written kick + cube direction + per-window CP schedule —
     the reference-physics compatibility mode."""
@@ -119,7 +127,11 @@ def run_framework_trials(n_trials: int, d_scale: float = 1.0):
         p, n_trials=n_trials, base_seed=7000, run_seed=8000,
         engine="pallas",
         rng_impl="hardware" if on_tpu else "threefry",
-        d_scales=None if d_scale == 1.0 else [d_scale] * n_trials)
+        d_scales=None if d_scale == 1.0 else [d_scale] * n_trials,
+        # fixed geometry + runtime residency radius: the launch-scalar
+        # semantics inverse.fit_cell_radius_crn rides (the oracle
+        # overrides its kernel-side radius the same way)
+        run_cell_rs=None if not cell_r else [cell_r] * n_trials)
     return np.asarray(cos)[:, :] / N_WATER
 
 
@@ -133,6 +145,14 @@ def main():
                     help="report path; default GOLDEN_T2.json, or "
                          "GOLDEN_T2_dD.json for --d-scale != 1 so the "
                          "d=1 baseline is never silently overwritten")
+    ap.add_argument("--cell-r", type=float, default=0.0,
+                    help="runtime residency radius (um) applied to BOTH "
+                         "arms on geometry built at the default radius: "
+                         "the oracle shadows its static-const cell_r "
+                         "after the scene build, the framework rides "
+                         "its cell_r launch scalar (run_cell_rs) — the "
+                         "reference-physics equivalence arm for the "
+                         "cell-size axis")
     ap.add_argument("--d-scale", type=float, default=1.0,
                     help="diffusion scale applied to BOTH arms: the "
                          "oracle scales the reference's derived stdevs "
@@ -143,13 +163,16 @@ def main():
     if args.out is None:
         args.out = ("GOLDEN_T2.json" if args.d_scale == 1.0
                     else f"GOLDEN_T2_d{args.d_scale:g}.json")
+        if args.cell_r:
+            args.out = f"GOLDEN_T2_r{args.cell_r:g}.json"
     os.makedirs(args.work_dir, exist_ok=True)
 
     if not args.skip_oracle:
-        run_oracle_trials(args.work_dir, args.trials, args.d_scale)
-    oracle, times = load_oracle(args.work_dir, args.d_scale)
+        run_oracle_trials(args.work_dir, args.trials, args.d_scale,
+                          args.cell_r)
+    oracle, times = load_oracle(args.work_dir, args.d_scale, args.cell_r)
     print(f"[framework] {args.trials} trials ...", file=sys.stderr)
-    ours = run_framework_trials(args.trials, args.d_scale)
+    ours = run_framework_trials(args.trials, args.d_scale, args.cell_r)
     n = min(oracle.shape[1], ours.shape[1])
     oracle, ours = oracle[:, :n], ours[:, :n]
 
@@ -166,6 +189,7 @@ def main():
         "config": {"n_water": N_WATER, "steps": STEPS, "pfreq": PFREQ,
                    "tcp": TCP, "moment_scale": MSCALE,
                    "d_scale": args.d_scale,
+                   "cell_r_run": args.cell_r or None,
                    "oracle_trials": int(len(oracle)),
                    "framework_trials": int(len(ours))},
         "oracle_final_mean": float(mo[-1]),

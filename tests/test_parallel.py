@@ -567,3 +567,67 @@ class TestShardedBigScene:
         np.testing.assert_array_equal(np.asarray(st1.phase),
                                       np.asarray(st2.phase))
         np.testing.assert_allclose(c1, wins[:, 0], atol=1e-3)
+
+
+class TestRunCellRs:
+    """run_ensemble(run_cell_rs=...): the runtime residency radius on
+    FIXED geometry — the fit_cell_radius_crn / golden cell_r arm
+    semantics, distinct from cell_rs (which rebuilds each scene)."""
+
+    def test_identity_at_params_radius(self):
+        """run_cell_rs at the params radius is the plain ensemble,
+        bitwise (the launch scalar bakes to the same value)."""
+        p = P.small_test_params(num_water=32, totaltime=0.0005,
+                                sprint_steps=500)
+        _, cos0, _, st0 = ensemble.run_ensemble(
+            p, n_trials=2, base_seed=3, run_seed=9)
+        _, cos1, _, st1 = ensemble.run_ensemble(
+            p, n_trials=2, base_seed=3, run_seed=9,
+            run_cell_rs=[p.cell_r, p.cell_r])
+        np.testing.assert_array_equal(cos0, cos1)
+        np.testing.assert_array_equal(np.asarray(st0.pos),
+                                      np.asarray(st1.pos))
+
+    def test_fixed_geometry_runtime_radius(self):
+        """The scene keeps the params geometry; the trial runs at the
+        override radius — equal to a single-scene run with the engine's
+        cell_r override (NOT to a scene rebuilt at that radius)."""
+        p = P.small_test_params(num_water=32, totaltime=0.0005,
+                                sprint_steps=500, mmoment=5e-14)
+        from mri_nanoparticle_simulation_tpu import inverse as inv
+        v = 0.8
+        _, cos, _, _ = ensemble.run_ensemble(
+            p, n_trials=1, base_seed=3, run_seed=9, run_cell_rs=[v])
+        sc = BacteriaBox(p, seed=3).populate()      # params geometry
+        c2 = inv.make_engine_curve_fn(p, sc, seed=9,
+                                      engine="scan")(cell_r=v)
+        np.testing.assert_allclose(cos[0] / p.num_water, c2, atol=1e-5)
+        # and it genuinely differs from the params-radius run
+        _, cos0, _, _ = ensemble.run_ensemble(
+            p, n_trials=1, base_seed=3, run_seed=9)
+        assert np.abs(cos0[0] - cos[0]).max() > 1e-3
+
+    def test_mutually_exclusive_with_cell_rs(self):
+        p = P.small_test_params(num_water=16, totaltime=0.0002,
+                                sprint_steps=200)
+        with pytest.raises(ValueError, match="one, not both"):
+            ensemble.run_ensemble(p, n_trials=1, run_cell_rs=[0.5],
+                                  cell_rs=[0.5])
+
+    def test_coverage_checked_at_run_radius(self):
+        """A run radius whose reach overflows near_k must raise — the
+        scenes were built (and would pass) at the smaller params radius."""
+        p = P.small_test_params(num_water=16, totaltime=0.0002,
+                                sprint_steps=200, num_cells=48,
+                                near_k=3)
+        with pytest.raises(ValueError, match="near_k"):
+            ensemble.run_ensemble(p, n_trials=1, base_seed=1,
+                                  run_cell_rs=[2.5])
+
+    def test_validated_like_cell_rs(self):
+        p = P.small_test_params(num_water=16, totaltime=0.0002,
+                                sprint_steps=200)
+        with pytest.raises(ValueError):
+            ensemble.run_ensemble(p, n_trials=2, run_cell_rs=[0.5])
+        with pytest.raises(ValueError):
+            ensemble.run_ensemble(p, n_trials=1, run_cell_rs=[0.0])
