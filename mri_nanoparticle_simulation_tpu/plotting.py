@@ -299,10 +299,55 @@ def plot_scene(scene_npz: str, out_png: str,
     return out_png
 
 
+def plot_spectrum(table_paths: Sequence[str], out_png: str,
+                  title: Optional[str] = None, dark: bool = False) -> str:
+    """T2-spectrum figure (``mri-t2-fit --spectrum --out-table``
+    product: ``t2_ms,weight`` rows): amplitude density over a log T2
+    axis, one line per table."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    th = DARK if dark else LIGHT
+    if len(table_paths) > len(th.series):
+        raise ValueError(
+            f"{len(table_paths)} spectra exceed the fixed "
+            f"{len(th.series)}-slot palette; fold extra runs into "
+            f"separate figures (hues are never generated or cycled)")
+    fig, ax = plt.subplots(figsize=(6.5, 4.0), dpi=160)
+    fig.patch.set_facecolor(th.surface)
+    _style_axes(ax, th)
+    for i, path in enumerate(table_paths):
+        with open(path) as f:
+            header = f.readline().strip().split(",")
+        if header[:2] != ["t2_ms", "weight"]:
+            raise ValueError(f"{path} is not a spectrum table "
+                             f"(want t2_ms,weight; got {header})")
+        rows = np.loadtxt(path, delimiter=",", skiprows=1, ndmin=2)
+        ax.plot(rows[:, 0], rows[:, 1], color=th.series[i],
+                linewidth=2.0, label=_series_label(path))
+        ax.fill_between(rows[:, 0], rows[:, 1], color=th.series[i],
+                        alpha=0.15, linewidth=0)
+    ax.set_xscale("log")
+    ax.set_xlabel("T2 (ms)", color=th.ink2, fontsize=10)
+    ax.set_ylabel("amplitude", color=th.ink2, fontsize=10)
+    if title:
+        ax.set_title(title, color=th.ink, fontsize=12, loc="left")
+    if len(table_paths) >= 2:
+        leg = ax.legend(frameon=False, fontsize=9, loc="best")
+        for t in leg.get_texts():
+            t.set_color(th.ink)
+    fig.tight_layout()
+    fig.savefig(out_png, facecolor=th.surface)
+    plt.close(fig)
+    return out_png
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         description="Plot simulator CSV products: decay curves, "
-                    "fitted dispersion tables, or scene geometry -> PNG")
+                    "fitted dispersion tables, T2 spectra, or scene "
+                    "geometry -> PNG")
     ap.add_argument("inputs", nargs="+",
                     help="T2 CSVs (decay curves, one line each) or, "
                          "with --table, ONE dispersion table")
@@ -316,6 +361,10 @@ def main(argv=None) -> int:
                          "(mri-t2-sim --save-scene): render the "
                          "geometry — cells, periodic MNP images, "
                          "walker starts — in three projections")
+    ap.add_argument("--spectrum", action="store_true",
+                    help="inputs are T2-spectrum tables (mri-t2-fit "
+                         "--spectrum --out-table, t2_ms,weight rows): "
+                         "amplitude density over a log T2 axis")
     ap.add_argument("--ycol", default="r2_per_ms",
                     choices=["r2_per_ms", "t2_ms", "r_squared"],
                     help="table column to plot (with --table)")
@@ -333,9 +382,16 @@ def main(argv=None) -> int:
                          "an inverted one)")
     args = ap.parse_args(argv)
 
-    if args.table and args.scene:
-        ap.error("--table and --scene are different inputs; pick one")
-    if args.scene:
+    if sum((args.table, args.scene, args.spectrum)) > 1:
+        ap.error("--table/--scene/--spectrum are different inputs; "
+                 "pick one")
+    if args.spectrum:
+        if args.magnitude or args.logy:
+            ap.error("--magnitude/--logy apply to decay curves, "
+                     "not spectra")
+        plot_spectrum(args.inputs, args.out, title=args.title,
+                      dark=args.dark)
+    elif args.scene:
         if len(args.inputs) != 1:
             ap.error("--scene plots ONE scene archive")
         if args.magnitude or args.logy:

@@ -444,3 +444,99 @@ class TestMagnitudeFit:
         assert "T2 = 6" in capsys.readouterr().out
         with pytest.raises(SystemExit):
             an.main(["--magnitude", "--record", "x.npz"])
+
+
+class TestT2Spectrum:
+    """Multi-exponential T2 spectra by regularized NNLS
+    (fit_t2_spectrum) — the multi-compartment generalization of the
+    mono-exponential fit."""
+
+    @staticmethod
+    def _biexp(t2a=3.0, t2b=25.0, fa=0.4, n=400, noise=0.0, seed=0):
+        t = np.linspace(0.05, 60.0, n)
+        y = fa * np.exp(-t / t2a) + (1 - fa) * np.exp(-t / t2b)
+        if noise:
+            y = y + np.random.default_rng(seed).normal(0, noise, n)
+        return t, y
+
+    def test_nnls_matches_scipy(self):
+        """The dependency-free Lawson-Hanson agrees with scipy's on
+        random problems (including rank-deficient exponential designs)."""
+        scipy_opt = pytest.importorskip("scipy.optimize")
+        rng = np.random.default_rng(1)
+        for trial in range(6):
+            m, n = 30, 12
+            A = np.abs(rng.normal(size=(m, n))) if trial % 2 else \
+                np.exp(-np.linspace(0, 5, m)[:, None]
+                       * rng.uniform(0.2, 5, n)[None, :])
+            b = rng.normal(size=m)
+            ours = an._nnls(A, b)
+            ref, _ = scipy_opt.nnls(A, b)
+            assert np.all(ours >= 0)
+            # same objective value (solutions may differ on flat
+            # directions of degenerate designs)
+            np.testing.assert_allclose(
+                np.linalg.norm(A @ ours - b),
+                np.linalg.norm(A @ ref - b), rtol=1e-6, atol=1e-9)
+
+    def test_recovers_two_components(self):
+        t, y = self._biexp(noise=1e-4)
+        sp = an.fit_t2_spectrum(t, y, n_t2=96)
+        assert len(sp.peaks) == 2
+        (t2a, fa), (t2b, fb) = sorted(sp.peaks)
+        assert abs(t2a - 3.0) / 3.0 < 0.25
+        assert abs(t2b - 25.0) / 25.0 < 0.25
+        assert abs(fa - 0.4) < 0.1
+        assert abs(fb - 0.6) < 0.1
+        assert sp.r_squared > 0.999
+        # the mono-exponential fit averages the compartments away —
+        # it lands between the two true T2s, resolving neither
+        mono = an.fit_t2(t, y)
+        assert 4.0 < mono.t2_ms < 24.0
+
+    def test_mono_exponential_single_peak(self):
+        t = np.linspace(0.05, 40.0, 300)
+        y = 2.0 * np.exp(-t / 8.0)
+        sp = an.fit_t2_spectrum(t, y)
+        assert len(sp.peaks) == 1
+        t2, amp = sp.peaks[0]
+        assert abs(t2 - 8.0) / 8.0 < 0.1
+        assert abs(amp - 2.0) < 0.2
+
+    def test_chi2_target_honored(self):
+        """With noise, the auto lambda lands the misfit at the
+        Whittall-MacKay 1.02 x chi2_min target."""
+        t, y = self._biexp(noise=2e-3)
+        sp = an.fit_t2_spectrum(t, y, n_t2=64)
+        assert sp.lambda_reg > 0
+        assert 1.0 < sp.chi2_ratio < 1.05
+
+    def test_explicit_lambda(self):
+        t, y = self._biexp(noise=1e-3)
+        sp = an.fit_t2_spectrum(t, y, lambda_reg=0.5)
+        assert sp.lambda_reg == 0.5
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="8 samples"):
+            an.fit_t2_spectrum([1, 2, 3], [1, 0.5, 0.2])
+        t = np.linspace(0.1, 10, 50)
+        with pytest.raises(ValueError, match="n_t2"):
+            an.fit_t2_spectrum(t, np.exp(-t), n_t2=4)
+        with pytest.raises(ValueError, match="t2_min"):
+            an.fit_t2_spectrum(t, np.exp(-t), t2_min_ms=5, t2_max_ms=1)
+
+    def test_cli_spectrum(self, tmp_path, capsys):
+        t, y = self._biexp(noise=1e-4)
+        p = str(tmp_path / "bi.csv")
+        np.savetxt(p, np.c_[t, 64 * y], delimiter=",")
+        table = str(tmp_path / "spec.csv")
+        assert an.main([p, "--spectrum", "--out-table", table]) == 0
+        out = capsys.readouterr().out
+        assert "2 component(s)" in out
+        rows = np.loadtxt(table, delimiter=",", skiprows=1)
+        assert rows.shape == (64, 2)
+        assert np.all(rows[:, 1] >= 0)
+
+    def test_cli_spectrum_rejects_record(self):
+        with pytest.raises(SystemExit):
+            an.main(["--spectrum", "--record", "x.npz"])

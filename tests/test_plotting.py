@@ -172,3 +172,37 @@ class TestScenePlot:
         npz = self._scene_npz(tmp_path)
         out = str(tmp_path / "sub.png")
         assert plotting.plot_scene(npz, out, max_waters=10) == out
+
+
+class TestSpectrumPlot:
+    """mri-t2-plot --spectrum: T2-spectrum tables over a log axis."""
+
+    @staticmethod
+    def _spectrum_csv(path):
+        t2 = np.geomspace(0.5, 100, 48)
+        w = np.exp(-0.5 * ((np.log(t2) - np.log(8.0)) / 0.3) ** 2)
+        with open(path, "w") as f:
+            f.write("t2_ms,weight\n")
+            for a, b in zip(t2, w):
+                f.write(f"{a},{b}\n")
+        return str(path)
+
+    def test_writes_png(self, tmp_path):
+        s1 = self._spectrum_csv(tmp_path / "a.csv")
+        s2 = self._spectrum_csv(tmp_path / "b.csv")
+        out = str(tmp_path / "spec.png")
+        assert plotting.main([s1, s2, "--spectrum", "--out", out,
+                              "--title", "T2 spectrum"]) == 0
+        assert (tmp_path / "spec.png").stat().st_size > 10_000
+
+    def test_rejects_non_spectrum_table(self, tmp_path):
+        bad = tmp_path / "bad.csv"
+        bad.write_text("a,b\n1,2\n")
+        with pytest.raises(ValueError, match="not a spectrum table"):
+            plotting.plot_spectrum([str(bad)], str(tmp_path / "x.png"))
+
+    def test_modes_exclusive(self, tmp_path):
+        s1 = self._spectrum_csv(tmp_path / "a.csv")
+        with pytest.raises(SystemExit):
+            plotting.main([s1, "--spectrum", "--table",
+                           "--out", str(tmp_path / "x.png")])
