@@ -32,7 +32,7 @@ def _run(name, timeout=540):
 def test_all_examples_compile():
     import py_compile
     scripts = sorted(EXAMPLES.glob("*.py"))
-    assert len(scripts) >= 4
+    assert len(scripts) >= 5
     for s in scripts:
         py_compile.compile(str(s), doraise=True)
 
@@ -50,6 +50,20 @@ def test_quickstart_runs(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
     assert "T2 =" in r.stdout
     assert (tmp_path / "quickstart.csv").exists()
+
+
+def test_inverse_spectra_example_runs(tmp_path):
+    env_tmp = os.environ.get("TMPDIR")
+    os.environ["TMPDIR"] = str(tmp_path)
+    try:
+        r = _run("05_inverse_and_spectra.py")
+    finally:
+        if env_tmp is None:
+            os.environ.pop("TMPDIR", None)
+        else:
+            os.environ["TMPDIR"] = env_tmp
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "inverse + spectrum example OK" in r.stdout
 
 
 def test_sharding_example_runs(tmp_path):

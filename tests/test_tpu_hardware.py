@@ -612,3 +612,60 @@ class TestDevicePlaneHardware:
         # the walker bootstrap — production-speed error bars, no record
         te_h, mat_h = plane.echo_matrix(0)
         np.testing.assert_allclose(echoes[0].cos, mat_h, atol=1e-4)
+
+
+class TestNewInverseAxesHardware:
+    def test_joint_crn_fit_on_chip(self):
+        """Joint (moment, D) Nelder-Mead through the real Mosaic kernel:
+        the moment rides the traced mnp_M array and D the launch scalar,
+        so EVERY probe of the 2D CRN surface reuses one compiled
+        program."""
+        from mri_nanoparticle_simulation_tpu import inverse as inv
+        pp = P.small_test_params(num_water=64, mmoment=5e-14)
+        sc = BacteriaBox(pp, seed=1).populate()
+        target = np.asarray(inv.make_engine_curve_fn(
+            pp, sc, seed=2, engine="pallas")(0.5, m_scale=1.6))
+        fit = inv.fit_joint_crn(target, pp, sc, seed=2,
+                                m_bracket=(0.25, 4.0),
+                                d_bracket=(0.1, 1.0), max_evals=60,
+                                engine="pallas")
+        assert abs(fit.m_scale - 1.6) / 1.6 < 0.05
+        assert abs(fit.d_scale - 0.5) / 0.5 < 0.05
+        assert fit.loss < 1e-6
+
+    def test_cell_radius_crn_fit_on_chip(self):
+        """Cell-size recovery on the production kernel: the cell_r
+        launch scalar varies the residency radius on a fixed scene."""
+        from mri_nanoparticle_simulation_tpu import inverse as inv
+        pp = P.small_test_params(num_water=64, mmoment=5e-14)
+        sc = BacteriaBox(pp, seed=1).populate()
+        worst = expansion.validate_near_k(sc.mnps[:, :3],
+                                          pp.replace(cell_r=1.0))
+        if worst > pp.near_k:
+            pp = pp.replace(near_k=worst)
+        target = np.asarray(inv.make_engine_curve_fn(
+            pp, sc, seed=2, engine="pallas")(cell_r=0.7))
+        fit = inv.fit_cell_radius_crn(target, pp, sc, seed=2,
+                                      bracket=(0.4, 1.0), iters=14,
+                                      engine="pallas")
+        assert abs(fit.scale - 0.7) / 0.7 < 0.02
+        assert fit.loss < 1e-6
+
+    def test_run_cell_rs_ensemble_on_chip(self, p):
+        """run_cell_rs (fixed geometry, runtime residency radius — the
+        golden cell_r arm's framework side) through the production
+        ensemble path: identity at the params radius, real effect at an
+        override."""
+        from mri_nanoparticle_simulation_tpu.parallel import ensemble
+        pp = p.replace(mmoment=5e-14)
+        _, cos0, _, _ = ensemble.run_ensemble(
+            pp, n_trials=2, base_seed=3, run_seed=9, engine="pallas",
+            rng_impl="hardware")
+        _, cos1, _, _ = ensemble.run_ensemble(
+            pp, n_trials=2, base_seed=3, run_seed=9, engine="pallas",
+            rng_impl="hardware", run_cell_rs=[pp.cell_r, pp.cell_r])
+        np.testing.assert_array_equal(cos0, cos1)
+        _, cos2, _, _ = ensemble.run_ensemble(
+            pp, n_trials=2, base_seed=3, run_seed=9, engine="pallas",
+            rng_impl="hardware", run_cell_rs=[0.8, 0.8])
+        assert np.abs(cos2 - cos0).max() > 1e-3
