@@ -368,7 +368,7 @@ def run_ensemble_multihost(params, n_trials: int, base_seed: int = 0,
                            run_seed: int = 1000, engine: str = "scan",
                            rng_impl: str = "threefry", dtype=None,
                            max_steps=None, mmoments=None, taucps=None,
-                           cell_rs=None, d_scales=None,
+                           cell_rs=None, run_cell_rs=None, d_scales=None,
                            scene_seeds=None, run_seeds=None,
                            walker_shards: int = 1):
     """Multi-trial ensemble partitioned across hosts over DCN.
@@ -384,8 +384,8 @@ def run_ensemble_multihost(params, n_trials: int, base_seed: int = 0,
     (the reference's PBS-resubmission workflow, T2_GPU_sim.cu:45, as one
     SPMD program).
 
-    ``mmoments`` / ``taucps`` / ``cell_rs`` / ``d_scales`` (each len
-    n_trials) are the per-trial sweep axes of
+    ``mmoments`` / ``taucps`` / ``cell_rs`` / ``run_cell_rs`` /
+    ``d_scales`` (each len n_trials) are the per-trial sweep axes of
     :func:`ensemble.run_ensemble`: each process receives its contiguous
     slice, so a parameter sweep partitions across hosts exactly like a
     plain ensemble (trial i keeps ITS value regardless of the
@@ -400,7 +400,9 @@ def run_ensemble_multihost(params, n_trials: int, base_seed: int = 0,
 
     dtype = dtype or jnp.float32
     for name, vals in (("mmoments", mmoments), ("taucps", taucps),
-                       ("cell_rs", cell_rs), ("d_scales", d_scales),
+                       ("cell_rs", cell_rs),
+                       ("run_cell_rs", run_cell_rs),
+                       ("d_scales", d_scales),
                        ("scene_seeds", scene_seeds),
                        ("run_seeds", run_seeds)):
         if vals is not None and len(vals) != n_trials:
@@ -427,6 +429,7 @@ def run_ensemble_multihost(params, n_trials: int, base_seed: int = 0,
             engine=engine, rng_impl=rng_impl, dtype=dtype,
             max_steps=max_steps, mmoments=my_slice(mmoments),
             taucps=my_slice(taucps), cell_rs=my_slice(cell_rs),
+            run_cell_rs=my_slice(run_cell_rs),
             d_scales=my_slice(d_scales),
             scene_seeds=my_slice(scene_seeds),
             run_seeds=my_slice(run_seeds),
@@ -579,9 +582,10 @@ def _dryrun(num_processes: int, process_id: int, coordinator: str,
     n_tr = 3
     taucps = [0.0001, 0.0002, 0.0001]
     dss = [1.0, 0.25, 0.5]
+    rcrs = [p.cell_r, 0.8, 0.7]   # run_cell_rs: fixed geometry, runtime radius
     _, cos_mh, sin_mh = run_ensemble_multihost(
         p, n_tr, base_seed=11, run_seed=7, max_steps=p.sprint_steps,
-        taucps=taucps, d_scales=dss)
+        taucps=taucps, d_scales=dss, run_cell_rs=rcrs)
     from jax.sharding import Mesh
     from . import ensemble
     mesh1 = Mesh(np.asarray(jax.local_devices()[:1]),
@@ -591,7 +595,8 @@ def _dryrun(num_processes: int, process_id: int, coordinator: str,
         _w.simplefilter("ignore")   # 3 trials on 1 device: no padding
         _, cos_1p, sin_1p, _ = ensemble.run_ensemble(
             p, n_tr, mesh=mesh1, base_seed=11, run_seed=7,
-            max_steps=p.sprint_steps, taucps=taucps, d_scales=dss)
+            max_steps=p.sprint_steps, taucps=taucps, d_scales=dss,
+            run_cell_rs=rcrs)
     np.testing.assert_allclose(cos_mh, cos_1p, atol=1e-3)
     np.testing.assert_allclose(sin_mh, sin_1p, atol=1e-3)
 
@@ -600,7 +605,7 @@ def _dryrun(num_processes: int, process_id: int, coordinator: str,
     # still match the plain single-process run (global Threefry lanes)
     _, cos_2d, sin_2d = run_ensemble_multihost(
         p, n_tr, base_seed=11, run_seed=7, max_steps=p.sprint_steps,
-        taucps=taucps, d_scales=dss, walker_shards=2)
+        taucps=taucps, d_scales=dss, run_cell_rs=rcrs, walker_shards=2)
     np.testing.assert_allclose(cos_2d, cos_1p, atol=1e-3)
     np.testing.assert_allclose(sin_2d, sin_1p, atol=1e-3)
 
