@@ -248,12 +248,13 @@ def fit_t2_spectrum(times_ms, signal, n_t2: int = 64,
     y = np.asarray(signal, np.float64)
     if t.shape != y.shape or t.ndim != 1:
         raise ValueError("times and signal must be equal-length 1D arrays")
-    if len(t) < 8:
-        raise ValueError(f"need >= 8 samples for a spectrum ({len(t)})")
     if n_t2 < 8 or n_t2 > 256:
         raise ValueError(f"n_t2 must be in [8, 256]; got {n_t2}")
     ok = np.isfinite(y)
     t, y = t[ok], y[ok]
+    if len(t) < 8:
+        raise ValueError(f"need >= 8 finite samples for a spectrum "
+                         f"({len(t)} of {len(ok)})")
     t2_min = 2.0 * t[0] if t2_min_ms is None else float(t2_min_ms)
     t2_max = 3.0 * t[-1] if t2_max_ms is None else float(t2_max_ms)
     if not (0 < t2_min < t2_max):
@@ -281,7 +282,7 @@ def fit_t2_spectrum(times_ms, signal, n_t2: int = 64,
     else:
         target = chi2_factor * c0
         # bracket then bisect on log lambda (chi^2 is monotone in lambda)
-        lo, hi = 0.0, np.sqrt((A * A).sum() / n_t2)
+        hi = np.sqrt((A * A).sum() / n_t2)
         x_hi = solve(hi)
         grow = 0
         while chi2(x_hi) < target and grow < 60:

@@ -237,20 +237,8 @@ def plot_scene(scene_npz: str, out_png: str,
     import matplotlib.pyplot as plt
     from matplotlib.patches import Circle
 
-    with np.load(scene_npz) as z:
-        for need in ("cells", "mnps", "waters"):
-            if need not in z.files:
-                raise ValueError(f"{scene_npz} is not a scene archive "
-                                 f"(missing {need!r}); expected "
-                                 f"mri-t2-sim --save-scene output")
-        cells = np.asarray(z["cells"], np.float64)
-        mnps = np.asarray(z["mnps"], np.float64)
-        waters = np.asarray(z["waters"], np.float64)
-        n_intra = int(z["num_intra_mnps"]) if "num_intra_mnps" in z.files \
-            else len(cells)
-        geom = bytes(z["geom_repr"]).decode() if "geom_repr" in z.files \
-            else ""
-    fields = dict(kv.split("=", 1) for kv in geom.split(";") if "=" in kv)
+    from .scene.io import read_scene_arrays
+    cells, mnps, waters, n_intra, fields = read_scene_arrays(scene_npz)
     try:
         cell_r = float(fields["cell_r"])
         bound = float(fields["bound"])

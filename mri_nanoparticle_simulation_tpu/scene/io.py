@@ -136,6 +136,33 @@ def save_scene(scene: Scene, path: str) -> str:
     return path
 
 
+def read_scene_arrays(path: str):
+    """Raw reader for the :func:`save_scene` .npz format — the ONE place
+    that knows the archive's keys and geom_repr encoding (plotting and
+    other params-less consumers go through here; :func:`load_scene`
+    adds the params-match check on top).
+
+    Returns ``(cells, mnps, waters, num_intra_mnps, geom)`` with
+    ``geom`` the parsed geometry fields as a {name: str} dict (empty
+    for pre-geom_repr archives)."""
+    with np.load(path) as z:
+        for need in ("cells", "mnps", "waters"):
+            if need not in z.files:
+                raise ValueError(f"{path} is not a scene archive "
+                                 f"(missing {need!r}); expected "
+                                 f"scene.save_scene / mri-t2-sim "
+                                 f"--save-scene output")
+        cells = np.asarray(z["cells"], np.float64)
+        mnps = np.asarray(z["mnps"], np.float64)
+        waters = np.asarray(z["waters"], np.float64)
+        n_intra = int(z["num_intra_mnps"]) if "num_intra_mnps" in z.files \
+            else len(cells)
+        stored = bytes(z["geom_repr"]).decode() \
+            if "geom_repr" in z.files else ""
+    geom = dict(kv.split("=", 1) for kv in stored.split(";") if "=" in kv)
+    return cells, mnps, waters, n_intra, geom
+
+
 def load_scene(path: str, params: Params,
                strict_params: bool = True) -> Scene:
     """Rebuild the exact Scene from :func:`save_scene` output.

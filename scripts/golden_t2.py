@@ -161,10 +161,12 @@ def main():
                          "equivalence arm for the runtime D axis")
     args = ap.parse_args()
     if args.out is None:
-        args.out = ("GOLDEN_T2.json" if args.d_scale == 1.0
-                    else f"GOLDEN_T2_d{args.d_scale:g}.json")
+        # tags combine (like the oracle CSV names) so a mixed-axis run
+        # never overwrites a single-axis baseline
+        tag = "" if args.d_scale == 1.0 else f"_d{args.d_scale:g}"
         if args.cell_r:
-            args.out = f"GOLDEN_T2_r{args.cell_r:g}.json"
+            tag += f"_r{args.cell_r:g}"
+        args.out = f"GOLDEN_T2{tag}.json"
     os.makedirs(args.work_dir, exist_ok=True)
 
     if not args.skip_oracle:

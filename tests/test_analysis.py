@@ -517,8 +517,17 @@ class TestT2Spectrum:
         assert sp.lambda_reg == 0.5
 
     def test_validation(self):
-        with pytest.raises(ValueError, match="8 samples"):
+        with pytest.raises(ValueError, match="8 finite samples"):
             an.fit_t2_spectrum([1, 2, 3], [1, 0.5, 0.2])
+        # non-finite rows must not sneak under the sample floor (or
+        # crash): 20 rows, 5 finite
+        t = np.linspace(0.1, 10, 20)
+        y = np.full(20, np.nan)
+        y[:5] = np.exp(-t[:5])
+        with pytest.raises(ValueError, match="8 finite samples"):
+            an.fit_t2_spectrum(t, y)
+        with pytest.raises(ValueError, match="8 finite samples"):
+            an.fit_t2_spectrum(t, np.full(20, np.nan))
         t = np.linspace(0.1, 10, 50)
         with pytest.raises(ValueError, match="n_t2"):
             an.fit_t2_spectrum(t, np.exp(-t), n_t2=4)
