@@ -180,6 +180,11 @@ class T2Spectrum(NamedTuple):
     r_squared: float         #: signal-domain R^2 of the spectral model
     rms_residual: float      #: signal-domain RMS residual
     chi2_ratio: float        #: chi^2(lambda) / chi^2(0) (the W-M target)
+    #: True when a component sits on the FIRST or LAST grid point: the
+    #: true T2 lies at or beyond the grid edge (e.g. decay slower than
+    #: the acquisition window resolves) and that peak's position is a
+    #: bound, not an estimate — widen the grid or the window
+    edge_clipped: bool = False
 
 
 def _nnls(A: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -323,7 +328,10 @@ def fit_t2_spectrum(times_ms, signal, n_t2: int = 64,
     return T2Spectrum(t2_grid_ms=grid, weights=x, peaks=tuple(peaks),
                       lambda_reg=float(lam), r_squared=float(r2),
                       rms_residual=float(np.sqrt((resid ** 2).mean())),
-                      chi2_ratio=float(chi2(x) / c0) if c0 > 0 else 1.0)
+                      chi2_ratio=float(chi2(x) / c0) if c0 > 0 else 1.0,
+                      edge_clipped=bool(np.isfinite(thresh)
+                                        and (x[0] > thresh
+                                             or x[-1] > thresh)))
 
 
 def fit_t2_spectrum_csv(path: str, taucp_ms: Optional[float] = None,
@@ -452,6 +460,13 @@ def main(argv=None) -> int:
                   f"[lambda = {sp.lambda_reg:.3g}, "
                   f"R^2 = {sp.r_squared:.5f}, "
                   f"chi2 ratio {sp.chi2_ratio:.4g}]")
+            if sp.edge_clipped:
+                print(f"  WARNING: a component sits on the T2-grid "
+                      f"edge ([{sp.t2_grid_ms[0]:.3g}, "
+                      f"{sp.t2_grid_ms[-1]:.3g}] ms) — its true T2 "
+                      f"lies at or beyond the edge (position is a "
+                      f"bound, not an estimate); lengthen the "
+                      f"acquisition or widen the grid")
             if args.out_table:
                 with open(args.out_table, "w") as f:
                     f.write("t2_ms,weight\n")

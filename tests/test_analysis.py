@@ -549,3 +549,15 @@ class TestT2Spectrum:
     def test_cli_spectrum_rejects_record(self):
         with pytest.raises(SystemExit):
             an.main(["--spectrum", "--record", "x.npz"])
+
+    def test_edge_clipping_flagged(self):
+        """A T2 beyond the grid top piles weight on the last grid point;
+        the result must say so (the position is a bound, not an
+        estimate) — and an in-range fit must not."""
+        t = np.linspace(0.05, 2.0, 100)   # window << T2 = 50 ms
+        y = np.exp(-t / 50.0)
+        sp = an.fit_t2_spectrum(t, y)     # default grid tops at 6 ms
+        assert sp.edge_clipped
+        t2, y2 = np.linspace(0.05, 60.0, 300), None
+        sp2 = an.fit_t2_spectrum(t2, np.exp(-t2 / 8.0))
+        assert not sp2.edge_clipped
