@@ -169,6 +169,30 @@ def fit_t2(times_ms, signal, floor: float = 0.02,
                  t2_stderr_ms=t2_se, amplitude_stderr=amp_se)
 
 
+def carr_purcell_r2(params, D: Optional[float] = None) -> float:
+    """Closed-form CPMG decay rate for free diffusion in the configured
+    background gradient (Carr & Purcell 1954, eq. for a pulse train with
+    half echo spacing tau_cp):
+
+        R2 = gamma^2 |G|^2 D_eff taucp^2 / 3        [1/ms]
+
+    with gamma = phase_per_tesla / tau (rad/ms/T), |G| the magnitude of
+    ``params.b0_gradient`` (T/µm) and D_eff = pi*D/6 — the engine's
+    per-axis diffusivity (step stdev sqrt(pi*D*tau) with a normalized
+    cube direction, E[u_z^2] = 1/3; the reference's kinematics,
+    parameters.h:120-121 + cuda_sim.cu:562-583).  ``D`` defaults to
+    ``params.D_extra`` (uniform free diffusion); pass the cell value or
+    an effective one as appropriate.  This is the analytic anchor the
+    gradient implementation is tested against (tests/test_gradient.py)
+    and the b-value-style design tool for choosing a gradient."""
+    import math as _math
+    gamma_ms = params.phase_per_tesla / params.tau
+    g2 = sum(float(g) ** 2 for g in params.b0_gradient)
+    d = params.D_extra if D is None else float(D)
+    d_eff = _math.pi * d / 6.0
+    return gamma_ms ** 2 * g2 * d_eff * params.taucp ** 2 / 3.0
+
+
 class T2Spectrum(NamedTuple):
     """A regularized multi-exponential T2 spectrum (``fit_t2_spectrum``)."""
     t2_grid_ms: np.ndarray   #: [K] log-spaced candidate T2 grid

@@ -237,6 +237,9 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
     phase_per_tesla = float(params.phase_per_tesla)
     two_pi = float(2.0 * np.pi)
     bound_f = float(params.bound)
+    # background-gradient constants (T/µm); only touched when
+    # params.use_gradient (static) — the default physics pays nothing
+    gx_c, gy_c, gz_c = (float(g) for g in params.b0_gradient)
 
     travel_f = float(np.sqrt(travel2_f))
     r_blk = min(r_planes, BLOCK_ROWS)
@@ -528,6 +531,14 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
 
                 kick = b * phase_per_tesla
                 intra = intracellular_kick(params, u_kick, in_new, dtype)
+                if params.use_gradient:
+                    # background-gradient kick at the recorded position;
+                    # moment-independent -> rides the B column in
+                    # decompose mode (see reference_engine.step_fn).
+                    # Static flag: (0,0,0) compiles the 4 ops out.
+                    bg_kick = (x2 * gx_c + y2 * gy_c
+                               + z2 * gz_c) * phase_per_tesla
+                    intra = bg_kick if intra is None else intra + bg_kick
                 if decompose:
                     acc = (acc[0] + kick,
                            acc[1] if intra is None else acc[1] + intra)

@@ -345,6 +345,15 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
 
         kick = b * phase_per_tesla
         intra = intracellular_kick(params, u_kick, in_new, dtype)
+        if params.use_gradient:
+            # background-gradient kick at the recorded position (like
+            # the dipole field).  Moment-INDEPENDENT, so in decompose
+            # mode it belongs with the intracellular kick in the B
+            # column — moment-scale reconstruction stays exact.
+            gx, gy, gz = (dtype(g) for g in params.b0_gradient)
+            bg_kick = (new_pos[:, 0] * gx + new_pos[:, 1] * gy
+                       + new_pos[:, 2] * gz) * phase_per_tesla
+            intra = bg_kick if intra is None else intra + bg_kick
         if decompose:
             # keep the moment-linear dipole part (col 0) and the
             # moment-independent kick part (col 1) in separate streams

@@ -577,6 +577,13 @@ def main(argv=None):
     ap.add_argument("--hash-dim", type=int, default=20)
     ap.add_argument("--tau", type=float, default=1e-6,
                     help="timestep in ms (reference: 1e-6 = 1 ns)")
+    ap.add_argument("--gradient", default=None, metavar="GX,GY,GZ",
+                    help="constant background B_z gradient in T/µm — "
+                         "diffusion-weighting physics (CPMG/PGSE "
+                         "acquisitions) beyond the reference's "
+                         "zero-gradient world; the phase term is "
+                         "moment-independent and composes with "
+                         "--moment-scales reconstruction")
     ap.add_argument("--cube-candidates", type=int, default=96)
     ap.add_argument("--far-table-order", type=int, default=5,
                     help="per-cube far-field Taylor order on the "
@@ -804,6 +811,15 @@ def main(argv=None):
         far_table_order=args.far_table_order,
         field_mode=args.field_mode, grid_n=args.grid_n,
     )
+    if args.gradient:
+        try:
+            g = tuple(float(v) for v in args.gradient.split(","))
+            if len(g) != 3:
+                raise ValueError(args.gradient)
+        except ValueError:
+            ap.error("--gradient wants three comma-separated numbers "
+                     "(GX,GY,GZ in T/µm)")
+        params = params.replace(b0_gradient=g)
     params = params.replace(
         chunk_steps=fit_chunk_steps(params, args.chunk_steps))
     params = params.replace(

@@ -108,6 +108,22 @@ class Params:
     reflect_io: float = 0.0
     reflect_oi: float = 0.0
 
+    # --- Background field gradient (EXTENSION; no reference analogue) -------
+    #: constant background B_z gradient (gx, gy, gz) in T/µm — the
+    #: applied diffusion-weighting gradient of a CPMG/PGSE-style
+    #: acquisition.  Adds gx*x + gy*y + gz*z (Tesla, at the recorded
+    #: post-reflection position, like the dipole field) to every phase
+    #: kick; (0, 0, 0) — the default and the reference's only physics —
+    #: compiles the term out entirely.  The gradient phase is
+    #: moment-INDEPENDENT, so in decomposition runs it rides the B
+    #: column and moment-scale reconstruction is exact.  Note the box is
+    #: periodic: a walker that wraps at a chunk boundary re-enters the
+    #: gradient on the other side (a sawtooth field — the only
+    #: self-consistent form of a linear field in a periodic medium);
+    #: with the default centered ``water_start_bound`` sub-cube wraps
+    #: are travel-bound-rare over reference durations.
+    b0_gradient: tuple = (0.0, 0.0, 0.0)
+
     # --- Time (parameters.h:88-95) -----------------------------------------
     tau: float = 1e-6              # timestep, ms (1 ns)
     totaltime: float = 40.0        # total simulated time, ms
@@ -251,7 +267,19 @@ class Params:
         return self.replace(D_cell=self.D_cell * v,
                             D_extra=self.D_extra * v)
 
+    @property
+    def use_gradient(self) -> bool:
+        """True when a background gradient is configured (engines gate
+        the per-step term on this at trace time — zero cost when off)."""
+        return any(g != 0.0 for g in self.b0_gradient)
+
     def validate(self) -> "Params":
+        bg = self.b0_gradient
+        if (not isinstance(bg, tuple) or len(bg) != 3
+                or not all(math.isfinite(float(g)) for g in bg)):
+            raise ValueError(
+                f"b0_gradient must be a 3-tuple of finite floats "
+                f"(T/µm); got {bg!r}")
         if self.sprint_steps % self.pfreq != 0:
             raise ValueError(
                 f"sprint_steps ({self.sprint_steps}) must be a multiple of "
