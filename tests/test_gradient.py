@@ -153,3 +153,28 @@ class TestCarrPurcellAnalytic:
         # 512 walkers / 5 echoes: Monte-Carlo scatter ~ a few percent
         assert abs(r2_fit - r2_target) / r2_target < 0.10, \
             f"fitted R2 {r2_fit:.2f} vs Carr-Purcell {r2_target:.2f}"
+
+
+class TestDwiAdcRecovery:
+    def test_crn_fit_recovers_adc_from_dwi_curve(self):
+        """The clinical DWI workflow end to end: a gradient-weighted
+        CPMG acquisition encodes the diffusion coefficient in its decay
+        (R2 proportional to D_eff), and the CRN d_scale fit recovers the
+        hidden ADC from that curve alone — no dipoles involved."""
+        from mri_nanoparticle_simulation_tpu import inverse as inv
+        p = P.small_test_params(
+            num_water=128, num_cells=4, totaltime=0.01,
+            sprint_steps=1000, taucp=0.001, mmoment=0.0, phase_k=0.0,
+            D_cell=1.0, D_extra=1.0)
+        gz = float(np.sqrt(3.0 * 200.0 / (
+            (p.phase_per_tesla / p.tau) ** 2 * (np.pi / 6.0)
+            * p.taucp ** 2)))
+        p = p.replace(b0_gradient=(0.0, 0.0, gz)).validate()
+        sc = BacteriaBox(p, seed=5).populate()
+        target = np.asarray(inv.make_engine_curve_fn(
+            p, sc, seed=7, engine="scan")(0.55))
+        fit = inv.fit_diffusion_scale_crn(
+            target, p, sc, seed=7, bracket=(0.2, 1.0), iters=18,
+            engine="scan")
+        assert abs(fit.scale - 0.55) / 0.55 < 0.02
+        assert fit.loss < 1e-6
