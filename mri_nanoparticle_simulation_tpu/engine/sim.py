@@ -1103,7 +1103,11 @@ def main(argv=None):
             ap.error("--sweep runs --trials-per-value trials per value; "
                      "drop --ensemble")
         name = args.sweep
-        if name == "D":
+        if name == "Gz":
+            # the DWI b-value axis: z background gradient, T/um (a
+            # compile-per-value knob — gradients are kernel constants)
+            values = [float(v) for v in args.sweep_values.split(",")]
+        elif name == "D":
             # global diffusion scale: value v scales D_cell AND D_extra
             # together via the engines' d_scale launch scalar — one
             # compiled program for the whole sweep (sweeping D_cell or
@@ -1140,6 +1144,9 @@ def main(argv=None):
             csv_path, times, [name], [(v,) for v in values],
             np.asarray(curves), lambda combo: (
                 params.scale_D(combo[0]) if name == "D"
+                else params.replace(b0_gradient=(
+                    params.b0_gradient[0], params.b0_gradient[1],
+                    combo[0])) if name == "Gz"
                 else params.replace(**{name: combo[0]})), args.fit_t2,
             quadrature=args.quadrature)
         n_runs = len(values) * args.trials_per_value

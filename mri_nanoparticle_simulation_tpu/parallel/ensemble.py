@@ -664,6 +664,11 @@ def run_parameter_sweep(base_params: Params, name: str, values,
     placement (cell_r rebuilds scenes too — per *trial* — but without
     recompiling).
 
+    ``name='Gz'`` sweeps the z component of ``b0_gradient`` (the
+    diffusion-weighting series of a DWI acquisition); gradients are
+    compile-time constants of the kernels, so each value compiles its
+    own program like any non-launch-scalar knob.
+
     ``paired=True`` gives trial k of EVERY value the same scene seed
     (``base_seed + k``) and the same RNG stream (``run_seed + k``):
     common random numbers across the sweep axis, so the difference
@@ -700,8 +705,18 @@ def run_parameter_sweep(base_params: Params, name: str, values,
 
     curves = []
     times = None
+
+    def _pv(v):
+        # 'Gz' sweeps the z background gradient (the DWI b-value axis);
+        # a tuple field, so it cannot ride the generic replace(name=v)
+        if name == "Gz":
+            bg = base_params.b0_gradient
+            return base_params.replace(b0_gradient=(bg[0], bg[1],
+                                                    float(v)))
+        return base_params.replace(**{name: v})
+
     for i, v in enumerate(values):
-        p = base_params.replace(**{name: v}).validate()
+        p = _pv(v).validate()
         times, cos, sin, _ = run_ensemble(
             p, n_trials=n_trials_each, base_seed=base_seed,
             run_seed=run_seed if paired else run_seed + i * 10000,

@@ -178,3 +178,47 @@ class TestDwiAdcRecovery:
             engine="scan")
         assert abs(fit.scale - 0.55) / 0.55 < 0.02
         assert fit.loss < 1e-6
+
+
+class TestGradientSweep:
+    def test_gz_sweep_b_value_series(self, tmp_path):
+        """--sweep Gz: the DWI b-value series — R2 must grow
+        quadratically in the gradient (Carr-Purcell), and the CLI
+        writes one CSV per value."""
+        from mri_nanoparticle_simulation_tpu.parallel import ensemble
+        p = P.small_test_params(
+            num_water=128, num_cells=4, totaltime=0.01,
+            sprint_steps=1000, taucp=0.001, mmoment=0.0, phase_k=0.0,
+            D_cell=1.0, D_extra=1.0)
+        g1 = float(np.sqrt(3.0 * 100.0 / (
+            (p.phase_per_tesla / p.tau) ** 2 * (np.pi / 6.0)
+            * p.taucp ** 2)))
+        times, curves = ensemble.run_parameter_sweep(
+            p, "Gz", [0.0, g1, 2.0 * g1], n_trials_each=1, paired=True)
+        r2 = []
+        for i, g in enumerate((0.0, g1, 2.0 * g1)):
+            te, me = an.sample_at_echoes(times, curves[i, 0], p.taucp)
+            if g == 0.0:
+                # no gradient, no moment: nothing decays
+                np.testing.assert_allclose(me, p.num_water, atol=1e-3)
+                continue
+            fit = an.fit_t2(te, me / p.num_water, floor=0.0)
+            r2.append(1.0 / fit.t2_ms)
+        # quadratic in G: 2x gradient -> 4x rate (within MC scatter)
+        assert abs(r2[0] - 100.0) / 100.0 < 0.15
+        assert abs(r2[1] / r2[0] - 4.0) < 0.6
+
+    def test_cli_gz_sweep_smoke(self, tmp_path):
+        from mri_nanoparticle_simulation_tpu.engine import sim
+        out = str(tmp_path / "b.csv")
+        rc = sim.main(["--num-water", "16", "--num-cells", "4",
+                       "--totaltime", "0.002", "--sprint-steps", "1000",
+                       "--chunk-steps", "100", "--near-k", "3",
+                       "--taucp", "0.001", "--hash-dim", "8",
+                       "--engine", "scan",
+                       "--sweep", "Gz", "--sweep-values", "0,2e-4",
+                       "--out", out])
+        assert rc == 0
+        import os
+        assert os.path.exists(str(tmp_path / "b_Gz=0.csv"))
+        assert os.path.exists(str(tmp_path / "b_Gz=0.0002.csv"))
