@@ -75,7 +75,29 @@ fit_r = inverse.fit_cell_radius_crn(target_r, params, scene, seed=2,
 print(f"cell-radius fit: {fit_r.scale:.4f} um (true 0.7)")
 assert abs(fit_r.scale - 0.7) < 0.02
 
-# --- 3. T2 spectrum of a heterogeneous decay --------------------------
+# --- 3. Diffusion-weighted MRI: gradient + ADC recovery ----------------
+# A constant background gradient (mri-t2-sim --gradient) encodes the
+# diffusion coefficient in the CPMG decay (Carr & Purcell 1954); the
+# closed form analysis.carr_purcell_r2 designs the gradient, and the
+# CRN d_scale fit recovers the hidden ADC from the curve alone.
+p_dwi = small_test_params(num_water=128, num_cells=4, totaltime=0.01,
+                          sprint_steps=1000, taucp=0.001, mmoment=0.0,
+                          phase_k=0.0, D_cell=1.0, D_extra=1.0)
+gz = float(np.sqrt(3.0 * 200.0 /
+                   ((p_dwi.phase_per_tesla / p_dwi.tau) ** 2
+                    * (np.pi / 6.0) * p_dwi.taucp ** 2)))
+p_dwi = p_dwi.replace(b0_gradient=(0.0, 0.0, gz)).validate()
+sc_dwi = BacteriaBox(p_dwi, seed=5).populate()
+dwi = np.asarray(inverse.make_engine_curve_fn(
+    p_dwi, sc_dwi, seed=7, engine=ENGINE)(0.55))   # hidden ADC scale
+fit_d = inverse.fit_diffusion_scale_crn(dwi, p_dwi, sc_dwi, seed=7,
+                                        bracket=(0.2, 1.0), iters=16,
+                                        engine=ENGINE)
+print(f"DWI ADC fit: d_scale {fit_d.scale:.4f} (true 0.55); designed "
+      f"R2 = {analysis.carr_purcell_r2(p_dwi, D=1.0):.0f}/ms")
+assert abs(fit_d.scale - 0.55) / 0.55 < 0.05
+
+# --- 4. T2 spectrum of a heterogeneous decay --------------------------
 # Two compartments (e.g. two cell densities / D environments): the mono
 # fit averages them away; the spectrum resolves both.
 t = np.linspace(0.05, 60.0, 400)
