@@ -222,3 +222,28 @@ class TestGradientSweep:
         import os
         assert os.path.exists(str(tmp_path / "b_Gz=0.csv"))
         assert os.path.exists(str(tmp_path / "b_Gz=0.0002.csv"))
+
+
+class TestGradientPlaneCompose:
+    def test_on_device_plane_carries_gradient_in_B(self):
+        """run_plane_on_device with a gradient: the closed-form
+        (moment x taucp) reconstruction must match direct runs at each
+        scale — i.e. the gradient phase stays fixed while the dipole
+        part scales (it rides the B column of the record planes)."""
+        from mri_nanoparticle_simulation_tpu.engine import decompose as dec
+        p = P.small_test_params(num_water=32, totaltime=0.001,
+                                sprint_steps=500, mmoment=2e-14,
+                                b0_gradient=(0.0, 0.0, 2e-4))
+        sc = BacteriaBox(p, seed=3).populate()
+        _, curves, stats, _ = dec.run_plane_on_device(
+            sc, p, scales=[1.0, 2.0], taucps=None, seed=2,
+            engine="scan")
+        import dataclasses
+        for i, s in enumerate((1.0, 2.0)):
+            mn = sc.mnps.copy()
+            mn[:, 4] *= s          # the moment lives in the scene table
+            sc_s = dataclasses.replace(sc, mnps=mn)
+            _, cos_direct, _, _ = re.run_simulation(sc_s, p, seed=2)
+            np.testing.assert_allclose(
+                curves[i, 0, :, 0] * p.num_water,
+                np.asarray(cos_direct), atol=2e-3)
