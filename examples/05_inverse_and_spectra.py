@@ -83,9 +83,7 @@ assert abs(fit_r.scale - 0.7) < 0.02
 p_dwi = small_test_params(num_water=128, num_cells=4, totaltime=0.01,
                           sprint_steps=1000, taucp=0.001, mmoment=0.0,
                           phase_k=0.0, D_cell=1.0, D_extra=1.0)
-gz = float(np.sqrt(3.0 * 200.0 /
-                   ((p_dwi.phase_per_tesla / p_dwi.tau) ** 2
-                    * (np.pi / 6.0) * p_dwi.taucp ** 2)))
+gz = analysis.design_gradient_for_r2(p_dwi, 200.0, D=1.0)
 p_dwi = p_dwi.replace(b0_gradient=(0.0, 0.0, gz)).validate()
 sc_dwi = BacteriaBox(p_dwi, seed=5).populate()
 dwi = np.asarray(inverse.make_engine_curve_fn(

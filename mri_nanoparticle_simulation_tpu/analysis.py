@@ -193,6 +193,23 @@ def carr_purcell_r2(params, D: Optional[float] = None) -> float:
     return gamma_ms ** 2 * g2 * d_eff * params.taucp ** 2 / 3.0
 
 
+def design_gradient_for_r2(params, r2_per_ms: float,
+                           D: Optional[float] = None) -> float:
+    """Invert :func:`carr_purcell_r2`: the gradient MAGNITUDE (T/µm)
+    whose CPMG train decays at ``r2_per_ms`` for free diffusion at
+    ``D`` (default ``params.D_extra``) and the configured taucp.  The
+    b-value design tool: put the result on one axis of
+    ``b0_gradient`` (only |G| matters for the rate)."""
+    import math as _math
+    if not r2_per_ms >= 0:
+        raise ValueError(f"r2_per_ms must be >= 0; got {r2_per_ms!r}")
+    gamma_ms = params.phase_per_tesla / params.tau
+    d = params.D_extra if D is None else float(D)
+    d_eff = _math.pi * d / 6.0
+    return _math.sqrt(3.0 * r2_per_ms
+                      / (gamma_ms ** 2 * d_eff * params.taucp ** 2))
+
+
 class T2Spectrum(NamedTuple):
     """A regularized multi-exponential T2 spectrum (``fit_t2_spectrum``)."""
     t2_grid_ms: np.ndarray   #: [K] log-spaced candidate T2 grid

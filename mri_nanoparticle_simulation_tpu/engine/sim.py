@@ -583,7 +583,10 @@ def main(argv=None):
                          "acquisitions) beyond the reference's "
                          "zero-gradient world; the phase term is "
                          "moment-independent and composes with "
-                         "--moment-scales reconstruction")
+                         "--moment-scales reconstruction; a negative "
+                         "LEADING component needs the = form "
+                         "(--gradient=-1e-4,0,0 — argparse treats a "
+                         "bare leading '-' as an option)")
     ap.add_argument("--cube-candidates", type=int, default=96)
     ap.add_argument("--far-table-order", type=int, default=5,
                     help="per-cube far-field Taylor order on the "
@@ -1142,12 +1145,9 @@ def main(argv=None):
         wall = time.perf_counter() - t0
         _emit_sweep_outputs(
             csv_path, times, [name], [(v,) for v in values],
-            np.asarray(curves), lambda combo: (
-                params.scale_D(combo[0]) if name == "D"
-                else params.replace(b0_gradient=(
-                    params.b0_gradient[0], params.b0_gradient[1],
-                    combo[0])) if name == "Gz"
-                else params.replace(**{name: combo[0]})), args.fit_t2,
+            np.asarray(curves),
+            lambda combo: ens.sweep_params_for(params, name, combo[0]),
+            args.fit_t2,
             quadrature=args.quadrature)
         n_runs = len(values) * args.trials_per_value
         rate = n_runs * params.t * params.num_water / wall

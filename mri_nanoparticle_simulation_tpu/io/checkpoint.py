@@ -29,7 +29,20 @@ FORMAT_VERSION = 2
 
 
 def params_fingerprint(params: Params) -> str:
-    payload = json.dumps(dataclasses.asdict(params), sort_keys=True)
+    """Content hash of the NON-DEFAULT params fields.
+
+    Defaults-aware on purpose: a field sitting at its dataclass default
+    is omitted from the payload, so ADDING a new knob to Params (at a
+    default that reproduces the old physics) does not invalidate every
+    existing checkpoint and durable record — the b0_gradient extension
+    would otherwise have refused to resume every pre-extension run
+    despite bit-identical physics.  A field moved OFF its default still
+    changes the fingerprint, which is the contract that matters."""
+    fields = {f.name: f.default for f in dataclasses.fields(params)}
+    payload = json.dumps(
+        {k: v for k, v in dataclasses.asdict(params).items()
+         if not (k in fields and v == fields[k])},
+        sort_keys=True)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 

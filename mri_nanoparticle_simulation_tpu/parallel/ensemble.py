@@ -566,6 +566,21 @@ def run_ensemble(params: Params, n_trials: int,
 SCALAR_AXES = ("mmoment", "taucp", "cell_r", "D")
 
 
+def sweep_params_for(base_params: Params, name: str, value):
+    """The ONE mapping from a sweep-axis name + value to concrete
+    Params — used by run_parameter_sweep AND the CLI's per-point output
+    metadata so the two can never drift.  Special axes: ``D`` scales
+    both diffusion coefficients; ``Gz`` sets the z background gradient
+    (a tuple field the generic replace cannot reach)."""
+    if name == "D":
+        return base_params.scale_D(float(value))
+    if name == "Gz":
+        bg = base_params.b0_gradient
+        return base_params.replace(b0_gradient=(bg[0], bg[1],
+                                                float(value)))
+    return base_params.replace(**{name: value})
+
+
 def grid_per_trial(axes: dict, n_trials_each: int, paired: bool,
                    base_seed: int, run_seed: int):
     """Shared grid expansion (single-process and multihost callers):
@@ -705,18 +720,8 @@ def run_parameter_sweep(base_params: Params, name: str, values,
 
     curves = []
     times = None
-
-    def _pv(v):
-        # 'Gz' sweeps the z background gradient (the DWI b-value axis);
-        # a tuple field, so it cannot ride the generic replace(name=v)
-        if name == "Gz":
-            bg = base_params.b0_gradient
-            return base_params.replace(b0_gradient=(bg[0], bg[1],
-                                                    float(v)))
-        return base_params.replace(**{name: v})
-
     for i, v in enumerate(values):
-        p = _pv(v).validate()
+        p = sweep_params_for(base_params, name, v).validate()
         times, cos, sin, _ = run_ensemble(
             p, n_trials=n_trials_each, base_seed=base_seed,
             run_seed=run_seed if paired else run_seed + i * 10000,

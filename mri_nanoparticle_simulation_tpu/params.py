@@ -276,7 +276,8 @@ class Params:
     def validate(self) -> "Params":
         bg = self.b0_gradient
         if (not isinstance(bg, tuple) or len(bg) != 3
-                or not all(math.isfinite(float(g)) for g in bg)):
+                or not all(isinstance(g, (int, float))
+                           and math.isfinite(float(g)) for g in bg)):
             raise ValueError(
                 f"b0_gradient must be a 3-tuple of finite floats "
                 f"(T/µm); got {bg!r}")

@@ -134,13 +134,10 @@ class TestCarrPurcellAnalytic:
             phase_k=0.0,            # no chemical-shift kick
             D_cell=D, D_extra=D,    # uniform diffusivity
         )
-        gamma_ms = p.phase_per_tesla / p.tau     # rad / (ms T)
-        d_eff = np.pi * D / 6.0                  # per-axis, cube kinematics
         r2_target = 100.0                        # 1/ms -> decays to e^-2
-        gz = float(np.sqrt(3.0 * r2_target
-                           / (gamma_ms ** 2 * d_eff * p.taucp ** 2)))
+        gz = an.design_gradient_for_r2(p, r2_target, D=D)
         p = p.replace(b0_gradient=(0.0, 0.0, gz)).validate()
-        # the public closed form agrees with the hand derivation
+        # design and closed form are exact inverses
         assert an.carr_purcell_r2(p, D=D) == pytest.approx(r2_target)
         sc = BacteriaBox(p, seed=5).populate()
         _, cos, _, st = _run(p, sc, seed=7, engine="scan")
@@ -166,9 +163,7 @@ class TestDwiAdcRecovery:
             num_water=128, num_cells=4, totaltime=0.01,
             sprint_steps=1000, taucp=0.001, mmoment=0.0, phase_k=0.0,
             D_cell=1.0, D_extra=1.0)
-        gz = float(np.sqrt(3.0 * 200.0 / (
-            (p.phase_per_tesla / p.tau) ** 2 * (np.pi / 6.0)
-            * p.taucp ** 2)))
+        gz = an.design_gradient_for_r2(p, 200.0, D=1.0)
         p = p.replace(b0_gradient=(0.0, 0.0, gz)).validate()
         sc = BacteriaBox(p, seed=5).populate()
         target = np.asarray(inv.make_engine_curve_fn(
@@ -190,9 +185,7 @@ class TestGradientSweep:
             num_water=128, num_cells=4, totaltime=0.01,
             sprint_steps=1000, taucp=0.001, mmoment=0.0, phase_k=0.0,
             D_cell=1.0, D_extra=1.0)
-        g1 = float(np.sqrt(3.0 * 100.0 / (
-            (p.phase_per_tesla / p.tau) ** 2 * (np.pi / 6.0)
-            * p.taucp ** 2)))
+        g1 = an.design_gradient_for_r2(p, 100.0, D=1.0)
         times, curves = ensemble.run_parameter_sweep(
             p, "Gz", [0.0, g1, 2.0 * g1], n_trials_each=1, paired=True)
         r2 = []

@@ -685,11 +685,9 @@ class TestGradientHardware:
             num_water=2048, num_cells=4, totaltime=0.02,
             sprint_steps=2000, taucp=0.002, mmoment=0.0,
             phase_k=0.0, D_cell=D, D_extra=D)
-        gamma_ms = pp.phase_per_tesla / pp.tau
-        d_eff = np.pi * D / 6.0
+        from mri_nanoparticle_simulation_tpu import analysis as an
         r2_target = 100.0
-        gz = float(np.sqrt(3.0 * r2_target
-                           / (gamma_ms ** 2 * d_eff * pp.taucp ** 2)))
+        gz = an.design_gradient_for_r2(pp, r2_target, D=D)
         pp = pp.replace(b0_gradient=(0.0, 0.0, gz)).validate()
         sc = BacteriaBox(pp, seed=5).populate()
         runner = SimulationRunner(pp, scene_seed=5, seed=7,
@@ -697,7 +695,6 @@ class TestGradientHardware:
                                   scene=sc)
         times, cos, _, stats = runner.run()
         assert stats["escapes"] == 0
-        from mri_nanoparticle_simulation_tpu import analysis as an
         te, me = an.sample_at_echoes(times, np.asarray(cos), pp.taucp)
         fit = an.fit_t2(te, me / pp.num_water, floor=0.0)
         r2_fit = 1.0 / fit.t2_ms
