@@ -40,11 +40,20 @@
  *
  * Usage: ref_t2_oracle <scene_seed> <rng_seed> <out_csv> [n_water]
  *                      [steps] [pfreq] [tcp] [moment_scale] [d_scale]
+ *                      [cell_r_run] [reflect_io] [reflect_oi]
  *
  * d_scale scales BOTH diffusion coefficients: the derived stdevs are
  * sqrt(pi * D * tau) (parameters.h:120-121), so the displacement
  * magnitudes multiply by sqrt(d_scale) — reference physics with a
  * rescaled D, the oracle arm for the framework's runtime D axis.
+ *
+ * reflect_io / reflect_oi override the membrane bounce probabilities
+ * (the reference derives them from P_expr but ships them as 0 —
+ * transparent membranes, parameters.h:116-117; the cell_reflect branch
+ * cuda_sim.cu:502-509 is compiled either way).  Nonzero values are the
+ * oracle arm for the framework's permeability physics (reflect_io /
+ * reflect_oi in params.py): the SAME coin stream is consumed in both
+ * configurations, only the comparison thresholds change.
  */
 
 #include <cmath>
@@ -125,10 +134,25 @@ int main(int argc, char **argv) {
                 argc > 9 ? argv[9] : "1");
         return 2;
     }
-    double cell_r_run = argc > 10 ? atof(argv[10]) : p.cell_r;
+    // 0 selects the compiled default (so later positional args stay
+    // reachable without hard-coding p.cell_r in every caller)
+    double cell_r_run = argc > 10 && atof(argv[10]) != 0.0
+        ? atof(argv[10]) : p.cell_r;
     if (!(cell_r_run > 0) || cell_r_run != cell_r_run) {
         fprintf(stderr, "cell_r_run must be a positive number; got '%s'\n",
                 argc > 10 ? argv[10] : "default");
+        return 2;
+    }
+    // membrane bounce probabilities (cell_reflect thresholds); the
+    // reference's ParameterStruct members are runtime-assignable
+    // (parameters.h:99 "Assign values in constructor"), so overriding
+    // them here is exactly a rebuilt __constant__ params copy
+    if (argc > 11) p.reflectIO = atof(argv[11]);
+    if (argc > 12) p.reflectOI = atof(argv[12]);
+    if (p.reflectIO < 0 || p.reflectIO > 1 || p.reflectOI < 0 ||
+        p.reflectOI > 1 || p.reflectIO != p.reflectIO ||
+        p.reflectOI != p.reflectOI) {
+        fprintf(stderr, "reflect_io/oi must be in [0, 1]\n");
         return 2;
     }
     double dstd = sqrt(dsc);

@@ -74,13 +74,15 @@ def _wrap_compiled(compiled):
     that (args, kwargs) structure exactly, so runtime overrides are
     rejected rather than silently mis-bound."""
     def sprint(mnp_pos, mnp_M, key_arr, ps, lane_offset,
-               cache=None, tcp=None, cell_r=None, d_scale=None):
+               cache=None, tcp=None, cell_r=None, d_scale=None,
+               reflect=None):
         if cache is not None or tcp is not None or cell_r is not None \
-                or d_scale is not None:
+                or d_scale is not None or reflect is not None:
             raise ValueError("AOT sprint supports the plain production "
                              "call only")
         return compiled(mnp_pos, mnp_M, key_arr, ps, lane_offset,
-                        cache=None, tcp=None, cell_r=None, d_scale=None)
+                        cache=None, tcp=None, cell_r=None, d_scale=None,
+                        reflect=None)
     return sprint
 
 
@@ -169,7 +171,7 @@ def compile_and_save(jit_sprint, params: Params, num_water: int,
     try:
         lowered = jit_sprint.lower(*example_args,
                                    cache=None, tcp=None, cell_r=None,
-                                   d_scale=None)
+                                   d_scale=None, reflect=None)
         compiled = lowered.compile()
     except Exception:
         return None

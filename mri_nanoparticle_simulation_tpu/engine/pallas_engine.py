@@ -172,7 +172,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
     Arguments are packed to keep per-launch binding cost low (the launch
     overhead is material: ~0.2 ms/call, and a full run makes 20k calls):
 
-        f(scalars_u32[9],
+        f(scalars_u32[11],
           state  [6, R, 128]  (px, py, pz, in_cell, phase, comp),
           near   [4, K, R, 128]  (x, y, z, M),
           taylor [10, R, 128]  (b0, gx, gy, gz, hxx, hyy, hzz, hxy, hxz, hyz))
@@ -180,16 +180,19 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
             coverage [n_blocks, 1, 1] SMEM, wins [n_blocks, n_win, 2])
 
     scalars = [step0, key_hi, key_lo, chunk_seed, lane_offset, num_water,
-    tcp, cell_r2_bits, stdev_scale_bits].  The chunk anchor IS the input
-    position (positions are wrapped before the recandidate build), and
-    walker lanes / validity masks are derived in-kernel from
-    (program_id, lane_offset, num_water) — no per-launch index planes.
-    tcp (Carr-Purcell interval, steps), cell_r^2 and the diffusion stdev
-    scale sqrt(d_scale) (both f32 bit patterns) ride the scalar vector
-    instead of being baked into the program so parameter sweeps over
-    taucp / cell_r / D share ONE compile (the reference recompiled with
-    nvcc per value, README.md:13); all are read once per launch, outside
-    the step loop.
+    tcp, cell_r2_bits, stdev_scale_bits, reflect_io_bits,
+    reflect_oi_bits].  The chunk anchor IS the input position (positions
+    are wrapped before the recandidate build), and walker lanes /
+    validity masks are derived in-kernel from (program_id, lane_offset,
+    num_water) — no per-launch index planes.  tcp (Carr-Purcell
+    interval, steps), cell_r^2, the diffusion stdev scale sqrt(d_scale)
+    and the membrane bounce probabilities reflect_io/oi (all f32 bit
+    patterns) ride the scalar vector instead of being baked into the
+    program so parameter sweeps over taucp / cell_r / D / permeability
+    share ONE compile (the reference recompiled with nvcc per value,
+    README.md:13); all are read once per launch, outside the step loop.
+    The reflect scalars are only read (and the coin word only drawn)
+    when the static params enable reflection.
 
     **In-kernel rebuild mode** (``n_mnp_pad`` set): the near/taylor inputs
     are replaced by the raw dipole table in SMEM, and the kernel performs
@@ -200,7 +203,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
     of reductions + glue at the reference scale) for ~0.12 ms of in-kernel
     work:
 
-        f(scalars_u32[9], state [6, R, 128],
+        f(scalars_u32[11], state [6, R, 128],
           mnp [4, n_mnp_pad] SMEM (x, y, z, M*FIELD_SCALE))
         -> same outputs.
 
@@ -391,6 +394,17 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
             jnp.full((r_blk, LANES), scalars[8]), jnp.float32).astype(dtype)
         in_stdev_d = in_stdev * dstd
         out_stdev_d = out_stdev * dstd
+        if use_reflection:
+            # membrane bounce probabilities as launch scalars (read once
+            # per launch like cell_r2/dstd): permeability sweeps/fits
+            # share this compiled program.  Dead (never read) when the
+            # static params have reflection off.
+            rio_v = jax.lax.bitcast_convert_type(
+                jnp.full((r_blk, LANES), scalars[9]),
+                jnp.float32).astype(dtype)
+            roi_v = jax.lax.bitcast_convert_type(
+                jnp.full((r_blk, LANES), scalars[10]),
+                jnp.float32).astype(dtype)
         if rng_impl == RNG_HARDWARE:
             # distinct hardware-PRNG stream per walker block — seeding all
             # blocks identically would give them identical random sequences
@@ -517,11 +531,12 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                 if use_reflection:
                     # pure boolean crossing logic + selects — value-
                     # identical to the scan engine's float blend (its
-                    # flip factor is exactly 0 or 1)
+                    # flip factor is exactly 0 or 1); thresholds are the
+                    # rio_v/roi_v launch-scalar planes
                     flip = ((incell & jnp.logical_not(in_new)
-                             & (u_coin < float(params.reflect_io)))
+                             & (u_coin < rio_v))
                             | (jnp.logical_not(incell) & in_new
-                               & (u_coin < float(params.reflect_oi))))
+                               & (u_coin < roi_v)))
                     x2 = jnp.where(flip, x, x2)
                     y2 = jnp.where(flip, y, y2)
                     z2 = jnp.where(flip, z, z2)
@@ -745,7 +760,7 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
             o_cov[0, 0, 0] = jnp.zeros((), dtype)
 
     n_state = 8 if decompose else 6
-    sspec = pl.BlockSpec((9,), lambda b: (0,), memory_space=pltpu.SMEM)
+    sspec = pl.BlockSpec((11,), lambda b: (0,), memory_space=pltpu.SMEM)
     state_spec = pl.BlockSpec((n_state, r_blk, LANES), lambda b: (0, b, 0),
                               memory_space=pltpu.VMEM)
     esc_spec = pl.BlockSpec((r_blk, LANES), lambda b: (b, 0),
@@ -804,13 +819,15 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
     kernel.  Operates on PlaneState.
 
     sprint(mnp_pos, mnp_M, key_arr, plane_state, lane_offset,
-           cache=None, tcp=None, cell_r=None)
+           cache=None, tcp=None, cell_r=None, d_scale=None, reflect=None)
         -> (plane_state', wins [n_windows, 2])
 
-    ``tcp`` (Carr-Purcell interval in steps, uint32) and ``cell_r``
+    ``tcp`` (Carr-Purcell interval in steps, uint32), ``cell_r``
     (cell radius, f32 — squared in-flight with scan-engine-identical
-    rounding) optionally override their static params values with
-    *traced* runtime scalars: a taucp / cell_r sweep can then reuse ONE
+    rounding), ``d_scale`` and ``reflect`` (a (reflect_io, reflect_oi)
+    pair; requires reflection enabled in the static params) optionally
+    override their static params values with *traced* runtime scalars:
+    a taucp / cell_r / D / permeability sweep can then reuse ONE
     compiled sprint across all values (the reference rebuilt with nvcc
     per value, README.md:13).  Defaults (None) bake the params values
     into the very same launch scalars — the compiled program is
@@ -855,7 +872,8 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
             return jnp.concatenate([base, ps.phase, ps.phase_comp])
         return jnp.concatenate([base, ps.phase[None], ps.phase_comp[None]])
 
-    def make_scalars(ps, lane_offset, key_arr, tcp_u, cr2_bits, dstd_bits):
+    def make_scalars(ps, lane_offset, key_arr, tcp_u, cr2_bits, dstd_bits,
+                     rio_bits, roi_bits):
         step0 = ps.step
         lane_off = jnp.asarray(lane_offset, jnp.uint32)
         # chunk_seed folds in lane_offset so walker shards on other
@@ -866,28 +884,37 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
              (step0 ^ (key_arr[1] * jnp.uint32(2654435761)))
              + lane_off * jnp.uint32(2246822519),
              lane_off, jnp.uint32(num_water),
-             tcp_u, cr2_bits, dstd_bits])
+             tcp_u, cr2_bits, dstd_bits, rio_bits, roi_bits])
 
-    def dyn_scalars(tcp, cell_r, d_scale):
+    def dyn_scalars(tcp, cell_r, d_scale, reflect=None):
         """Resolve the runtime-sweepable scalars: defaults come from the
         static params (bitwise-identical program either way), overrides
-        are traced values so taucp / cell_r / d_scale sweeps share one
-        compile.
+        are traced values so taucp / cell_r / d_scale / reflect sweeps
+        share one compile.
 
         cell_r is squared HERE as an f32 x f32 product — the same
         rounding as the scan engine's ``cell_r * cell_r`` — so the
         in-cell verdict is bitwise consistent across every path (a
         pre-squared f64 constant differs by 1 ulp for radii like 0.55).
         d_scale square-roots here too (f32, matching the scan engine's
-        dyn stdev scale) and rides as the sqrt's bit pattern."""
+        dyn stdev scale) and rides as the sqrt's bit pattern.
+        reflect is a (reflect_io, reflect_oi) pair riding as f32 bit
+        patterns; the kernel only reads them when the static params
+        enable reflection (guarded upstream)."""
         tcp_u = (jnp.uint32(params.tcp) if tcp is None
                  else jnp.asarray(tcp, jnp.uint32))
         cr = (jnp.float32(params.cell_r) if cell_r is None
               else jnp.asarray(cell_r, jnp.float32))
         dstd = (jnp.float32(1.0) if d_scale is None
                 else jnp.sqrt(jnp.asarray(d_scale, jnp.float32)))
+        rio = (jnp.float32(params.reflect_io) if reflect is None
+               else jnp.asarray(reflect[0], jnp.float32))
+        roi = (jnp.float32(params.reflect_oi) if reflect is None
+               else jnp.asarray(reflect[1], jnp.float32))
         return (tcp_u, jax.lax.bitcast_convert_type(cr * cr, jnp.uint32),
-                cr, jax.lax.bitcast_convert_type(dstd, jnp.uint32))
+                cr, jax.lax.bitcast_convert_type(dstd, jnp.uint32),
+                jax.lax.bitcast_convert_type(rio, jnp.uint32),
+                jax.lax.bitcast_convert_type(roi, jnp.uint32))
 
     def advance(ps, state_out, o_esc, o_cov, steps, cov_extra=None):
         # o_esc: [R, 128] per-walker escape counts, o_cov: [n_blocks, 1, 1]
@@ -909,9 +936,10 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                           escapes=escapes, coverage=coverage)
 
     def sprint(mnp_pos, mnp_M, key_arr, ps: PlaneState, lane_offset,
-               cache=None, tcp=None, cell_r=None, d_scale=None):
-        tcp_u, cr2_bits, cr_dyn, dstd_bits = dyn_scalars(tcp, cell_r,
-                                                         d_scale)
+               cache=None, tcp=None, cell_r=None, d_scale=None,
+               reflect=None):
+        (tcp_u, cr2_bits, cr_dyn, dstd_bits, rio_bits,
+         roi_bits) = dyn_scalars(tcp, cell_r, d_scale, reflect)
         n_mnp = mnp_pos.shape[0]
         if params.near_k > n_mnp:
             raise ValueError(
@@ -939,7 +967,7 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                 del chunk_idx
                 state_out, o_esc, o_cov, block_wins = kern(
                     make_scalars(ps, lane_offset, key_arr, tcp_u,
-                                 cr2_bits, dstd_bits),
+                                 cr2_bits, dstd_bits, rio_bits, roi_bits),
                     pack_state(ps), mnp_tbl)
                 return advance(ps, state_out, o_esc, o_cov, chunk_steps), \
                     block_wins if decompose else jnp.sum(block_wins, axis=0)
@@ -1027,7 +1055,7 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
                 coverage=ps.coverage))
             state_out, o_esc, o_cov, block_wins = kern(
                 make_scalars(ps, lane_offset, key_arr, tcp_u,
-                             cr2_bits, dstd_bits),
+                             cr2_bits, dstd_bits, rio_bits, roi_bits),
                 state_in, near, taylor)
             return advance(ps, state_out, o_esc, o_cov, chunk_steps,
                            cov_extra=cov_extra), \
@@ -1038,14 +1066,23 @@ def make_sprint_fn(params: Params, num_water: int, dtype=jnp.float32,
         return ps, wins.reshape(n_chunks * n_win_chunk, *wins.shape[2:])
 
     inner = jax.jit(sprint)
+    use_reflection = params.reflect_io > 0 or params.reflect_oi > 0
 
     def guarded(mnp_pos, mnp_M, key_arr, ps, lane_offset,
-                cache=None, tcp=None, cell_r=None, d_scale=None):
+                cache=None, tcp=None, cell_r=None, d_scale=None,
+                reflect=None):
         from .reference_engine import _check_dyn_overrides
-        _check_dyn_overrides(tcp, cell_r, d_scale)
+        if reflect is not None and not use_reflection:
+            # the kernel neither draws the coin word nor reads the
+            # reflect scalars when the static params have reflection off
+            raise ValueError(
+                "reflect overrides need reflection enabled in the static "
+                "params (e.g. params.with_permeability()); the engine "
+                "was built with reflect_io = reflect_oi = 0")
+        _check_dyn_overrides(tcp, cell_r, d_scale, reflect)
         return inner(mnp_pos, mnp_M, key_arr, ps, lane_offset,
                      cache=cache, tcp=tcp, cell_r=cell_r,
-                     d_scale=d_scale)
+                     d_scale=d_scale, reflect=reflect)
 
     guarded.inner = inner   # AOT warm-start hooks .lower() (engine/aot.py)
     return guarded

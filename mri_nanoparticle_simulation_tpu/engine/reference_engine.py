@@ -81,9 +81,9 @@ class WalkerState(NamedTuple):
     coverage: jnp.ndarray
 
 
-def _check_dyn_overrides(tcp, cell_r, d_scale=None):
-    """Host-side guard on concrete tcp/cell_r/d_scale overrides (traced
-    sweep values are validated upstream by run_ensemble/
+def _check_dyn_overrides(tcp, cell_r, d_scale=None, reflect=None):
+    """Host-side guard on concrete tcp/cell_r/d_scale/reflect overrides
+    (traced sweep values are validated upstream by run_ensemble/
     run_parameter_sweep).  tcp=0 would reach the kernels' unsigned
     ``end_step % tcp``."""
     for name, v in (("tcp", tcp), ("cell_r", cell_r),
@@ -96,6 +96,15 @@ def _check_dyn_overrides(tcp, cell_r, d_scale=None):
             continue
         if vf <= 0:
             raise ValueError(f"{name} override must be > 0; got {vf}")
+    if reflect is not None:
+        for i, comp in enumerate(("reflect_io", "reflect_oi")):
+            try:
+                vf = float(reflect[i])
+            except Exception:   # traced value - validated upstream
+                continue
+            if not (0.0 <= vf <= 1.0):
+                raise ValueError(
+                    f"{comp} override must be in [0, 1]; got {vf}")
 
 
 def init_state(waters: np.ndarray, params: Params,
@@ -171,10 +180,13 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
     cell_r=None) -> (state', windows)`` where ``key`` is a [2] uint32
     array and ``windows`` is [n_windows, 2] local (sum cos, sum sin) per
     output window.  ``lane_offset`` makes walker RNG lanes globally unique
-    when walkers are sharded across devices.  ``tcp`` (steps, uint32) and
-    ``cell_r`` (µm) optionally override their static params values with
-    traced runtime scalars so taucp / cell_r sweeps share one compiled
-    program (see pallas_engine.make_sprint_fn for the rationale).
+    when walkers are sharded across devices.  ``tcp`` (steps, uint32),
+    ``cell_r`` (µm), ``d_scale`` and ``reflect`` (a (reflect_io,
+    reflect_oi) pair — requires reflection enabled in the static params)
+    optionally override their static params values with traced runtime
+    scalars so taucp / cell_r / D / permeability sweeps share one
+    compiled program (see pallas_engine.make_sprint_fn for the
+    rationale).
 
     ``field_grid`` (a :class:`fields.grid.FieldGrid`) is required when
     ``params.field_mode == FIELD_GRID``; the grid is scene-static, so build
@@ -272,21 +284,31 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
     # tracing (same ref-cell pattern as mnp_pos_ref).  Defaults are the
     # static params constants; a taucp / cell_r sweep passes traced
     # overrides so all values share one compiled program.
-    # [cell_r, tcp, stdev_scale]; stdev_scale = sqrt(d_scale) multiplies
-    # both diffusion stdevs (in/out_stdev = sqrt(pi*D*tau), so scaling D
-    # by d_scale scales the stdevs by its square root) — a traced launch
-    # scalar so diffusion-coefficient fits/sweeps share one compiled
-    # program, and the path reverse-mode AD uses to differentiate
-    # trajectories in D (inverse.fit_diffusion_scale)
-    dyn_ref = [cell_r_static, jnp.uint32(params.tcp), dtype(1.0)]
+    # [cell_r, tcp, stdev_scale, reflect_io, reflect_oi]; stdev_scale =
+    # sqrt(d_scale) multiplies both diffusion stdevs (in/out_stdev =
+    # sqrt(pi*D*tau), so scaling D by d_scale scales the stdevs by its
+    # square root) — a traced launch scalar so diffusion-coefficient
+    # fits/sweeps share one compiled program, and the path reverse-mode
+    # AD uses to differentiate trajectories in D
+    # (inverse.fit_diffusion_scale).  reflect_io/oi are the membrane
+    # bounce probabilities (cell_reflect thresholds) — launch scalars so
+    # permeability sweeps/fits share one compile; they only exist in the
+    # traced program when the STATIC params enable reflection (the coin
+    # word is not drawn otherwise), which `guarded` enforces.
+    dyn_ref = [cell_r_static, jnp.uint32(params.tcp), dtype(1.0),
+               dtype(params.reflect_io), dtype(params.reflect_oi)]
 
-    def _set_dyn(tcp, cell_r, d_scale=None):
+    def _set_dyn(tcp, cell_r, d_scale=None, reflect=None):
         dyn_ref[0] = (cell_r_static if cell_r is None
                       else jnp.asarray(cell_r, dtype))
         dyn_ref[1] = (jnp.uint32(params.tcp) if tcp is None
                       else jnp.asarray(tcp, jnp.uint32))
         dyn_ref[2] = (dtype(1.0) if d_scale is None
                       else jnp.sqrt(jnp.asarray(d_scale, dtype)))
+        dyn_ref[3] = (dtype(params.reflect_io) if reflect is None
+                      else jnp.asarray(reflect[0], dtype))
+        dyn_ref[4] = (dtype(params.reflect_oi) if reflect is None
+                      else jnp.asarray(reflect[1], dtype))
 
     def step_fn(key, nf, lane, carry, step_idx):
         """One timestep for all walkers (simulateDiffusion body,
@@ -336,9 +358,11 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
             # bounces with probability reflectIO / reflectOI; a bounce
             # reverts the walker wholesale (w = init, cuda_sim.cu:720-722),
             # so position, field, and residency all roll back
-            flip = ((in_cell & ~in_new & (u_coin < dtype(params.reflect_io)))
-                    | (~in_cell & in_new
-                       & (u_coin < dtype(params.reflect_oi))))
+            # thresholds ride launch scalars (dyn_ref[3:5]) so
+            # permeability sweeps/fits share this compiled program;
+            # defaults are the static params values (same trace)
+            flip = ((in_cell & ~in_new & (u_coin < dyn_ref[3]))
+                    | (~in_cell & in_new & (u_coin < dyn_ref[4])))
             new_pos = jnp.where(flip[:, None], pos, new_pos)
             b = jnp.where(flip, b_prev, b)
             in_new = jnp.where(flip, in_cell, in_new)
@@ -370,9 +394,9 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
         return (new_pos, in_new, b, acc, max_d2)
 
     def sprint(mnp_pos, mnp_M, key_arr, state: WalkerState, lane_offset,
-               tcp=None, cell_r=None, d_scale=None):
+               tcp=None, cell_r=None, d_scale=None, reflect=None):
         mnp_pos_ref[0], mnp_pos_ref[1] = mnp_pos, mnp_M
-        _set_dyn(tcp, cell_r, d_scale)
+        _set_dyn(tcp, cell_r, d_scale, reflect)
         key = (key_arr[0], key_arr[1])
         w = state.pos.shape[0]
         lane = jnp.arange(w, dtype=jnp.uint32) + jnp.uint32(lane_offset)
@@ -442,9 +466,9 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
 
     def sprint_chunk_major(mnp_pos, mnp_M, key_arr, state: WalkerState,
                            lane_offset, tcp=None, cell_r=None,
-                           d_scale=None):
+                           d_scale=None, reflect=None):
         mnp_pos_ref[0], mnp_pos_ref[1] = mnp_pos, mnp_M
-        _set_dyn(tcp, cell_r, d_scale)
+        _set_dyn(tcp, cell_r, d_scale, reflect)
         key = (key_arr[0], key_arr[1])
         w = state.pos.shape[0]
         lane = jnp.arange(w, dtype=jnp.uint32) + jnp.uint32(lane_offset)
@@ -503,7 +527,7 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
     inner = jax.jit(sprint if window_major else sprint_chunk_major)
 
     def guarded(mnp_pos, mnp_M, key_arr, state, lane_offset,
-                tcp=None, cell_r=None, d_scale=None):
+                tcp=None, cell_r=None, d_scale=None, reflect=None):
         if grid_mode and cell_r is not None:
             # the grid guard must fire on concrete AND traced overrides:
             # FieldGrid residency reach was baked at build_grid time
@@ -511,9 +535,18 @@ def make_sprint_fn(params: Params, dtype=jnp.float32, field_grid=None,
                 "cell_r runtime overrides are not supported in "
                 "field_mode='grid': the grid's resident lists were built "
                 "for the static cell_r — rebuild the grid instead")
-        _check_dyn_overrides(tcp, cell_r, d_scale)
+        if reflect is not None and not use_reflection:
+            # the coin word is only drawn (and the branch only traced)
+            # when the STATIC params enable reflection — a runtime-only
+            # override would silently do nothing
+            raise ValueError(
+                "reflect overrides need reflection enabled in the static "
+                "params (e.g. params.with_permeability()); the engine "
+                "was built with reflect_io = reflect_oi = 0")
+        _check_dyn_overrides(tcp, cell_r, d_scale, reflect)
         return inner(mnp_pos, mnp_M, key_arr, state, lane_offset,
-                     tcp=tcp, cell_r=cell_r, d_scale=d_scale)
+                     tcp=tcp, cell_r=cell_r, d_scale=d_scale,
+                     reflect=reflect)
 
     return guarded
 

@@ -244,12 +244,43 @@ class Params:
     # Construction helpers
     # ----------------------------------------------------------------------
 
-    def with_permeability(self) -> "Params":
-        """Return a copy with the physical membrane reflection probabilities
-        from the commented-out reference formulas (parameters.h:116-117)."""
-        rio = 1.0 - math.sqrt(self.tau / (6.0 * self.D_cell)) * 4.0 * self.P_expr
+    def reflect_pair(self, p_expr: float = None) -> tuple:
+        """Map a membrane permeability (µm/ms) to the (reflect_io,
+        reflect_oi) bounce probabilities via the reference's derived
+        formulas (commented out in parameters.h:116-117):
+
+            reflectIO = 1 - sqrt(tau / (6 D_cell)) * 4 * P
+            reflectOI = 1 - (1 - reflectIO) * sqrt(D_cell / D_extra)
+
+        This is THE permeability->probability mapping — the engines'
+        reflect launch scalars, the ``--sweep P`` axis, ensemble
+        ``permeabilities`` and :func:`inverse.fit_permeability_crn` all
+        go through it, so a fitted/swept P always means the same
+        physics.  Raises for P large enough to push reflectIO below 0
+        (the formula's own validity bound: the per-step crossing
+        probability cannot exceed 1)."""
+        p_val = self.P_expr if p_expr is None else float(p_expr)
+        if p_val < 0:
+            raise ValueError(f"permeability must be >= 0; got {p_val}")
+        rio = 1.0 - math.sqrt(self.tau / (6.0 * self.D_cell)) * 4.0 * p_val
+        if rio < 0.0:
+            raise ValueError(
+                f"permeability {p_val} µm/ms exceeds the formula's "
+                f"validity bound (reflectIO < 0); max for these "
+                f"tau/D_cell is "
+                f"{1.0 / (math.sqrt(self.tau / (6.0 * self.D_cell)) * 4.0):g}")
         roi = 1.0 - (1.0 - rio) * math.sqrt(self.D_cell / self.D_extra)
-        return dataclasses.replace(self, reflect_io=rio, reflect_oi=roi)
+        return (rio, roi)
+
+    def with_permeability(self, p_expr: float = None) -> "Params":
+        """Return a copy with the physical membrane reflection probabilities
+        from the commented-out reference formulas (parameters.h:116-117);
+        ``p_expr`` (µm/ms) overrides the stored :attr:`P_expr`."""
+        rio, roi = self.reflect_pair(p_expr)
+        if p_expr is None:
+            return dataclasses.replace(self, reflect_io=rio, reflect_oi=roi)
+        return dataclasses.replace(self, P_expr=float(p_expr),
+                                   reflect_io=rio, reflect_oi=roi)
 
     def impermeable(self) -> "Params":
         """Return a copy with fully impermeable membranes (parameters.h:113)."""

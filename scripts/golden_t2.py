@@ -60,51 +60,62 @@ MSCALE = 20.0
 
 
 def oracle_csv(work_dir: str, trial: int, d_scale: float = 1.0,
-               cell_r: float = 0.0) -> str:
+               cell_r: float = 0.0,
+               reflect: tuple[float, float] | None = None) -> str:
     tag = "" if d_scale == 1.0 else f"_d{d_scale:g}"
     if cell_r:
         tag += f"_r{cell_r:g}"
+    if reflect:
+        tag += f"_p{reflect[0]:g}-{reflect[1]:g}"
     return os.path.join(work_dir, f"oracle{tag}_{trial}.csv")
 
 
 def run_oracle_trials(work_dir: str, n_trials: int,
-                      d_scale: float = 1.0, cell_r: float = 0.0):
+                      d_scale: float = 1.0, cell_r: float = 0.0,
+                      reflect: tuple[float, float] | None = None):
     exe = os.path.join(GOLDEN, "build", "ref_t2_oracle")
     if not os.path.exists(exe):
         subprocess.run(["bash", os.path.join(GOLDEN, "build.sh")],
                        check=True, capture_output=True)
     for t in range(n_trials):
-        path = oracle_csv(work_dir, t, d_scale, cell_r)
+        path = oracle_csv(work_dir, t, d_scale, cell_r, reflect)
         if os.path.exists(path):
             continue
         print(f"[oracle] trial {t} (d_scale={d_scale:g}"
-              + (f", cell_r={cell_r:g}" if cell_r else "") + ") ...",
+              + (f", cell_r={cell_r:g}" if cell_r else "")
+              + (f", reflect={reflect}" if reflect else "") + ") ...",
               file=sys.stderr, flush=True)
         cmd = [exe, str(5000 + t), str(900 + t), path, str(N_WATER),
                str(STEPS), str(PFREQ), str(TCP), str(MSCALE),
                str(d_scale)]
-        if cell_r:
+        if cell_r or reflect:
+            # 0 = "compiled default" so the reflect args stay reachable
             cmd.append(str(cell_r))
+        if reflect:
+            cmd += [str(reflect[0]), str(reflect[1])]
         subprocess.run(cmd, check=True, capture_output=True)
 
 
 def load_oracle(work_dir: str, d_scale: float = 1.0,
-                cell_r: float = 0.0):
+                cell_r: float = 0.0,
+                reflect: tuple[float, float] | None = None):
     curves = []
     t = 0
-    while os.path.exists(oracle_csv(work_dir, t, d_scale, cell_r)):
-        d = np.loadtxt(oracle_csv(work_dir, t, d_scale, cell_r),
+    while os.path.exists(oracle_csv(work_dir, t, d_scale, cell_r, reflect)):
+        d = np.loadtxt(oracle_csv(work_dir, t, d_scale, cell_r, reflect),
                        delimiter=",")
         curves.append(d[:, 1] / N_WATER)
         t += 1
     if not curves:
         raise SystemExit("no oracle CSVs found; run without --skip-oracle")
     return np.asarray(curves), np.loadtxt(
-        oracle_csv(work_dir, 0, d_scale, cell_r), delimiter=",")[:, 0]
+        oracle_csv(work_dir, 0, d_scale, cell_r, reflect),
+        delimiter=",")[:, 0]
 
 
 def run_framework_trials(n_trials: int, d_scale: float = 1.0,
-                         cell_r: float = 0.0):
+                         cell_r: float = 0.0,
+                         reflect: tuple[float, float] | None = None):
     """Production engine (pallas, hardware RNG when on TPU), matched
     params: as-written kick + cube direction + per-window CP schedule —
     the reference-physics compatibility mode."""
@@ -122,6 +133,10 @@ def run_framework_trials(n_trials: int, d_scale: float = 1.0,
         taucp=TCP * P.DEFAULT.tau,
         mmoment=P.DEFAULT.mmoment * MSCALE,
         near_k=10,
+        # membrane bounce probabilities: static trace-time constants —
+        # every trial in the arm shares them, so no launch scalar needed
+        reflect_io=reflect[0] if reflect else 0.0,
+        reflect_oi=reflect[1] if reflect else 0.0,
     ).validate()
     _, cos, _, _ = ensemble.run_ensemble(
         p, n_trials=n_trials, base_seed=7000, run_seed=8000,
@@ -159,22 +174,44 @@ def main():
                          "by sqrt(d), the framework rides its d_scale "
                          "launch scalar — the reference-physics "
                          "equivalence arm for the runtime D axis")
+    ap.add_argument("--reflect", default=None, metavar="RIO,ROI",
+                    help="membrane bounce probabilities applied to BOTH "
+                         "arms (cell_reflect, cuda_sim.cu:502-509 — the "
+                         "reference ships reflectIO=reflectOI=0, "
+                         "parameters.h:116-117, so this branch has never "
+                         "had a reference-physics measurement): the "
+                         "oracle overrides its ParameterStruct copy, the "
+                         "framework sets params.reflect_io/oi — the "
+                         "equivalence arm for the permeability physics. "
+                         "Asymmetric values (e.g. 0.9,0.3) shift the "
+                         "intracellular occupancy, so a swapped or "
+                         "mis-gated branch shows as a curve shift")
     args = ap.parse_args()
+    reflect = None
+    if args.reflect:
+        rio, roi = (float(v) for v in args.reflect.split(","))
+        if not (0 <= rio <= 1 and 0 <= roi <= 1):
+            raise SystemExit("--reflect values must be in [0, 1]")
+        reflect = (rio, roi)
     if args.out is None:
         # tags combine (like the oracle CSV names) so a mixed-axis run
         # never overwrites a single-axis baseline
         tag = "" if args.d_scale == 1.0 else f"_d{args.d_scale:g}"
         if args.cell_r:
             tag += f"_r{args.cell_r:g}"
+        if reflect:
+            tag += f"_p{reflect[0]:g}-{reflect[1]:g}"
         args.out = f"GOLDEN_T2{tag}.json"
     os.makedirs(args.work_dir, exist_ok=True)
 
     if not args.skip_oracle:
         run_oracle_trials(args.work_dir, args.trials, args.d_scale,
-                          args.cell_r)
-    oracle, times = load_oracle(args.work_dir, args.d_scale, args.cell_r)
+                          args.cell_r, reflect)
+    oracle, times = load_oracle(args.work_dir, args.d_scale, args.cell_r,
+                                reflect)
     print(f"[framework] {args.trials} trials ...", file=sys.stderr)
-    ours = run_framework_trials(args.trials, args.d_scale, args.cell_r)
+    ours = run_framework_trials(args.trials, args.d_scale, args.cell_r,
+                                reflect)
     n = min(oracle.shape[1], ours.shape[1])
     oracle, ours = oracle[:, :n], ours[:, :n]
 
@@ -192,6 +229,7 @@ def main():
                    "tcp": TCP, "moment_scale": MSCALE,
                    "d_scale": args.d_scale,
                    "cell_r_run": args.cell_r or None,
+                   "reflect_io_oi": list(reflect) if reflect else None,
                    "oracle_trials": int(len(oracle)),
                    "framework_trials": int(len(ours))},
         "oracle_final_mean": float(mo[-1]),
