@@ -810,7 +810,7 @@ class TestAotWarmStart:
         from mri_nanoparticle_simulation_tpu.engine import aot
         sprint = aot._wrap_compiled(lambda *a, **k: "ran")
         assert sprint(1, 2, 3, 4, 0) == "ran"
-        for kw in ("cache", "tcp", "cell_r", "d_scale"):
+        for kw in ("cache", "tcp", "cell_r", "d_scale", "reflect"):
             with pytest.raises(ValueError, match="plain production"):
                 sprint(1, 2, 3, 4, 0, **{kw: 1.0})
         # the wrapper's signature must track the real sprint's
@@ -818,7 +818,7 @@ class TestAotWarmStart:
         wrap = inspect.signature(sprint).parameters
         assert set(wrap) == {"mnp_pos", "mnp_M", "key_arr", "ps",
                              "lane_offset", "cache", "tcp", "cell_r",
-                             "d_scale"}
+                             "d_scale", "reflect"}
 
     def test_runner_falls_back_on_cpu(self, p):
         """On backends whose executables can't be serialized (CPU),
