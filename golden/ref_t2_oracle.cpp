@@ -41,6 +41,22 @@
  * Usage: ref_t2_oracle <scene_seed> <rng_seed> <out_csv> [n_water]
  *                      [steps] [pfreq] [tcp] [moment_scale] [d_scale]
  *                      [cell_r_run] [reflect_io] [reflect_oi]
+ *                      [mode] [gz]
+ *
+ * mode 0 (default) is the as-written physics above.  mode 1 is the
+ * INTENDED physics (SURVEY quirks 1 + 4 corrected): step directions
+ * uniform on the unit sphere instead of normalized uniform-in-cube,
+ * and the intracellular Cauchy kick with the evident intent of
+ * cuda_sim.cu:632 — phase_stdev * sqrt(1/(2|u-1/2|)-1) * sign(u-1/2)
+ * * tau + the chemical-shift term (the as-written sign factor parses
+ * to 0).  This gives the framework's kick_mode=intended /
+ * direction_mode=sphere the same two-independent-implementations
+ * status as the as-written path (the walker loop here shares no code
+ * with the JAX/Pallas engines).
+ *
+ * gz (T/um, default 0) adds a constant background field gradient:
+ * kick += w.z * gz * 2*pi*g*tau*1e-3 at the recorded position — the
+ * oracle arm for the framework's DWI axis (params.b0_gradient).
  *
  * d_scale scales BOTH diffusion coefficients: the derived stdevs are
  * sqrt(pi * D * tau) (parameters.h:120-121), so the displacement
@@ -116,7 +132,9 @@ int main(int argc, char **argv) {
         fprintf(stderr,
                 "usage: %s <scene_seed> <rng_seed> <out_csv> [n_water=4032] "
                 "[steps=1000000] [pfreq=1000] [tcp=250000] "
-                "[moment_scale=1] [d_scale=1] [cell_r_run=p.cell_r]\n",
+                "[moment_scale=1] [d_scale=1] [cell_r_run=p.cell_r] "
+                "[reflect_io=p.reflectIO] [reflect_oi=p.reflectOI] "
+                "[mode=0 (1=intended physics)] [gz=0 (T/um)]\n",
                 argv[0]);
         return 2;
     }
@@ -135,13 +153,18 @@ int main(int argc, char **argv) {
         return 2;
     }
     // 0 selects the compiled default (so later positional args stay
-    // reachable without hard-coding p.cell_r in every caller)
-    double cell_r_run = argc > 10 && atof(argv[10]) != 0.0
-        ? atof(argv[10]) : p.cell_r;
-    if (!(cell_r_run > 0) || cell_r_run != cell_r_run) {
-        fprintf(stderr, "cell_r_run must be a positive number; got '%s'\n",
-                argc > 10 ? argv[10] : "default");
-        return 2;
+    // reachable without hard-coding p.cell_r in every caller); a
+    // non-numeric value is an error, not a silent default
+    double cell_r_run = p.cell_r;
+    if (argc > 10) {
+        char *end = nullptr;
+        double v = strtod(argv[10], &end);
+        if (end == argv[10] || *end != '\0' || v != v || v < 0) {
+            fprintf(stderr, "cell_r_run must be a number >= 0 "
+                    "(0 = compiled default); got '%s'\n", argv[10]);
+            return 2;
+        }
+        if (v != 0.0) cell_r_run = v;
     }
     // membrane bounce probabilities (cell_reflect thresholds); the
     // reference's ParameterStruct members are runtime-assignable
@@ -153,6 +176,16 @@ int main(int argc, char **argv) {
         p.reflectOI > 1 || p.reflectIO != p.reflectIO ||
         p.reflectOI != p.reflectOI) {
         fprintf(stderr, "reflect_io/oi must be in [0, 1]\n");
+        return 2;
+    }
+    int mode = argc > 13 ? atoi(argv[13]) : 0;
+    if (mode != 0 && mode != 1) {
+        fprintf(stderr, "mode must be 0 (as-written) or 1 (intended)\n");
+        return 2;
+    }
+    double gz = argc > 14 ? atof(argv[14]) : 0.0;
+    if (gz != gz) {
+        fprintf(stderr, "gz must be a number (T/um)\n");
         return 2;
     }
     double dstd = sqrt(dsc);
@@ -203,14 +236,30 @@ int main(int argc, char **argv) {
             long win = 0;
             for (long i = 0; i < steps; i++) {
                 water_info init = w;
-                // rand_displacement, cuda_sim.cu:562-583
-                double dx = U(prng) * 2 - 1.0;
-                double dy = U(prng) * 2 - 1.0;
-                double dz = U(prng) * 2 - 1.0;
-                double norm =
-                    N(prng) * (w.in_cell ? p.in_stdev : p.out_stdev)
-                    * dstd;
-                double nC = norm / sqrt(NORMSQ(dx, dy, dz));
+                double nC;
+                double dx, dy, dz;
+                if (mode == 0) {
+                    // rand_displacement, cuda_sim.cu:562-583 (as-written
+                    // quirk 4: normalized uniform-in-cube direction)
+                    dx = U(prng) * 2 - 1.0;
+                    dy = U(prng) * 2 - 1.0;
+                    dz = U(prng) * 2 - 1.0;
+                    nC = N(prng) * (w.in_cell ? p.in_stdev : p.out_stdev)
+                        * dstd / sqrt(NORMSQ(dx, dy, dz));
+                } else {
+                    // intended physics: direction uniform on the unit
+                    // sphere (cos(theta) and azimuth uniform), magnitude
+                    // = signed normal x in/out stdev, like the reference
+                    double ct = U(prng) * 2 - 1.0;
+                    double phi = U(prng) * 2 * M_PI;
+                    double st = sqrt(ct * ct < 1.0 ? 1.0 - ct * ct : 0.0);
+                    dx = st * cos(phi);
+                    dy = st * sin(phi);
+                    dz = ct;
+                    (void)U(prng);  // keep the 3-uniform direction budget
+                    nC = N(prng) * (w.in_cell ? p.in_stdev : p.out_stdev)
+                        * dstd;
+                }
                 w.x += dx * nC;
                 w.y += dy * nC;
                 w.z += dz * nC;
@@ -226,14 +275,24 @@ int main(int argc, char **argv) {
                     (!init.in_cell && w.in_cell && coin < p.reflectOI);
                 if (flip) w = init;
                 // accumulatePhase at the recorded position,
-                // cuda_sim.cu:625-640 (as-written kick: Cauchy term x 0)
+                // cuda_sim.cu:625-640 (as-written kick: Cauchy term x 0;
+                // intended mode restores the evident sign(u-1/2) intent)
                 double nD = U(prng);
-                (void)nD;  // consumed like the reference's 5th stream
                 double B =
                     golden_field_gpu(tree, &w, nullptr, cell_r_run)
                     * mscale;
+                double intra = chem_kick;
+                if (mode == 1) {
+                    double c = nD - 0.5;
+                    double ac = fabs(c) * 2;
+                    double cauchy =
+                        sqrt(1.0 / (ac > 1e-12 ? ac : 1e-12) - 1.0);
+                    intra += p.phase_stdev * cauchy * (c > 0 ? 1.0 : -1.0)
+                        * p.tau;
+                }
                 double kick =
-                    (w.in_cell ? chem_kick : 0.0) + B * b_to_phase;
+                    (w.in_cell ? intra : 0.0) + B * b_to_phase
+                    + w.z * gz * b_to_phase;
                 win_sum += kick;
                 // window boundary: gemv sum -> performUpdate -> reduce ->
                 // CP flip, cuda_sim.cu:996-1023

@@ -270,6 +270,14 @@ class Params:
                 f"tau/D_cell is "
                 f"{1.0 / (math.sqrt(self.tau / (6.0 * self.D_cell)) * 4.0):g}")
         roi = 1.0 - (1.0 - rio) * math.sqrt(self.D_cell / self.D_extra)
+        if roi < 0.0:
+            # D_cell > D_extra amplifies the crossing probability on the
+            # OI side; past this bound the derived value is no longer a
+            # probability (mirror of the rio check above)
+            raise ValueError(
+                f"permeability {p_val} µm/ms exceeds the formula's "
+                f"validity bound for D_cell/D_extra = "
+                f"{self.D_cell / self.D_extra:g} (reflectOI = {roi:g} < 0)")
         return (rio, roi)
 
     def with_permeability(self, p_expr: float = None) -> "Params":
@@ -327,6 +335,12 @@ class Params:
         if self.kick_mode not in (KICK_AS_WRITTEN, KICK_INTENDED,
                                   KICK_CONSTANT, KICK_NONE):
             raise ValueError(f"unknown kick_mode {self.kick_mode!r}")
+        for nm, v in (("reflect_io", self.reflect_io),
+                      ("reflect_oi", self.reflect_oi)):
+            if not (isinstance(v, (int, float)) and 0.0 <= float(v) <= 1.0):
+                raise ValueError(
+                    f"{nm} must be a bounce probability in [0, 1]; "
+                    f"got {v!r}")
         if self.boundary_mode not in (BOUNDARY_BORDER, BOUNDARY_FULL,
                                       BOUNDARY_NONE):
             raise ValueError(f"unknown boundary_mode {self.boundary_mode!r}")

@@ -471,3 +471,68 @@ class TestDiffusionScaleOverride:
         sc = BacteriaBox(p, seed=3).populate()
         with pytest.raises(ValueError, match="d_scale"):
             self._one_sprint(p, sc, d_scale=0.0)
+
+
+class TestReflectOverride:
+    """The reflect=(reflect_io, reflect_oi) launch scalars: runtime
+    membrane bounce probabilities for permeability sweeps/fits sharing
+    one compiled program (dyn_ref[3:5] in the scan engine)."""
+
+    def _one_sprint(self, p, sc, **kw):
+        import jax.numpy as jnp
+        from mri_nanoparticle_simulation_tpu import rng
+        mnp_pos = jnp.asarray(sc.mnps[:, :3], jnp.float32)
+        mnp_M = jnp.asarray(sc.mnps[:, 4], jnp.float32)
+        sprint = re.make_sprint_fn(p)
+        k = rng.key_from_seed(11)
+        key = jnp.asarray([np.uint32(k[0]), np.uint32(k[1])])
+        st = re.init_state(sc.waters, p)
+        st, wins = sprint(mnp_pos, mnp_M, key, st, 0, **kw)
+        return np.asarray(st.pos), np.asarray(wins)
+
+    @staticmethod
+    def _perm_params():
+        # D x100: per-step rms ~0.02 um, so 500 steps produce many
+        # membrane crossings (default D barely moves a walker 0.05 um)
+        base = P.small_test_params(
+            num_water=32, totaltime=0.0005, sprint_steps=500,
+            water_start_bound=7.9, avoid_intracellular_throw=False)
+        return base.replace(D_cell=base.D_cell * 100,
+                            D_extra=base.D_extra * 100).with_permeability()
+
+    def test_identity_override_bitwise(self):
+        """reflect=(static values) must reproduce reflect=None exactly:
+        same trace, same launch scalars."""
+        p = self._perm_params()
+        assert p.reflect_io > 0      # the branch is really on
+        sc = BacteriaBox(p, seed=5).populate()
+        pos0, w0 = self._one_sprint(p, sc)
+        pos1, w1 = self._one_sprint(p, sc,
+                                    reflect=(p.reflect_io, p.reflect_oi))
+        np.testing.assert_array_equal(pos0, pos1)
+        np.testing.assert_array_equal(w0, w1)
+
+    def test_asymmetric_override_matches_static_params(self):
+        """An asymmetric (0.9, 0.3) override through an engine built
+        with DIFFERENT static probabilities must equal an engine with
+        (0.9, 0.3) baked in — same streams, same coin thresholds; a
+        swapped or mis-bound scalar would flip different walkers."""
+        p = self._perm_params().replace(num_water=128)
+        sc = BacteriaBox(p, seed=5).populate()
+        pos_dyn, w_dyn = self._one_sprint(p, sc, reflect=(0.9, 0.3))
+        p_static = p.replace(reflect_io=0.9, reflect_oi=0.3)
+        pos_st, w_st = self._one_sprint(p_static, sc)
+        np.testing.assert_array_equal(pos_dyn, pos_st)
+        np.testing.assert_array_equal(w_dyn, w_st)
+        # and it is a real behavioral change: fully transparent (0, 0)
+        # membranes must alter some walker's trajectory vs (0.9, 0.3)
+        pos0, _ = self._one_sprint(p, sc, reflect=(0.0, 0.0))
+        assert not np.array_equal(pos_dyn, pos0)
+
+    def test_out_of_range_rejected(self):
+        p = self._perm_params()
+        sc = BacteriaBox(p, seed=5).populate()
+        with pytest.raises(ValueError, match="reflect_io"):
+            self._one_sprint(p, sc, reflect=(1.5, 0.3))
+        with pytest.raises(ValueError, match="reflect_oi"):
+            self._one_sprint(p, sc, reflect=(0.5, -0.1))

@@ -415,3 +415,65 @@ class TestBigScenePathFused:
                                    np.asarray(st2.pos), atol=5e-6)
         np.testing.assert_allclose(wins[:, 0], c2, atol=1e-3)
         assert int(st.step) == int(st2.step) == p.t
+
+
+class TestReflectScalar:
+    """The reflect=(reflect_io, reflect_oi) launch scalars in the Pallas
+    kernel (scalars[9]/[10]): runtime membrane bounce probabilities,
+    matching the scan engine's dyn scalars on shared Threefry streams."""
+
+    @staticmethod
+    def _perm_params():
+        # D x100 so 500 steps produce many membrane crossings
+        base = P.small_test_params(
+            num_water=64, totaltime=0.0005, sprint_steps=500,
+            water_start_bound=7.9, avoid_intracellular_throw=False)
+        return base.replace(D_cell=base.D_cell * 100,
+                            D_extra=base.D_extra * 100).with_permeability()
+
+    def _pallas_sprints(self, p, sc, reflect=None):
+        from mri_nanoparticle_simulation_tpu import rng
+        sprint = pe.make_sprint_fn(p, sc.waters.shape[0], interpret=True)
+        kk = rng.key_from_seed(11)
+        key_arr = jnp.asarray([np.uint32(kk[0]), np.uint32(kk[1])])
+        ps = pe.to_planes(re.init_state(sc.waters, p), p)
+        mnp_pos = jnp.asarray(sc.mnps[:, :3], jnp.float32)
+        mnp_M = jnp.asarray(sc.mnps[:, 4], jnp.float32)
+        outs = []
+        for _ in range(p.t // p.sprint_steps):
+            ps, wins = sprint(mnp_pos, mnp_M, key_arr, ps, 0,
+                              reflect=reflect)
+            outs.append(wins)
+        st = pe.from_planes(ps, sc.waters.shape[0])
+        return np.asarray(st.pos), np.asarray(
+            jnp.concatenate(outs, axis=0))
+
+    def test_identity_override_bitwise(self):
+        p = self._perm_params()
+        sc = BacteriaBox(p, seed=5).populate()
+        pos0, w0 = self._pallas_sprints(p, sc)
+        pos1, w1 = self._pallas_sprints(
+            p, sc, reflect=(p.reflect_io, p.reflect_oi))
+        np.testing.assert_array_equal(pos0, pos1)
+        np.testing.assert_array_equal(w0, w1)
+
+    def test_asymmetric_override_matches_static_params(self):
+        """(0.9, 0.3) as launch scalars through a kernel compiled with
+        different static probabilities == the same values baked in."""
+        p = self._perm_params()
+        sc = BacteriaBox(p, seed=5).populate()
+        pos_dyn, w_dyn = self._pallas_sprints(p, sc, reflect=(0.9, 0.3))
+        p_static = p.replace(reflect_io=0.9, reflect_oi=0.3)
+        pos_st, w_st = self._pallas_sprints(p_static, sc)
+        np.testing.assert_array_equal(pos_dyn, pos_st)
+        np.testing.assert_array_equal(w_dyn, w_st)
+        # transparent membranes must differ (the scalar is really live)
+        pos0, _ = self._pallas_sprints(p, sc, reflect=(0.0, 0.0))
+        assert not np.array_equal(pos_dyn, pos0)
+
+    def test_rejected_when_reflection_compiled_out(self):
+        p = P.small_test_params(num_water=64, totaltime=0.0005,
+                                sprint_steps=500)
+        sc = BacteriaBox(p, seed=5).populate()
+        with pytest.raises(ValueError, match="reflection enabled"):
+            self._pallas_sprints(p, sc, reflect=(0.5, 0.5))
