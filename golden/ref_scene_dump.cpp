@@ -120,7 +120,11 @@ int main(int argc, char **argv) {
     int n_centers = p.num_cells < 64 ? p.num_cells : 64;
     for (int c = 0; c < n_centers; c++) {
         for (int s = 0; s < near_per_mnp; s++) {
-            double r = 0.05 * pow(2.0 / 0.05, s / (double)(near_per_mnp - 1));
+            // near_per_mnp == 1 would divide 0/0 (NaN radius -> NaN
+            // probe coords past the bounds check -> UB in the octree
+            // walk); a single shell sits at the minimum radius
+            double r = near_per_mnp < 2 ? 0.05
+                : 0.05 * pow(2.0 / 0.05, s / (double)(near_per_mnp - 1));
             double dx = u(prng), dy = u(prng), dz = u(prng);
             double n = sqrt(NORMSQ(dx, dy, dz));
             if (n < 1e-9) continue;

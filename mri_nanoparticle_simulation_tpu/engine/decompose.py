@@ -76,6 +76,32 @@ def _unpack_wins(wins, engine: str, num_water: int):
     return w[..., 0], w[..., 1]
 
 
+def _unpack_wins_sharded(wins, engine: str, num_water: int,
+                         n_shards: int):
+    """:func:`_unpack_wins` for a single-process WALKER-SHARDED record
+    block.  Scan shards [n_win, W, 2] on the walker axis — the global
+    gather is already walker-ordered.  The Pallas planes shard on the
+    row axis with PER-SHARD padding (each shard packs its local_w
+    walkers into pad_count(local_w) lanes), so the global flatten must
+    strip each shard's padding individually — a plain reshape would
+    interleave padding lanes into the walker columns."""
+    if engine == "scan":
+        w = np.asarray(wins)
+        return w[..., 0], w[..., 1]
+    from . import pallas_engine as pe
+    local_w = num_water // n_shards
+    r_local = pe.pad_count(local_w) // pe.LANES
+    w = np.asarray(wins)                  # [n_win, 2, R_total, 128]
+    a = np.empty((w.shape[0], num_water), w.dtype)
+    b = np.empty_like(a)
+    for s in range(n_shards):
+        d = w[:, :, s * r_local:(s + 1) * r_local, :]
+        flat = d.reshape(d.shape[0], 2, -1)[:, :, :local_w]
+        a[:, s * local_w:(s + 1) * local_w] = flat[:, 0]
+        b[:, s * local_w:(s + 1) * local_w] = flat[:, 1]
+    return a, b
+
+
 def run_decomposition(scene, params: Params, seed: int = 0,
                       engine: str = "pallas", dtype=None,
                       rng_impl: str = "threefry",
@@ -267,7 +293,8 @@ def run_decomposition_durable(scene, params: Params, record_path: str,
                               checkpoint_path: Optional[str] = None,
                               checkpoint_every_sprints: int = 1,
                               fault_hook=None,
-                              progress: bool = False) -> DecompositionResult:
+                              progress: bool = False,
+                              mesh=None) -> DecompositionResult:
     """:func:`run_decomposition` with a DISK-backed record and
     checkpoint/resume — the long-record production form.
 
@@ -292,6 +319,16 @@ def run_decomposition_durable(scene, params: Params, record_path: str,
 
     ``fault_hook(sprint_index)`` is the chaos seam of
     ``resilience.FaultInjector``, called before each sprint dispatch.
+
+    ``mesh``: an optional single-process walker-sharding mesh (the CLI's
+    --shard-walkers layout); the sprint runs sharded over it
+    (parallel/sharding.py) while the record/checkpoint stream stays a
+    HOST artifact — each sprint's record block is gathered from the
+    addressable shards, and the checkpointed state is the gathered
+    walker state, so a run can crash under one mesh and resume under
+    another (or none): global Threefry lanes make the partition
+    physically invisible (proven in the driver dryrun,
+    __graft_entry__.py).
 
     Returns a :class:`DecompositionResult` whose A/B are READ-ONLY disk
     memmaps — every downstream consumer (``curves_at_plane``,
@@ -390,8 +427,33 @@ def run_decomposition_durable(scene, params: Params, record_path: str,
     if state is None:
         state = re.init_state(scene.waters, p, dtype, decompose=True)
 
-    step_fn, dev_state, to_walker = _setup_engine(
-        engine, p, scene, seed, state, dtype, rng_impl, interpret)
+    if mesh is None:
+        step_fn, dev_state, to_walker = _setup_engine(
+            engine, p, scene, seed, state, dtype, rng_impl, interpret)
+
+        def unpack(wins):
+            return _unpack_wins(wins, engine, num_water)
+    else:
+        from ..parallel import sharding
+        n_shards = mesh.shape[sharding.WALKER_AXIS]
+        if num_water % n_shards != 0:
+            raise ValueError(
+                f"num_water ({num_water}) must divide evenly over "
+                f"{n_shards} walker shards")
+        step_fn, dev_state = _setup_engine_sharded(
+            engine, p, scene, seed, state, dtype, rng_impl, interpret,
+            mesh)
+        if engine == "pallas":
+            def to_walker(dev_s):
+                return sharding.from_planes_sharded(dev_s, num_water,
+                                                    n_shards)
+        else:
+            def to_walker(dev_s):
+                return dev_s        # sharded WalkerState; saving gathers
+
+        def unpack(wins):
+            return _unpack_wins_sharded(wins, engine, num_water,
+                                        n_shards)
 
     def save_ckpt(dev_s):
         ckpt_mod.save_checkpoint(
@@ -401,7 +463,7 @@ def run_decomposition_durable(scene, params: Params, record_path: str,
     def commit(wins, dev_s, sprint_idx):
         """Sprint ``sprint_idx``'s record rows, then (ordering!) its
         checkpoint when one is due."""
-        store.append(*_unpack_wins(wins, engine, num_water))
+        store.append(*unpack(wins))
         if checkpoint_path is not None and \
                 (sprint_idx + 1) % checkpoint_every_sprints == 0:
             save_ckpt(dev_s)

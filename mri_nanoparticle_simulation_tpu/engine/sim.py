@@ -642,9 +642,11 @@ def main(argv=None):
                          "(T2_GPU_sim.cu:45) as one device computation")
     ap.add_argument("--sweep", default=None, metavar="KNOB",
                     help="sweep a numeric Params knob over --sweep-values, "
-                         "writing one CSV per value; mmoment/taucp/cell_r "
-                         "and D (global diffusion scale: v scales D_cell "
-                         "and D_extra together) ride runtime launch "
+                         "writing one CSV per value; mmoment/taucp/cell_r, "
+                         "D (global diffusion scale: v scales D_cell "
+                         "and D_extra together) and P (membrane "
+                         "permeability µm/ms via the parameters.h:116-117 "
+                         "formulas) ride runtime launch "
                          "scalars so the whole sweep shares ONE compiled "
                          "program (the reference re-ran nvcc per value, "
                          "README.md:13)")
@@ -1118,6 +1120,17 @@ def main(argv=None):
             values = [float(v) for v in args.sweep_values.split(",")]
             if any(not v > 0 for v in values):
                 ap.error("--sweep D values must be > 0 (diffusion scale)")
+        elif name == "P":
+            # membrane permeability (µm/ms): each value maps to
+            # (reflect_io, reflect_oi) through Params.reflect_pair and
+            # rides the engines' reflect launch scalars — one compiled
+            # program for the whole sweep
+            values = [float(v) for v in args.sweep_values.split(",")]
+            for v in values:
+                try:
+                    params.reflect_pair(v)
+                except ValueError as e:
+                    ap.error(f"--sweep P: {e}")
         else:
             # real dataclass fields only: hasattr would also accept
             # derived read-only properties (tcp, t, in_stdev, ...) and

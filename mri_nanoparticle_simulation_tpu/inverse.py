@@ -277,7 +277,13 @@ def make_engine_curve_fn(params: Params, scene, seed: int = 0,
     ``cell_r`` overrides the residency radius on the FIXED scene (same
     cell centers, different radius); the caller owns the coverage
     argument for radii above the params value (see
-    :func:`fit_cell_radius_crn`, which validates the bracket top)."""
+    :func:`fit_cell_radius_crn`, which validates the bracket top).
+
+    ``p_expr`` (µm/ms) overrides the membrane permeability through
+    :meth:`Params.reflect_pair` and the engines' reflect launch scalars;
+    it requires reflection enabled in the STATIC params (e.g.
+    ``params.with_permeability()`` — :func:`fit_permeability_crn`
+    promotes its params automatically)."""
     import jax.numpy as jnp
 
     from . import rng
@@ -302,14 +308,17 @@ def make_engine_curve_fn(params: Params, scene, seed: int = 0,
         raise ValueError(f"unknown engine {engine!r}")
 
     def curve(d_scale: float = 1.0, *, m_scale: float = 1.0,
-              cell_r: Optional[float] = None) -> np.ndarray:
+              cell_r: Optional[float] = None,
+              p_expr: Optional[float] = None) -> np.ndarray:
         mM = mnp_M if m_scale == 1.0 else mnp_M * dtype(m_scale)
         cr = None if cell_r is None else dtype(cell_r)
+        rf = None if p_expr is None else p.reflect_pair(float(p_expr))
         st = st0
         outs = []
         for _ in range(n_sprints):
             st, wins = sprint(mnp_pos, mM, key_arr, st, 0,
-                              cell_r=cr, d_scale=float(d_scale))
+                              cell_r=cr, d_scale=float(d_scale),
+                              reflect=rf)
             outs.append(np.asarray(wins)[:, 0])
         return np.concatenate(outs) / p.num_water
 
@@ -464,6 +473,67 @@ def fit_cell_radius_crn(target, params: Params, scene, *,
         mmoment=float("nan"),
         loss=float(hist_l[best]),
         scale_history=np.asarray(hist_r),
+        loss_history=np.asarray(hist_l),
+    )
+
+
+def fit_permeability_crn(target, params: Params, scene, *,
+                         seed: int = 0,
+                         bracket: tuple = (0.1, 100.0),
+                         iters: int = 20, engine: str = "pallas",
+                         rng_impl: str = "threefry",
+                         interpret: bool = False,
+                         dtype=None) -> MomentFitResult:
+    """Membrane-permeability recovery at PRODUCTION scale: golden-section
+    search for the permeability P (µm/ms) minimizing the curve MSE, each
+    probe mapped to (reflect_io, reflect_oi) bounce probabilities via
+    :meth:`Params.reflect_pair` (the commented-out parameters.h:116-117
+    formulas) and fed to the kernel as reflect launch scalars — one
+    compiled program for the whole fit, common random numbers across
+    probes (the coin stream is identical at every P; only the comparison
+    thresholds move, so the loss is a deterministic step-free function
+    of P wherever no coin changes side, and the bracket search is
+    noise-free in the CRN sense of the other fits).
+
+    The search runs on log(P).  The bracket top is validated against the
+    formulas' bound up front (reflectIO must stay >= 0); reflection is
+    traced into the engine automatically when ``params`` ships it
+    disabled (the reference's default, parameters.h:116-117).
+
+    Returns a :class:`MomentFitResult` with ``scale`` = fitted P in
+    µm/ms (``mmoment`` is nan — not a moment fit)."""
+    lo, hi = float(bracket[0]), float(bracket[1])
+    if not (0 < lo < hi):
+        raise ValueError(f"bracket must satisfy 0 < lo < hi; got {bracket}")
+    params.reflect_pair(hi)     # raises past the formula's validity bound
+    if not (params.reflect_io > 0 or params.reflect_oi > 0):
+        params = params.with_permeability()
+    curve = make_engine_curve_fn(params, scene, seed=seed, engine=engine,
+                                 rng_impl=rng_impl, interpret=interpret,
+                                 dtype=dtype)
+    target = np.asarray(target, np.float64)
+    n = params.t // params.pfreq
+    if target.shape != (n,):
+        raise ValueError(f"target must have one value per output window "
+                         f"([{n}]), got {target.shape}")
+
+    hist_p, hist_l = [], []
+
+    def loss(logp):
+        pv = float(np.exp(logp))
+        val = float(np.mean((np.asarray(curve(p_expr=pv), np.float64)
+                             - target) ** 2))
+        hist_p.append(pv)
+        hist_l.append(val)
+        return val
+
+    _golden_log_search(loss, lo, hi, iters)
+    best = int(np.argmin(hist_l))
+    return MomentFitResult(
+        scale=float(hist_p[best]),
+        mmoment=float("nan"),
+        loss=float(hist_l[best]),
+        scale_history=np.asarray(hist_p),
         loss_history=np.asarray(hist_l),
     )
 

@@ -482,12 +482,213 @@ def run_parameter_grid_multihost(params, axes: dict,
     return times, flat.reshape(shape)
 
 
+def _dry_context(num_processes: int):
+    """Shared scene/params for every dry-run path (kept identical to the
+    historical monolith so per-path results stay comparable across
+    rounds)."""
+    from ..params import small_test_params
+    from ..scene import BacteriaBox
+    p = small_test_params(num_water=256, num_cells=8, sprint_steps=200,
+                          totaltime=0.0002, chunk_steps=100,
+                          print_interval=0.0001, taucp=0.0001)
+    sc = BacteriaBox(p, seed=1).populate()
+    return p, sc
+
+
+def _dry_path_run(jax, p, sc, num_processes):
+    """Walker-sharded run (scan + pallas) over the global mesh: window
+    sums match the single-device run, and THIS process's local shards
+    are bitwise-identical to the corresponding slice."""
+    from ..engine import pallas_engine as pe
+    from ..engine import reference_engine
+
+    t, cos, sin, st = run_simulation_multihost(
+        sc, p, seed=0, max_steps=p.sprint_steps)
+    with jax.default_device(jax.local_devices()[0]):
+        t1, cos1, sin1, st1 = reference_engine.run_simulation(
+            sc, p, seed=0, max_steps=p.sprint_steps)
+    np.testing.assert_allclose(cos, cos1, atol=1e-3)
+    np.testing.assert_allclose(sin, sin1, atol=1e-3)
+    ref_pos = np.asarray(st1.pos)
+    ref_phase = np.asarray(st1.phase)
+    checked = 0
+    for shard_pos, shard_phase in zip(st.pos.addressable_shards,
+                                      st.phase.addressable_shards):
+        sl = shard_pos.index[0]
+        np.testing.assert_array_equal(np.asarray(shard_pos.data),
+                                      ref_pos[sl])
+        np.testing.assert_array_equal(np.asarray(shard_phase.data),
+                                      ref_phase[sl])
+        checked += np.asarray(shard_pos.data).shape[0]
+    assert checked == p.num_water // num_processes
+    assert int(np.asarray(st.escapes)) == int(st1.escapes)
+    assert int(np.asarray(st.coverage)) == int(st1.coverage)
+
+    # the production (Pallas) engine over the same global mesh; local
+    # PLANE shards == per-shard re-packing of the single-device state
+    n_global = len(jax.devices())
+    _, cos_p, sin_p, st_p = run_simulation_multihost(
+        sc, p, seed=0, engine="pallas", interpret=True,
+        max_steps=p.sprint_steps)
+    with jax.default_device(jax.local_devices()[0]):
+        _, cos_p1, sin_p1, st_p1 = pe.run_simulation(
+            sc, p, seed=0, interpret=True, max_steps=p.sprint_steps)
+    np.testing.assert_allclose(cos_p, cos_p1, atol=1e-3)
+    np.testing.assert_allclose(sin_p, sin_p1, atol=1e-3)
+    # only the first local_w lanes are real walkers (padding lanes
+    # evolve as masked dummies)
+    local_w = p.num_water // n_global
+    r_local = pe.pad_count(local_w) // pe.LANES
+    ref_x = np.asarray(st_p1.pos)[:, 0]
+    ref_ph = np.asarray(st_p1.phase)
+    for shard_px, shard_phase in zip(st_p.px.addressable_shards,
+                                     st_p.phase.addressable_shards):
+        s = (shard_px.index[0].start or 0) // r_local
+        w_sl = slice(s * local_w, (s + 1) * local_w)
+        np.testing.assert_array_equal(
+            np.asarray(shard_px.data).reshape(-1)[:local_w], ref_x[w_sl])
+        np.testing.assert_array_equal(
+            np.asarray(shard_phase.data).reshape(-1)[:local_w],
+            ref_ph[w_sl])
+    return f"run: {checked} local walkers bitwise (scan + pallas)"
+
+
+def _local_single_mesh(jax):
+    from jax.sharding import Mesh
+    from . import ensemble
+    return Mesh(np.asarray(jax.local_devices()[:1]),
+                (ensemble.TRIAL_AXIS,))
+
+
+def _dry_path_ensemble(jax, p, sc, num_processes):
+    """Ensemble partitioning over DCN: trials split across processes
+    reproduce the single-process per-trial curves (same seeds), with
+    per-trial sweep values riding along — a parameter sweep is
+    partition-invariant.  Also the full pod layout (trials x walker
+    shards)."""
+    import warnings as _w
+
+    from . import ensemble
+
+    n_tr = 3
+    taucps = [0.0001, 0.0002, 0.0001]
+    dss = [1.0, 0.25, 0.5]
+    rcrs = [p.cell_r, 0.8, 0.7]   # run_cell_rs: runtime radius
+    _, cos_mh, sin_mh = run_ensemble_multihost(
+        p, n_tr, base_seed=11, run_seed=7, max_steps=p.sprint_steps,
+        taucps=taucps, d_scales=dss, run_cell_rs=rcrs)
+    mesh1 = _local_single_mesh(jax)
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")   # 3 trials on 1 device: no padding
+        _, cos_1p, sin_1p, _ = ensemble.run_ensemble(
+            p, n_tr, mesh=mesh1, base_seed=11, run_seed=7,
+            max_steps=p.sprint_steps, taucps=taucps, d_scales=dss,
+            run_cell_rs=rcrs)
+    np.testing.assert_allclose(cos_mh, cos_1p, atol=1e-3)
+    np.testing.assert_allclose(sin_mh, sin_1p, atol=1e-3)
+
+    _, cos_2d, sin_2d = run_ensemble_multihost(
+        p, n_tr, base_seed=11, run_seed=7, max_steps=p.sprint_steps,
+        taucps=taucps, d_scales=dss, run_cell_rs=rcrs, walker_shards=2)
+    np.testing.assert_allclose(cos_2d, cos_1p, atol=1e-3)
+    np.testing.assert_allclose(sin_2d, sin_1p, atol=1e-3)
+    return f"ensemble: {n_tr} trials partition-invariant (1D + pod 2D)"
+
+
+def _dry_path_record(jax, p, sc, num_processes):
+    """Decomposition record across DCN (scan + pallas): the assembled
+    [n_windows, W] (A, B) record is bitwise-identical to the
+    single-device run on every process, and downstream closed-form
+    reconstruction consumes it unchanged."""
+    from ..engine import decompose
+
+    rec_mh = run_decomposition_multihost(sc, p, seed=0,
+                                         max_steps=p.sprint_steps)
+    with jax.default_device(jax.local_devices()[0]):
+        rec_1 = decompose.run_decomposition(sc, p, seed=0, engine="scan",
+                                            max_steps=p.sprint_steps)
+    np.testing.assert_array_equal(rec_mh.A, rec_1.A)
+    np.testing.assert_array_equal(rec_mh.B, rec_1.B)
+    assert rec_mh.stats == rec_1.stats
+    c_mh = decompose.curves_at_scales(rec_mh.A, rec_mh.B, [0.5, 2.0])
+    c_1 = decompose.curves_at_scales(rec_1.A, rec_1.B, [0.5, 2.0])
+    np.testing.assert_array_equal(c_mh, c_1)
+    rec_pmh = run_decomposition_multihost(sc, p, seed=0, engine="pallas",
+                                          interpret=True,
+                                          max_steps=p.sprint_steps)
+    with jax.default_device(jax.local_devices()[0]):
+        rec_p1 = decompose.run_decomposition(sc, p, seed=0,
+                                             engine="pallas",
+                                             interpret=True,
+                                             max_steps=p.sprint_steps)
+    np.testing.assert_array_equal(rec_pmh.A, rec_p1.A)
+    np.testing.assert_array_equal(rec_pmh.B, rec_p1.B)
+    return "record: scan + pallas records bitwise across DCN"
+
+
+def _dry_path_plane(jax, p, sc, num_processes):
+    """On-device plane folding over the global mesh: per-shard Kahan
+    carries + one psum per sprint; echo capture allgathered."""
+    from ..engine import decompose
+
+    pairs = [(1.0, p.taucp)]
+    _, pl_mh, pst_mh, ech_mh = run_plane_multihost(
+        sc, p, [1.0, 2.0], None, seed=0, echo_pairs=pairs,
+        max_steps=p.sprint_steps)
+    with jax.default_device(jax.local_devices()[0]):
+        _, pl_1, pst_1, ech_1 = decompose.run_plane_on_device(
+            sc, p, [1.0, 2.0], None, seed=0, engine="scan",
+            echo_pairs=pairs, max_steps=p.sprint_steps)
+    np.testing.assert_allclose(pl_mh, pl_1, atol=1e-4)
+    np.testing.assert_allclose(ech_mh[0].cos, ech_1[0].cos, atol=1e-6)
+    assert pst_mh == pst_1
+    return "plane: folded curves + echo capture match single-device"
+
+
+def _dry_path_grid(jax, p, sc, num_processes):
+    """Paired parameter grid across DCN (+ quadrature surface) equals
+    the single-process grid."""
+    import warnings as _w
+
+    from . import ensemble
+
+    axes = {"D": [1.0, 0.5], "taucp": [0.0001, 0.0002]}
+    _, grid_mh = run_parameter_grid_multihost(
+        p, axes, base_seed=11, run_seed=7, max_steps=p.sprint_steps,
+        paired=True)
+    mesh1 = _local_single_mesh(jax)
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        _, grid_1p = ensemble.run_parameter_grid(
+            p, axes, base_seed=11, run_seed=7, mesh=mesh1,
+            max_steps=p.sprint_steps, paired=True)
+    np.testing.assert_allclose(grid_mh, grid_1p, atol=1e-3)
+    _, grid_q = run_parameter_grid_multihost(
+        p, axes, base_seed=11, run_seed=7, max_steps=p.sprint_steps,
+        paired=True, quadrature=True)
+    assert grid_q.shape == grid_mh.shape + (2,)
+    np.testing.assert_array_equal(grid_q[..., 0], grid_mh)
+    assert np.any(grid_q[..., 1] != 0.0)
+    return "grid: paired 2x2 surface (+ quadrature) partition-invariant"
+
+
+#: multihost dry-run paths, individually selectable (--path) so a
+#: failure triages to ONE subsystem instead of a 130-second monolith
+_DRY_PATHS = {
+    "run": _dry_path_run,
+    "ensemble": _dry_path_ensemble,
+    "record": _dry_path_record,
+    "plane": _dry_path_plane,
+    "grid": _dry_path_grid,
+}
+
+
 def _dryrun(num_processes: int, process_id: int, coordinator: str,
-            devices_per_process: int) -> None:
-    """One process of the multi-host dry run: 2 x 4 virtual CPU devices
-    -> 8-device global mesh; asserts this process's local state shards
-    are bitwise-identical to the corresponding slice of a single-device
-    oracle run (which each process computes independently)."""
+            devices_per_process: int, paths=("all",)) -> None:
+    """One process of the multi-host dry run: N x M virtual CPU devices
+    -> one global mesh; runs the selected verification paths (see
+    _DRY_PATHS) and asserts each against a single-device oracle this
+    process computes independently."""
     # NOTE: importing this module already imported jax (package
     # __init__), so platform/device-count env vars must be set by the
     # LAUNCHER (see tests/test_distributed.py); these lines only help
@@ -509,180 +710,17 @@ def _dryrun(num_processes: int, process_id: int, coordinator: str,
     n_global = len(jax.devices())
     assert n_global == num_processes * devices_per_process
 
-    from ..engine import reference_engine
-    from ..params import small_test_params
-    from ..scene import BacteriaBox
-    p = small_test_params(num_water=256, num_cells=8, sprint_steps=200,
-                          totaltime=0.0002, chunk_steps=100,
-                          print_interval=0.0001, taucp=0.0001)
-    sc = BacteriaBox(p, seed=1).populate()
-
-    t, cos, sin, st = run_simulation_multihost(
-        sc, p, seed=0, max_steps=p.sprint_steps)
-
-    # single-device oracle on this process's own first device
-    with jax.default_device(jax.local_devices()[0]):
-        t1, cos1, sin1, st1 = reference_engine.run_simulation(
-            sc, p, seed=0, max_steps=p.sprint_steps)
-
-    np.testing.assert_allclose(cos, cos1, atol=1e-3)
-    np.testing.assert_allclose(sin, sin1, atol=1e-3)
-    ref_pos = np.asarray(st1.pos)
-    ref_phase = np.asarray(st1.phase)
-    checked = 0
-    for shard_pos, shard_phase in zip(st.pos.addressable_shards,
-                                      st.phase.addressable_shards):
-        sl = shard_pos.index[0]
-        np.testing.assert_array_equal(np.asarray(shard_pos.data),
-                                      ref_pos[sl])
-        np.testing.assert_array_equal(np.asarray(shard_phase.data),
-                                      ref_phase[sl])
-        checked += np.asarray(shard_pos.data).shape[0]
-    assert checked == p.num_water // num_processes
-    assert int(np.asarray(st.escapes)) == int(st1.escapes)
-    assert int(np.asarray(st.coverage)) == int(st1.coverage)
-
-    # the production (Pallas) engine over the same global mesh: window
-    # sums match the single-device Pallas run, and this process's local
-    # PLANE shards are bitwise-identical to the per-shard re-packing of
-    # the single-device final state
-    from ..engine import pallas_engine as pe
-    from . import sharding as sh_mod
-    _, cos_p, sin_p, st_p = run_simulation_multihost(
-        sc, p, seed=0, engine="pallas", interpret=True,
-        max_steps=p.sprint_steps)
-    with jax.default_device(jax.local_devices()[0]):
-        _, cos_p1, sin_p1, st_p1 = pe.run_simulation(
-            sc, p, seed=0, interpret=True, max_steps=p.sprint_steps)
-    np.testing.assert_allclose(cos_p, cos_p1, atol=1e-3)
-    np.testing.assert_allclose(sin_p, sin_p1, atol=1e-3)
-    # per-shard plane rows: only the first local_w lanes are real
-    # walkers (the kernel evolves the padding lanes as masked dummies,
-    # so their post-run contents are not comparable to a fresh packing)
-    local_w = p.num_water // n_global
-    r_local = pe.pad_count(local_w) // pe.LANES
-    ref_x = np.asarray(st_p1.pos)[:, 0]
-    ref_ph = np.asarray(st_p1.phase)
-    for shard_px, shard_phase in zip(st_p.px.addressable_shards,
-                                     st_p.phase.addressable_shards):
-        s = (shard_px.index[0].start or 0) // r_local
-        w_sl = slice(s * local_w, (s + 1) * local_w)
-        np.testing.assert_array_equal(
-            np.asarray(shard_px.data).reshape(-1)[:local_w], ref_x[w_sl])
-        np.testing.assert_array_equal(
-            np.asarray(shard_phase.data).reshape(-1)[:local_w],
-            ref_ph[w_sl])
-
-    # ensemble partitioning over DCN: 3 trials split 2+1 across the two
-    # processes must reproduce the same per-trial curves (same seeds) as
-    # one process running all 3 trials on a single local device.  The
-    # trials carry per-trial sweep values (taucp + diffusion scale), so
-    # this also proves a parameter sweep is partition-invariant: trial i
-    # keeps ITS value no matter which host runs it.
-    n_tr = 3
-    taucps = [0.0001, 0.0002, 0.0001]
-    dss = [1.0, 0.25, 0.5]
-    rcrs = [p.cell_r, 0.8, 0.7]   # run_cell_rs: fixed geometry, runtime radius
-    _, cos_mh, sin_mh = run_ensemble_multihost(
-        p, n_tr, base_seed=11, run_seed=7, max_steps=p.sprint_steps,
-        taucps=taucps, d_scales=dss, run_cell_rs=rcrs)
-    from jax.sharding import Mesh
-    from . import ensemble
-    mesh1 = Mesh(np.asarray(jax.local_devices()[:1]),
-                 (ensemble.TRIAL_AXIS,))
-    import warnings as _w
-    with _w.catch_warnings():
-        _w.simplefilter("ignore")   # 3 trials on 1 device: no padding
-        _, cos_1p, sin_1p, _ = ensemble.run_ensemble(
-            p, n_tr, mesh=mesh1, base_seed=11, run_seed=7,
-            max_steps=p.sprint_steps, taucps=taucps, d_scales=dss,
-            run_cell_rs=rcrs)
-    np.testing.assert_allclose(cos_mh, cos_1p, atol=1e-3)
-    np.testing.assert_allclose(sin_mh, sin_1p, atol=1e-3)
-
-    # the full pod layout: trials across processes AND each trial's
-    # walkers sharded over 2 of its host's local devices — curves must
-    # still match the plain single-process run (global Threefry lanes)
-    _, cos_2d, sin_2d = run_ensemble_multihost(
-        p, n_tr, base_seed=11, run_seed=7, max_steps=p.sprint_steps,
-        taucps=taucps, d_scales=dss, run_cell_rs=rcrs, walker_shards=2)
-    np.testing.assert_allclose(cos_2d, cos_1p, atol=1e-3)
-    np.testing.assert_allclose(sin_2d, sin_1p, atol=1e-3)
-
-    # decomposition record across DCN: per-process record shards, one
-    # gather — the assembled [n_windows, W] (A, B) record must be
-    # bitwise-identical to the single-device decomposition run (global
-    # Threefry lanes make the partition invisible), on EVERY process
-    from ..engine import decompose
-    rec_mh = run_decomposition_multihost(sc, p, seed=0,
-                                         max_steps=p.sprint_steps)
-    with jax.default_device(jax.local_devices()[0]):
-        rec_1 = decompose.run_decomposition(sc, p, seed=0, engine="scan",
-                                            max_steps=p.sprint_steps)
-    np.testing.assert_array_equal(rec_mh.A, rec_1.A)
-    np.testing.assert_array_equal(rec_mh.B, rec_1.B)
-    assert rec_mh.stats == rec_1.stats
-    # and the downstream closed-form workflow consumes the gathered
-    # record unchanged: moment-scale reconstruction matches the
-    # single-device record's bit for bit
-    c_mh = decompose.curves_at_scales(rec_mh.A, rec_mh.B, [0.5, 2.0])
-    c_1 = decompose.curves_at_scales(rec_1.A, rec_1.B, [0.5, 2.0])
-    np.testing.assert_array_equal(c_mh, c_1)
-    # same contract for the production (Pallas) engine's record planes:
-    # sharded over rows, unpacked per shard, gathered once
-    rec_pmh = run_decomposition_multihost(sc, p, seed=0, engine="pallas",
-                                          interpret=True,
-                                          max_steps=p.sprint_steps)
-    with jax.default_device(jax.local_devices()[0]):
-        rec_p1 = decompose.run_decomposition(sc, p, seed=0,
-                                             engine="pallas",
-                                             interpret=True,
-                                             max_steps=p.sprint_steps)
-    np.testing.assert_array_equal(rec_pmh.A, rec_p1.A)
-    np.testing.assert_array_equal(rec_pmh.B, rec_p1.B)
-
-    # on-device plane folding over the global mesh: per-shard Kahan
-    # carries + one psum of walker means per sprint; curves must match
-    # the single-device plane at the f32 grouping tolerance and the
-    # allgathered per-walker echo capture must match it near-bitwise
-    pairs = [(1.0, p.taucp)]
-    _, pl_mh, pst_mh, ech_mh = run_plane_multihost(
-        sc, p, [1.0, 2.0], None, seed=0, echo_pairs=pairs,
-        max_steps=p.sprint_steps)
-    with jax.default_device(jax.local_devices()[0]):
-        _, pl_1, pst_1, ech_1 = decompose.run_plane_on_device(
-            sc, p, [1.0, 2.0], None, seed=0, engine="scan",
-            echo_pairs=pairs, max_steps=p.sprint_steps)
-    np.testing.assert_allclose(pl_mh, pl_1, atol=1e-4)
-    np.testing.assert_allclose(ech_mh[0].cos, ech_1[0].cos, atol=1e-6)
-    assert pst_mh == pst_1
-
-    # paired parameter grid across DCN: grid points split 2+2 over the
-    # processes, each point sharing scene seed base_seed (paired), must
-    # equal the single-process grid exactly
-    axes = {"D": [1.0, 0.5], "taucp": [0.0001, 0.0002]}
-    _, grid_mh = run_parameter_grid_multihost(
-        p, axes, base_seed=11, run_seed=7, max_steps=p.sprint_steps,
-        paired=True)
-    with _w.catch_warnings():
-        _w.simplefilter("ignore")
-        _, grid_1p = ensemble.run_parameter_grid(
-            p, axes, base_seed=11, run_seed=7, mesh=mesh1,
-            max_steps=p.sprint_steps, paired=True)
-    np.testing.assert_allclose(grid_mh, grid_1p, atol=1e-3)
-    # quadrature surface: cos component must equal the cos-only grid
-    # exactly (same compiled trials; only host post-processing differs)
-    _, grid_q = run_parameter_grid_multihost(
-        p, axes, base_seed=11, run_seed=7, max_steps=p.sprint_steps,
-        paired=True, quadrature=True)
-    assert grid_q.shape == grid_mh.shape + (2,)
-    np.testing.assert_array_equal(grid_q[..., 0], grid_mh)
-    assert np.any(grid_q[..., 1] != 0.0)
-
+    selected = list(_DRY_PATHS) if "all" in paths else list(paths)
+    bad = [n for n in selected if n not in _DRY_PATHS]
+    if bad:
+        raise ValueError(f"unknown dryrun path(s) {bad}; "
+                         f"choose from {sorted(_DRY_PATHS)} or 'all'")
+    p, sc = _dry_context(num_processes)
+    results = [_DRY_PATHS[name](jax, p, sc, num_processes)
+               for name in selected]
+    summary = "; ".join(results)
     print(f"multihost dryrun OK: process {process_id}/{num_processes} "
-          f"verified {checked} local walkers bitwise vs single-device; "
-          f"ensemble partition {n_tr} trials over {num_processes} "
-          f"processes matches single-process curves "
+          f"paths [{', '.join(selected)}] — {summary} "
           f"(global devices: {n_global})", flush=True)
 
 
@@ -694,9 +732,13 @@ def main(argv=None):
     ap.add_argument("--coordinator", required=True,
                     help="host:port of process 0")
     ap.add_argument("--devices-per-process", type=int, default=4)
+    ap.add_argument("--path", default="all",
+                    help="comma-separated dry-run paths "
+                         f"({', '.join(sorted(_DRY_PATHS))}) or 'all'")
     args = ap.parse_args(argv)
     _dryrun(args.num_processes, args.process_id, args.coordinator,
-            args.devices_per_process)
+            args.devices_per_process,
+            paths=tuple(p.strip() for p in args.path.split(",")))
     return 0
 
 

@@ -77,29 +77,41 @@ def build_trial_scenes(params: Params, n_trials: int, base_seed: int = 0,
     return pos, mom, waters, scenes
 
 
-def make_ensemble_sprint_fn(params: Params, mesh: Mesh, dtype=jnp.float32):
+def make_ensemble_sprint_fn(params: Params, mesh: Mesh, dtype=jnp.float32,
+                            use_reflect: bool = False):
     """vmapped-over-trials sprint, trials sharded over the mesh.
 
     sprint(mnp_pos [T,N,3], mnp_M [T,N], keys [T,2], states (leading T),
-           tcps [T] uint32, cell_rs [T] f32, d_scales [T] f32)
+           tcps [T] uint32, cell_rs [T] f32, d_scales [T] f32
+           [, reflects [T,2] f32])
         -> (states, wins [T, n_windows, 2])
 
     ``tcps`` / ``cell_rs`` / ``d_scales`` are the per-trial Carr-Purcell
     interval (steps), cell radius, and diffusion-coefficient scale:
     runtime data, so a taucp / cell_r / D sweep rides one compiled
-    program exactly like an mmoment sweep.
+    program exactly like an mmoment sweep.  ``use_reflect=True`` adds a
+    per-trial (reflect_io, reflect_oi) pair riding the engines' reflect
+    launch scalars — the permeability axis (requires reflection enabled
+    in the static params, e.g. params.with_permeability()).
     """
     local = reference_engine.make_sprint_fn(params, dtype)
-    vm = jax.vmap(lambda mp, mm, k, st, tc, cr, ds: local(
-        mp, mm, k, st, 0, tcp=tc, cell_r=cr, d_scale=ds))
+    if use_reflect:
+        vm = jax.vmap(lambda mp, mm, k, st, tc, cr, ds, rf: local(
+            mp, mm, k, st, 0, tcp=tc, cell_r=cr, d_scale=ds,
+            reflect=(rf[0], rf[1])))
+    else:
+        vm = jax.vmap(lambda mp, mm, k, st, tc, cr, ds: local(
+            mp, mm, k, st, 0, tcp=tc, cell_r=cr, d_scale=ds))
 
     tspec = P(TRIAL_AXIS)
     state_spec = reference_engine.WalkerState(
         pos=tspec, in_cell=tspec, phase=tspec, phase_comp=tspec,
         step=tspec, escapes=tspec, coverage=tspec)
+    n_in = 8 if use_reflect else 7
     sharded = jax.shard_map(
         vm, mesh=mesh,
-        in_specs=(tspec, tspec, tspec, state_spec, tspec, tspec, tspec),
+        in_specs=tuple([tspec, tspec, tspec, state_spec]
+                       + [tspec] * (n_in - 4)),
         out_specs=(state_spec, tspec), check_vma=False)
     return jax.jit(sharded)
 
@@ -107,7 +119,8 @@ def make_ensemble_sprint_fn(params: Params, mesh: Mesh, dtype=jnp.float32):
 def make_ensemble_pallas_sprint_fn(params: Params, mesh: Mesh,
                                    dtype=jnp.float32,
                                    rng_impl: str = pallas_engine.RNG_THREEFRY,
-                                   interpret: bool = False):
+                                   interpret: bool = False,
+                                   use_reflect: bool = False):
     """Production-engine ensemble: trials sharded over the mesh, each
     shard scanning its local trials through ONE compiled chunk kernel
     (vmap over pallas_call doesn't lower to Mosaic — the SMEM scalar spec
@@ -121,35 +134,42 @@ def make_ensemble_pallas_sprint_fn(params: Params, mesh: Mesh,
     local = pallas_engine.make_sprint_fn(params, params.num_water, dtype,
                                          rng_impl, interpret)
 
-    def shard_fn(mnp_pos, mnp_M, keys, planes, tcps, cell_rs, dscales):
+    def shard_fn(mnp_pos, mnp_M, keys, planes, tcps, cell_rs, dscales,
+                 *reflects):
         def body(_, xs):
-            mp, mm, key, ps, tc, cr, ds = xs
+            mp, mm, key, ps, tc, cr, ds = xs[:7]
             # trials are distinguished by their per-trial key (run_seed+i),
             # exactly like single runs — lane_offset stays 0 so each trial
             # is bitwise-identical to its standalone run.  tcp / cell_r /
-            # d_scale ride the kernel's launch scalars (runtime sweep data).
+            # d_scale (/ reflect) ride the kernel's launch scalars
+            # (runtime sweep data).
+            rf = (xs[7][0], xs[7][1]) if use_reflect else None
             new_ps, wins = local(mp, mm, key, ps, jnp.uint32(0),
-                                 tcp=tc, cell_r=cr, d_scale=ds)
+                                 tcp=tc, cell_r=cr, d_scale=ds,
+                                 reflect=rf)
             return _, (new_ps, wins)
 
         _, (new_planes, wins) = jax.lax.scan(
             body, 0, (mnp_pos, mnp_M, keys, planes, tcps, cell_rs,
-                      dscales))
+                      dscales) + reflects)
         return new_planes, wins
 
     tspec = P(TRIAL_AXIS)
     planes_spec = pallas_engine.PlaneState(
         px=tspec, py=tspec, pz=tspec, in_cell=tspec, phase=tspec,
         phase_comp=tspec, step=tspec, escapes=tspec, coverage=tspec)
+    n_in = 8 if use_reflect else 7
     sharded = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(tspec, tspec, tspec, planes_spec, tspec, tspec, tspec),
+        in_specs=tuple([tspec, tspec, tspec, planes_spec]
+                       + [tspec] * (n_in - 4)),
         out_specs=(planes_spec, tspec), check_vma=False)
     return jax.jit(sharded)
 
 
 def make_ensemble_sprint_fn_2d(params: Params, mesh: Mesh,
-                               dtype=jnp.float32):
+                               dtype=jnp.float32,
+                               use_reflect: bool = False):
     """Trials x walker-sharding on ONE 2D mesh — the pod layout: trials
     are embarrassingly parallel across one axis while each trial's
     walkers shard over the other (ICI-adjacent) axis with a per-window
@@ -171,12 +191,14 @@ def make_ensemble_sprint_fn_2d(params: Params, mesh: Mesh,
     local_w = params.num_water // n_wshards
     local = reference_engine.make_sprint_fn(params, dtype)
 
-    def per_trial(mp, mm, key, st, tc, cr, ds):
+    def per_trial(mp, mm, key, st, tc, cr, ds, *rf):
         widx = jax.lax.axis_index(sharding.WALKER_AXIS)
         lane_offset = (widx * local_w).astype(jnp.uint32)
         esc0, cov0 = st.escapes, st.coverage
         new, wins = local(mp, mm, key, st, lane_offset,
-                          tcp=tc, cell_r=cr, d_scale=ds)
+                          tcp=tc, cell_r=cr, d_scale=ds,
+                          reflect=(rf[0][0], rf[0][1]) if use_reflect
+                          else None)
         wins = jax.lax.psum(wins, sharding.WALKER_AXIS)
         esc = jax.lax.psum(new.escapes - esc0,
                            sharding.WALKER_AXIS) + esc0
@@ -191,9 +213,11 @@ def make_ensemble_sprint_fn_2d(params: Params, mesh: Mesh,
     state_spec = reference_engine.WalkerState(
         pos=trow, in_cell=trow, phase=trow, phase_comp=trow,
         step=tspec, escapes=tspec, coverage=tspec)
+    n_in = 8 if use_reflect else 7
     sharded = jax.shard_map(
         vm, mesh=mesh,
-        in_specs=(tspec, tspec, tspec, state_spec, tspec, tspec, tspec),
+        in_specs=tuple([tspec, tspec, tspec, state_spec]
+                       + [tspec] * (n_in - 4)),
         out_specs=(state_spec, tspec), check_vma=False)
     return jax.jit(sharded)
 
@@ -201,7 +225,8 @@ def make_ensemble_sprint_fn_2d(params: Params, mesh: Mesh,
 def make_ensemble_pallas_sprint_fn_2d(params: Params, mesh: Mesh,
                                       dtype=jnp.float32,
                                       rng_impl: str = pallas_engine.RNG_THREEFRY,
-                                      interpret: bool = False):
+                                      interpret: bool = False,
+                                      use_reflect: bool = False):
     """The production engine on the 2D (trials x walkers) mesh: each
     shard scans its local trials through a chunk kernel sized for its
     LOCAL walkers (per-shard plane packing, sharding.to_planes_sharded
@@ -216,15 +241,18 @@ def make_ensemble_pallas_sprint_fn_2d(params: Params, mesh: Mesh,
     local = pallas_engine.make_sprint_fn(params, local_w, dtype,
                                          rng_impl, interpret)
 
-    def shard_fn(mnp_pos, mnp_M, keys, planes, tcps, cell_rs, dscales):
+    def shard_fn(mnp_pos, mnp_M, keys, planes, tcps, cell_rs, dscales,
+                 *reflects):
         widx = jax.lax.axis_index(sharding.WALKER_AXIS)
         lane_offset = (widx * local_w).astype(jnp.uint32)
 
         def body(_, xs):
-            mp, mm, key, ps, tc, cr, ds = xs
+            mp, mm, key, ps, tc, cr, ds = xs[:7]
+            rf = (xs[7][0], xs[7][1]) if use_reflect else None
             esc0, cov0 = ps.escapes, ps.coverage
             new_ps, wins = local(mp, mm, key, ps, lane_offset,
-                                 tcp=tc, cell_r=cr, d_scale=ds)
+                                 tcp=tc, cell_r=cr, d_scale=ds,
+                                 reflect=rf)
             wins = jax.lax.psum(wins, sharding.WALKER_AXIS)
             esc = jax.lax.psum(new_ps.escapes - esc0,
                                sharding.WALKER_AXIS) + esc0
@@ -234,7 +262,7 @@ def make_ensemble_pallas_sprint_fn_2d(params: Params, mesh: Mesh,
 
         _, (new_planes, wins) = jax.lax.scan(
             body, 0, (mnp_pos, mnp_M, keys, planes, tcps, cell_rs,
-                      dscales))
+                      dscales) + reflects)
         return new_planes, wins
 
     tspec = P(TRIAL_AXIS)
@@ -242,9 +270,11 @@ def make_ensemble_pallas_sprint_fn_2d(params: Params, mesh: Mesh,
     planes_spec = pallas_engine.PlaneState(
         px=trow, py=trow, pz=trow, in_cell=trow, phase=trow,
         phase_comp=trow, step=tspec, escapes=tspec, coverage=tspec)
+    n_in = 8 if use_reflect else 7
     sharded = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(tspec, tspec, tspec, planes_spec, tspec, tspec, tspec),
+        in_specs=tuple([tspec, tspec, tspec, planes_spec]
+                       + [tspec] * (n_in - 4)),
         out_specs=(planes_spec, tspec), check_vma=False)
     return jax.jit(sharded)
 
@@ -340,6 +370,7 @@ def run_ensemble(params: Params, n_trials: int,
                  cell_rs: Optional[Sequence[float]] = None,
                  run_cell_rs: Optional[Sequence[float]] = None,
                  d_scales: Optional[Sequence[float]] = None,
+                 permeabilities: Optional[Sequence[float]] = None,
                  scene_seeds: Optional[Sequence[int]] = None,
                  run_seeds: Optional[Sequence[int]] = None,
                  walker_shards: int = 1,
@@ -356,7 +387,11 @@ def run_ensemble(params: Params, n_trials: int,
     same guard SimulationRunner applies to its single scene).
 
     ``mmoments`` / ``taucps`` (ms) / ``cell_rs`` (µm) / ``d_scales``
-    (dimensionless, scales D_cell AND D_extra together), each len T, give
+    (dimensionless, scales D_cell AND D_extra together) /
+    ``permeabilities`` (µm/ms, mapped to per-trial (reflect_io,
+    reflect_oi) bounce probabilities via :meth:`Params.reflect_pair`;
+    requires reflection enabled in the static params, e.g.
+    ``params.with_permeability()``), each len T, give
     per-trial values of the corresponding knob as *runtime data* — all
     trials share one compiled program (the engines accept tcp / cell_r /
     d_scale as launch scalars).  Every taucp must keep tcp a multiple of
@@ -415,6 +450,18 @@ def run_ensemble(params: Params, n_trials: int,
             if not float(v) > 0:
                 raise ValueError(f"d_scales must be > 0; got {v}")
             params.scale_D(float(v)).validate()
+    if permeabilities is not None:
+        if not (params.reflect_io > 0 or params.reflect_oi > 0):
+            raise ValueError(
+                "permeability sweeps ride the engines' reflect launch "
+                "scalars, which need reflection enabled in the static "
+                "params — build them with params.with_permeability() "
+                "(any value; per-trial probabilities override it)")
+        # host-side validation via THE P->(rio, roi) mapping
+        # (params.reflect_pair, parameters.h:116-117 formulas); raises
+        # for P outside the formulas' validity bounds
+        for v in permeabilities:
+            params.reflect_pair(float(v))
     from ..params import FIELD_EXPANSION
     if params.field_mode != FIELD_EXPANSION:
         raise ValueError(
@@ -436,8 +483,10 @@ def run_ensemble(params: Params, n_trials: int,
     cell_rs = pad_vals(cell_rs)
     run_cell_rs = pad_vals(run_cell_rs)
     d_scales = pad_vals(d_scales)
+    permeabilities = pad_vals(permeabilities)
     scene_seeds = pad_vals(scene_seeds)
     run_seeds = pad_vals(run_seeds)
+    use_reflect = permeabilities is not None
     mnp_pos, mnp_M, waters, scenes = build_trial_scenes(
         params, n_padded, base_seed, mmoments, cell_rs,
         scene_seeds=scene_seeds)
@@ -486,18 +535,22 @@ def run_ensemble(params: Params, n_trials: int,
                 *[sharding_mod.to_planes_sharded(s, params, walker_shards)
                   for s in states])
             sprint = make_ensemble_pallas_sprint_fn_2d(
-                params, mesh, dtype, rng_impl, interpret)
+                params, mesh, dtype, rng_impl, interpret,
+                use_reflect=use_reflect)
         else:
             state = jax.tree.map(
                 lambda *xs: jnp.stack(xs),
                 *[pallas_engine.to_planes(s, params) for s in states])
-            sprint = make_ensemble_pallas_sprint_fn(params, mesh, dtype,
-                                                    rng_impl, interpret)
+            sprint = make_ensemble_pallas_sprint_fn(
+                params, mesh, dtype, rng_impl, interpret,
+                use_reflect=use_reflect)
     elif engine == "scan":
         state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-        sprint = (make_ensemble_sprint_fn_2d(params, mesh, dtype)
+        sprint = (make_ensemble_sprint_fn_2d(params, mesh, dtype,
+                                             use_reflect=use_reflect)
                   if walker_shards > 1
-                  else make_ensemble_sprint_fn(params, mesh, dtype))
+                  else make_ensemble_sprint_fn(params, mesh, dtype,
+                                               use_reflect=use_reflect))
     else:
         raise ValueError(f"unknown engine {engine!r}")
     mnp_pos = jnp.asarray(mnp_pos, dtype)
@@ -512,14 +565,21 @@ def run_ensemble(params: Params, n_trials: int,
     dss = jnp.asarray(
         [1.0 if d_scales is None else float(d_scales[i])
          for i in range(n_padded)], jnp.float32)
+    extra_axes = ()
+    if use_reflect:
+        extra_axes = (jnp.asarray(
+            [params.reflect_pair(float(permeabilities[i]))
+             for i in range(n_padded)], jnp.float32),)
 
     # AOT warm-start for repeat sweeps (single-device trial mesh, the
     # real-TPU CLI case where trace + Mosaic lowering costs ~30 s):
     # same key discipline as the single-run cache (engine/aot.py) with
     # the trial count and padded MNP width in the key.  Any failure
     # falls back to the jit path — the cache is only an accelerator.
+    # the AOT ensemble executable is lowered on the 7-argument call;
+    # the reflect axis changes the signature, so it bypasses the cache
     if engine == "pallas" and walker_shards == 1 and not interpret \
-            and mesh.devices.size == 1:
+            and not use_reflect and mesh.devices.size == 1:
         from ..engine import aot
         loaded = aot.load_ensemble_sprint(
             params, n_padded, mnp_pos.shape[1], dtype, rng_impl)
@@ -536,7 +596,8 @@ def run_ensemble(params: Params, n_trials: int,
     total = params.t if max_steps is None else min(params.t, max_steps)
     outs = []
     for _ in range(total // params.sprint_steps):
-        state, wins = sprint(mnp_pos, mnp_M, keys, state, tcps, crs, dss)
+        state, wins = sprint(mnp_pos, mnp_M, keys, state, tcps, crs, dss,
+                             *extra_axes)
         outs.append(wins)
     wins = jnp.concatenate(outs, axis=1) if outs \
         else jnp.zeros((n_padded, 0, 2), dtype)
@@ -563,7 +624,13 @@ def run_ensemble(params: Params, n_trials: int,
 
 #: Params knobs the engines accept as launch scalars (runtime data, one
 #: compiled program across values); everything else recompiles per value
-SCALAR_AXES = ("mmoment", "taucp", "cell_r", "D")
+SCALAR_AXES = ("mmoment", "taucp", "cell_r", "D", "P")
+
+#: sweep-axis name -> run_ensemble per-trial kwarg (shared by
+#: grid_per_trial and run_parameter_sweep so they cannot diverge)
+_AXIS_KWARG = {"mmoment": "mmoments", "taucp": "taucps",
+               "cell_r": "cell_rs", "D": "d_scales",
+               "P": "permeabilities"}
 
 
 def sweep_params_for(base_params: Params, name: str, value):
@@ -574,6 +641,8 @@ def sweep_params_for(base_params: Params, name: str, value):
     (a tuple field the generic replace cannot reach)."""
     if name == "D":
         return base_params.scale_D(float(value))
+    if name == "P":
+        return base_params.with_permeability(float(value))
     if name == "Gz":
         bg = base_params.b0_gradient
         return base_params.replace(b0_gradient=(bg[0], bg[1],
@@ -602,12 +671,10 @@ def grid_per_trial(axes: dict, n_trials_each: int, paired: bool,
         raise ValueError("axes must name at least one knob")
     value_lists = [list(axes[n]) for n in names]
     combos = list(itertools.product(*value_lists))   # row-major
-    key_map = {"mmoment": "mmoments", "taucp": "taucps",
-               "cell_r": "cell_rs", "D": "d_scales"}
     per_trial = {}
     for ai, n in enumerate(names):
-        per_trial[key_map[n]] = [c[ai] for c in combos
-                                 for _ in range(n_trials_each)]
+        per_trial[_AXIS_KWARG[n]] = [c[ai] for c in combos
+                                     for _ in range(n_trials_each)]
     if paired:
         per_trial["scene_seeds"] = [base_seed + k for _ in combos
                                     for k in range(n_trials_each)]
@@ -645,6 +712,11 @@ def run_parameter_grid(base_params: Params, axes: dict,
     """
     value_lists, combos, per_trial = grid_per_trial(
         axes, n_trials_each, paired, base_seed, run_seed)
+    if "P" in axes and not (base_params.reflect_io > 0
+                            or base_params.reflect_oi > 0):
+        # the reflect launch scalars need the reflection branch traced
+        # in; the static values are immaterial (every trial overrides)
+        base_params = base_params.with_permeability()
     times, cos, sin, _ = run_ensemble(
         base_params, n_trials=len(combos) * n_trials_each,
         base_seed=base_seed, run_seed=run_seed, **per_trial,
@@ -667,13 +739,18 @@ def run_parameter_sweep(base_params: Params, name: str, values,
                         quadrature: bool = False):
     """Sweep any Params field (e.g. cell_r, taucp, mmoment) across runs.
 
-    ``mmoment``, ``taucp``, ``cell_r``, and ``D`` sweeps share ONE
-    compiled program via :func:`run_ensemble` — the moment is plain array
-    data, and tcp / cell_r / d_scale ride the engines' launch scalars
-    (the reference recompiled with nvcc per value of any of these,
-    README.md:13).  ``D`` is the global diffusion scale: value v scales
-    D_cell AND D_extra by v (parameters.h:84-85 individually remain
-    sweepable as compile-time knobs).  Every other knob is a compile-time
+    ``mmoment``, ``taucp``, ``cell_r``, ``D``, and ``P`` sweeps share
+    ONE compiled program via :func:`run_ensemble` — the moment is plain
+    array data, and tcp / cell_r / d_scale / reflect ride the engines'
+    launch scalars (the reference recompiled with nvcc per value of any
+    of these, README.md:13).  ``D`` is the global diffusion scale:
+    value v scales D_cell AND D_extra by v (parameters.h:84-85
+    individually remain sweepable as compile-time knobs).  ``P`` is the
+    membrane permeability (µm/ms): each value maps to (reflect_io,
+    reflect_oi) bounce probabilities through
+    :meth:`Params.reflect_pair` (the commented-out parameters.h:116-117
+    formulas); reflection is traced in automatically when the base
+    params ship it disabled.  Every other knob is a compile-time
     constant of the kernels, so each value compiles its own program;
     scenes are rebuilt per value since geometry knobs change cell
     placement (cell_r rebuilds scenes too — per *trial* — but without
@@ -699,8 +776,11 @@ def run_parameter_sweep(base_params: Params, name: str, values,
     ``quadrature=True`` appends a trailing (cos, sin) component axis.
     """
     if name in SCALAR_AXES:
-        key = {"mmoment": "mmoments", "taucp": "taucps",
-               "cell_r": "cell_rs", "D": "d_scales"}[name]
+        if name == "P" and not (base_params.reflect_io > 0
+                                or base_params.reflect_oi > 0):
+            # trace the reflection branch in; per-trial scalars override
+            base_params = base_params.with_permeability()
+        key = _AXIS_KWARG[name]
         per_trial = {key: [v for v in values for _ in range(n_trials_each)]}
         if paired:
             per_trial["scene_seeds"] = [base_seed + k for _ in values

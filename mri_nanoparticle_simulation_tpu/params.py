@@ -253,12 +253,14 @@ class Params:
             reflectOI = 1 - (1 - reflectIO) * sqrt(D_cell / D_extra)
 
         This is THE permeability->probability mapping — the engines'
-        reflect launch scalars, the ``--sweep P`` axis, ensemble
-        ``permeabilities`` and :func:`inverse.fit_permeability_crn` all
-        go through it, so a fitted/swept P always means the same
-        physics.  Raises for P large enough to push reflectIO below 0
-        (the formula's own validity bound: the per-step crossing
-        probability cannot exceed 1)."""
+        reflect launch scalars (via :meth:`with_permeability` and manual
+        engine ``reflect`` overrides), the CLI ``--sweep P`` axis,
+        :func:`parallel.ensemble.run_ensemble`'s ``permeabilities``
+        per-trial axis, and :func:`inverse.fit_permeability_crn` all go
+        through it, so a fitted/swept P always means the same physics.
+        Raises for P large enough to push reflectIO (or the derived
+        reflectOI) below 0 — the formulas' own validity bounds: the
+        per-step crossing probability cannot exceed 1."""
         p_val = self.P_expr if p_expr is None else float(p_expr)
         if p_val < 0:
             raise ValueError(f"permeability must be >= 0; got {p_val}")

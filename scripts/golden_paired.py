@@ -21,7 +21,7 @@ count explodes.  This harness removes it exactly:
 
 This is the production-scale deep-decay instrument (VERDICT r3 item 1):
 default config 4032 walkers (parameters.h:46) x 2e6 steps (2 ms) with
-moment x30, tcp=250k -> 8 Carr-Purcell flips and a curve decaying below
+moment x60, tcp=250k -> 8 Carr-Purcell flips and a curve decaying below
 0.3 — thousands of accumulated radians through the f32/Kahan path, the
 regime the reduced arms never reached.
 
@@ -58,7 +58,7 @@ N_WATER = 4032
 STEPS = 2_000_000
 PFREQ = 1000
 TCP = 250_000
-MSCALE = 30.0
+MSCALE = 60.0
 SCENE_SEED0 = 6000
 ORACLE_RNG0 = 9100
 FW_RUN0 = 8100
@@ -93,10 +93,10 @@ def run_scene_dump(work: str, seed: int) -> str:
     if not os.path.exists(os.path.join(d, "scene_waters.csv")):
         ensure_tools()
         os.makedirs(d, exist_ok=True)
-        # probe_n=2 / near_per=1: the probes are parity diagnostics we
+        # probe_n=2 / near_per=0: the probes are parity diagnostics we
         # don't need here; keep the dump cheap
         subprocess.run([os.path.join(GOLDEN, "build", "ref_scene_dump"),
-                        str(seed), d, "2", "1"],
+                        str(seed), d, "2", "0"],
                        check=True, capture_output=True)
     return d
 

@@ -7,6 +7,11 @@ the 8-device GLOBAL mesh.  Each process asserts its local state shards
 are bitwise-identical to the single-device run — the same contract the
 single-process dryrun proves, now across a real process boundary with
 real cross-process collectives.
+
+The dry run is split into independently-runnable PATHS (run / ensemble /
+record / plane / grid, parallel/distributed.py _DRY_PATHS) so a failure
+triages to one subsystem; each test here spins its own 2-process world
+for exactly one path.
 """
 
 import os
@@ -27,8 +32,9 @@ def _free_port():
     return port
 
 
-@pytest.mark.slow
-def test_two_process_dryrun_matches_single_device():
+def _run_world(path: str):
+    """Spawn a 2x4-device world running ONE dry-run path; returns the
+    per-process outputs (asserting success)."""
     port = _free_port()
     env = dict(os.environ)
     # children pick their own platform/flags; scrub this process's
@@ -42,7 +48,7 @@ def test_two_process_dryrun_matches_single_device():
              "mri_nanoparticle_simulation_tpu.parallel.distributed",
              "--num-processes", "2", "--process-id", str(i),
              "--coordinator", f"localhost:{port}",
-             "--devices-per-process", "4"],
+             "--devices-per-process", "4", "--path", path],
             env=env, cwd=REPO, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True)
         for i in range(2)
@@ -53,6 +59,19 @@ def test_two_process_dryrun_matches_single_device():
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, \
-            f"process {i} failed:\n{out[-3000:]}"
+            f"process {i} failed (path={path}):\n{out[-3000:]}"
         assert "multihost dryrun OK" in out
         assert "global devices: 8" in out
+    return outs
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("path", ["run", "ensemble", "record", "plane",
+                                  "grid"])
+def test_two_process_path(path):
+    """Each dry-run path across a real 2-process world: run (walker
+    shards bitwise), ensemble (trial partition + pod layout), record
+    (decomposition gather), plane (on-device folds + echo), grid
+    (paired launch-scalar surface)."""
+    outs = _run_world(path)
+    assert f"paths [{path}]" in outs[0]

@@ -631,3 +631,70 @@ class TestRunCellRs:
             ensemble.run_ensemble(p, n_trials=2, run_cell_rs=[0.5])
         with pytest.raises(ValueError):
             ensemble.run_ensemble(p, n_trials=1, run_cell_rs=[0.0])
+
+
+class TestPermeabilitySweep:
+    """The P axis: per-trial permeability riding the engines' reflect
+    launch scalars through Params.reflect_pair (parameters.h:116-117
+    formulas) — one compiled program across membrane physics."""
+
+    @staticmethod
+    def _base():
+        # D x100 so 500 steps produce many membrane crossings (default
+        # D moves a walker ~0.05 um — no reflection events to compare)
+        b = P.small_test_params(num_water=32, totaltime=0.0005,
+                                sprint_steps=500, water_start_bound=7.9,
+                                avoid_intracellular_throw=False,
+                                near_k=12)   # covers the x100 D travel
+        return b.replace(D_cell=b.D_cell * 100, D_extra=b.D_extra * 100)
+
+    @staticmethod
+    def _p_vals(p):
+        import math
+        bound = 1.0 / (math.sqrt(p.tau / (6.0 * p.D_cell)) * 4.0)
+        return [bound * 0.2, bound * 0.8]
+
+    def test_p_sweep_matches_static_params(self):
+        p = self._base()
+        vals = self._p_vals(p)
+        _, curves = ensemble.run_parameter_sweep(p, "P", vals,
+                                                 n_trials_each=1)
+        for i, v in enumerate(vals):
+            pv = p.with_permeability(v)
+            sc = BacteriaBox(p, seed=i).populate()  # P: same geometry
+            _, c2, _, _ = re.run_simulation(sc, pv, seed=1000 + i)
+            np.testing.assert_allclose(curves[i, 0], c2, atol=1e-4)
+        # the two P values really produce different membrane physics
+        assert not np.allclose(curves[0, 0], curves[1, 0], rtol=0,
+                               atol=1e-7)
+
+    def test_p_sweep_pallas_engine(self):
+        p = self._base()
+        vals = self._p_vals(p)
+        _, curves = ensemble.run_parameter_sweep(
+            p, "P", vals, n_trials_each=1, engine="pallas",
+            interpret=True)
+        from mri_nanoparticle_simulation_tpu.engine import pallas_engine
+        for i, v in enumerate(vals):
+            pv = p.with_permeability(v)
+            sc = BacteriaBox(p, seed=i).populate()
+            _, c2, _, _ = pallas_engine.run_simulation(
+                sc, pv, seed=1000 + i, interpret=True)
+            np.testing.assert_allclose(curves[i, 0], c2, atol=1e-4)
+
+    def test_invalid_p_rejected(self):
+        p = self._base().with_permeability()
+        with pytest.raises(ValueError, match="permeability"):
+            ensemble.run_ensemble(p, n_trials=1, permeabilities=[-1.0])
+        bound = self._p_vals(p)[1] / 0.8
+        with pytest.raises(ValueError, match="validity bound"):
+            ensemble.run_ensemble(p, n_trials=1,
+                                  permeabilities=[bound * 1.5])
+
+    def test_reflection_off_params_guarded(self):
+        """run_ensemble demands reflection traced in; the sweep helpers
+        promote automatically."""
+        p = self._base()        # reflect_io = reflect_oi = 0
+        with pytest.raises(ValueError, match="with_permeability"):
+            ensemble.run_ensemble(p, n_trials=1,
+                                  permeabilities=self._p_vals(p)[:1])

@@ -170,6 +170,50 @@ class TestDurableRun:
         np.testing.assert_array_equal(np.asarray(res.B), plain.B)
         assert res.stats == plain.stats
 
+    def test_crash_resume_sharded_mesh(self, setup, tmp_path):
+        """Durable record + checkpoint under WALKER SHARDING: fault a
+        4-shard run mid-flight, then resume WITHOUT the mesh — global
+        Threefry lanes make the partition physically invisible, so the
+        resumed record must be bitwise-identical to an uninterrupted
+        single-device run (the driver dryrun's record case)."""
+        import jax
+        from mri_nanoparticle_simulation_tpu.parallel import sharding as sh
+        p, sc = setup
+        mesh = sh.make_walker_mesh(jax.devices()[:4])
+        plain = dec.run_decomposition(sc, p, seed=5, engine="scan")
+        d = str(tmp_path / "rec_sh")
+        ck = str(tmp_path / "ck_sh.npz")
+        hook = FaultInjector({4: 1})
+        with pytest.raises(RuntimeError, match="injected fault"):
+            dec.run_decomposition_durable(
+                sc, p, d, seed=5, engine="scan", checkpoint_path=ck,
+                checkpoint_every_sprints=2, fault_hook=hook, mesh=mesh)
+        assert not record_mod.RecordStore.open(d).complete
+        res = dec.run_decomposition_durable(
+            sc, p, d, seed=5, engine="scan", checkpoint_path=ck,
+            checkpoint_every_sprints=2)     # resume WITHOUT the mesh
+        assert record_mod.RecordStore.open(d).complete
+        np.testing.assert_array_equal(np.asarray(res.A), plain.A)
+        np.testing.assert_array_equal(np.asarray(res.B), plain.B)
+        assert res.stats == plain.stats
+
+    def test_sharded_pallas_durable_matches_plain(self, setup, tmp_path):
+        """The production kernel's sharded record planes through the
+        durable store: per-shard padding stripped shard-by-shard
+        (_unpack_wins_sharded), result == the unsharded durable run."""
+        import jax
+        from mri_nanoparticle_simulation_tpu.parallel import sharding as sh
+        p, sc = setup
+        mesh = sh.make_walker_mesh(jax.devices()[:4])
+        res = dec.run_decomposition_durable(
+            sc, p, str(tmp_path / "rp_sh"), seed=5, engine="pallas",
+            interpret=True, mesh=mesh, max_steps=2 * p.sprint_steps)
+        plain = dec.run_decomposition(
+            sc, p, seed=5, engine="pallas", interpret=True,
+            max_steps=2 * p.sprint_steps)
+        np.testing.assert_array_equal(np.asarray(res.A), plain.A)
+        np.testing.assert_array_equal(np.asarray(res.B), plain.B)
+
     def test_restart_without_checkpoint(self, setup, tmp_path):
         """No checkpoint: a partial store restarts from scratch (rows
         truncated to 0) and still completes correctly."""
