@@ -42,12 +42,17 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from ..params import Params
 from ..utils import cache as cache_mod
+from ..utils.lazyimport import LazyModule
 from . import dipole, fartable
+
+# pallas is touched only at kernel-construction time; a warm AOT-cache
+# CLI run never traces, so it never pays the ~0.8 s pallas import
+# (utils/lazyimport.py)
+pl = LazyModule("jax.experimental.pallas")
+pltpu = LazyModule("jax.experimental.pallas.tpu")
 
 
 class SceneCache(NamedTuple):
