@@ -197,6 +197,26 @@ int main(int argc, char **argv) {
     box.populateSimulation();
     Octree *tree = box.getOctree();
 
+    // GOLDEN_MAX_PRODUCT=<v>: rebuild the field octree with a custom
+    // leaf criterion (SimulationBox.cpp:86 hardcodes 2e-6).  Used for
+    // attribution runs: the reference octree's cached-leaf field error
+    // (GOLDEN_PARITY.json: 6.8e-2 RMS of field scale) contributes
+    // measurable extra decay at deep moment scales; tightening the
+    // criterion isolates that contribution without touching physics.
+    std::vector<MNP_info> mnp_copy;
+    const char *mp_env = getenv("GOLDEN_MAX_PRODUCT");
+    if (mp_env) {
+        double mpv = strtod(mp_env, NULL);
+        if (mpv > 0) {
+            MNP_info *m0 = box.getMNPs();
+            mnp_copy.assign(m0, m0 + box.getMNPCount());
+            XORShift<> gen2(scene_seed + 77);
+            tree = new Octree(mpv, 5, .002, gen2, &mnp_copy);
+            fprintf(stderr, "[golden] custom octree max_product=%g\n",
+                    mpv);
+        }
+    }
+
     Lookup lk;
     lk.cell_r = cell_r_run;
     lk.dim = p.hashDim;

@@ -307,6 +307,8 @@ def main():
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
+    np.savez(os.path.splitext(args.out)[0] + "_curves.npz",
+             times=times, oracle=oracle, framework=ours)
     print(json.dumps(report, indent=1))
 
 
