@@ -548,7 +548,12 @@ def make_chunk_kernel(params: Params, r_planes: int, dtype=jnp.float32,
                     y2 = jnp.where(flip, y, y2)
                     z2 = jnp.where(flip, z, z2)
                     b = jnp.where(flip, bprev, b)
-                    in_new = jnp.where(flip, incell, in_new)
+                    # boolean algebra, not where(): Mosaic cannot lower
+                    # an i1-valued select at 32-row blocks (trunci
+                    # vector<32x128xi8> -> i1 is unsupported); the
+                    # masked form compiles on hardware for every block
+                    # height and is value-identical
+                    in_new = (flip & incell) | (~flip & in_new)
                     mind2_new = jnp.where(flip, mind2, mind2_new)
 
                 kick = b * phase_per_tesla

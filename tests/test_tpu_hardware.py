@@ -276,6 +276,27 @@ class TestMultiBlockHardware:
                                    np.asarray(st_s.pos), atol=1e-4)
         np.testing.assert_allclose(cos_p, cos_s, atol=0.05)
 
+    def test_full_height_block_with_reflection(self):
+        """4096 walkers (one full 32-row block) with membrane
+        reflection enabled, through real Mosaic.  The reflect branch's
+        bool-valued select lowered to an unsupported
+        ``trunci vector<32x128xi8> -> i1`` at this block height (found
+        round 4 by the GOLDEN_T2_P framework arm — every smaller
+        hardware reflect test compiled at 8-row blocks); the masked
+        boolean form must both compile and match the scan engine under
+        shared Threefry streams."""
+        p = P.small_test_params(num_water=4096, num_cells=12,
+                                totaltime=0.0005, sprint_steps=500,
+                                chunk_steps=500, taucp=0.0002)
+        p = p.with_permeability().validate()
+        assert p.reflect_io > 0
+        sc = BacteriaBox(p, seed=7).populate()
+        _, cos_p, _, st_p = pe.run_simulation(sc, p, seed=11)
+        _, cos_s, _, st_s = re.run_simulation(sc, p, seed=11)
+        np.testing.assert_allclose(np.asarray(st_p.pos),
+                                   np.asarray(st_s.pos), atol=1e-4)
+        np.testing.assert_allclose(cos_p, cos_s, atol=0.05)
+
 
 class TestSceneFamiliesHardware:
     def test_fcc_scene_through_pallas(self, p):
