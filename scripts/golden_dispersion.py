@@ -159,7 +159,10 @@ def main():
             "rms_ratio": float(np.sqrt(np.mean(mean_d ** 2))
                                / np.sqrt(np.mean(se ** 2)))
                 if S > 1 else None,
-            "max_abs_z": float(np.abs(z).max()) if S > 1 else None,
+            # a per-point z needs a stable se estimate; at S=2 the
+            # 1-dof sample sd makes max|z| meaningless, so emit it
+            # only with >= 3 paired scenes
+            "max_abs_z": float(np.abs(z).max()) if S > 2 else None,
             "r2_oracle_per_ms": [float(v) for v in r2_o],
             "r2_framework_per_ms": [float(v) for v in r2_f],
             "r2_mean_diff": float(dr2.mean()),
@@ -167,11 +170,35 @@ def main():
                 if S > 1 else None,
         }
 
+    # Reconstruction-specific error: any physics/field-model bias
+    # between the arms (the octree-error residual attributed in
+    # GOLDEN_T2_FULL_ATTRIBUTION.json) is SHARED by every spacing,
+    # since the oracle bias does not depend on the CP schedule's
+    # bookkeeping; what the one-record reconstruction itself adds shows
+    # up as spacing-to-spacing VARIATION of the R2 difference.
+    summary = {}
+    if len(per_tcp) >= 2:
+        dr2s = {t: v["r2_mean_diff"] for t, v in per_tcp.items()}
+        vals = np.asarray(list(dr2s.values()))
+        ses = np.asarray([v["r2_diff_se"] or np.nan
+                          for v in per_tcp.values()], np.float64)
+        summary = {
+            "r2_diff_by_spacing_per_ms": dr2s,
+            "r2_diff_spread_per_ms": float(vals.max() - vals.min()),
+            "r2_diff_spread_se_per_ms":
+                float(np.sqrt(np.nansum(ses ** 2))),
+            "note": "shared offset = arm physics bias (attributed to "
+                    "the oracle octree, see GOLDEN_T2_FULL_ATTRIBUTION);"
+                    " spread across spacings = reconstruction-specific "
+                    "error",
+        }
+
     report = {
         "config": {"n_water": gp.N_WATER, "steps": STEPS,
                    "pfreq": gp.PFREQ, "base_tcp": BASE_TCP,
                    "spacings": list(TCPS), "moment_scale": MSCALE,
                    "fw_reps_per_scene": args.fw_reps},
+        "reconstruction_consistency": summary,
         "design": "paired reference-built scenes; framework simulates "
                   "ONLY the base spacing (one decomposition record per "
                   "scene/rep); every spacing incl. base reconstructed "
