@@ -110,7 +110,15 @@ def main():
         "rms_diff": 0.0108, "final_diff": -0.020,
         "rms_ratio_vs_h0": 2.24}}
 
-    if not args.skip_framework:
+    if args.skip_framework:
+        # keep a previously measured experiment-1 block if present
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                prev = json.load(f)
+            if "framework_field_error_same_streams" in prev:
+                report["framework_field_error_same_streams"] = \
+                    prev["framework_field_error_same_streams"]
+    else:
         rms, fin, mx = same_stream_field_error()
         report["framework_field_error_same_streams"] = {
             "design": "scan engine, IDENTICAL Threefry streams "

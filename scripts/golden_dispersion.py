@@ -187,10 +187,11 @@ def main():
             "r2_diff_spread_per_ms": float(vals.max() - vals.min()),
             "r2_diff_spread_se_per_ms":
                 float(np.sqrt(np.nansum(ses ** 2))),
-            "note": "shared offset = arm physics bias (attributed to "
-                    "the oracle octree, see GOLDEN_T2_FULL_ATTRIBUTION);"
-                    " spread across spacings = reconstruction-specific "
-                    "error",
+            "note": "shared offset = arm physics bias (oracle octree "
+                    "error, see GOLDEN_T2_FULL_ATTRIBUTION); wider "
+                    "spacings refocus less of that bias, so the "
+                    "spread is an UPPER bound on reconstruction-"
+                    "specific error",
         }
 
     report = {
