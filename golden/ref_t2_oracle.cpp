@@ -217,6 +217,42 @@ int main(int argc, char **argv) {
         }
     }
 
+    // GOLDEN_EXACT_FIELD=1: bypass the octree entirely and evaluate the
+    // brute-force masked dipole sum over ALL MNPs (incl. periodic
+    // images) at every recorded position — the exact limit of octree
+    // tightening.  As max_product -> 0 the cached-leaf error vanishes
+    // and every near dipole becomes a masked resident, so the queried
+    // field converges to sum_i [d2 > cell_r^2] * M_i*1e11*
+    // (2dz^2-dx^2-dy^2)/d2^2.5 (GPU convention, cuda_sim.cu:107-114).
+    // O(n_mnps) per step: pair with GOLDEN_WALKER_STRIDE for runtime.
+    bool exact_field = false;
+    {
+        const char *ef = getenv("GOLDEN_EXACT_FIELD");
+        exact_field = ef && atoi(ef) != 0;
+        if (exact_field)
+            fprintf(stderr, "[golden] exact brute-force field over %d "
+                    "MNPs\n", box.getMNPCount());
+    }
+    // GOLDEN_WALKER_STRIDE=k: simulate only walker ids {0, k, 2k, ...}
+    // of the n_water-walker run, KEEPING each walker's PRNG stream
+    // (seeded by its id) and source water (strided Morton subsample) —
+    // a strict subset of the full run's trajectories, so a strided
+    // exact-field run pairs zero-noise against a strided octree run.
+    int wstride = 1;
+    {
+        const char *ws = getenv("GOLDEN_WALKER_STRIDE");
+        if (ws && atoi(ws) > 1) wstride = atoi(ws);
+    }
+    int n_mnps = box.getMNPCount();
+    std::vector<double> mx(n_mnps), my(n_mnps), mz(n_mnps), mm(n_mnps);
+    {
+        const MNP_info *mi = box.getMNPs();
+        for (int i = 0; i < n_mnps; i++) {
+            mx[i] = mi[i].x; my[i] = mi[i].y; mz[i] = mi[i].z;
+            mm[i] = mi[i].M;
+        }
+    }
+
     Lookup lk;
     lk.cell_r = cell_r_run;
     lk.dim = p.hashDim;
@@ -239,8 +275,10 @@ int main(int argc, char **argv) {
 #pragma omp parallel
     {
         std::vector<double> local(n_windows, 0.0);
+        const double cr2 = cell_r_run * cell_r_run;
 #pragma omp for schedule(dynamic, 8)
         for (int t = 0; t < n_water; t++) {
+            if (t % wstride != 0) continue;
             std::mt19937_64 prng(rng_seed * 1000003ull + (uint64_t)t);
             std::uniform_real_distribution<double> U(0.0, 1.0);
             std::normal_distribution<double> N(0.0, 1.0);
@@ -298,9 +336,23 @@ int main(int argc, char **argv) {
                 // cuda_sim.cu:625-640 (as-written kick: Cauchy term x 0;
                 // intended mode restores the evident sign(u-1/2) intent)
                 double nD = U(prng);
-                double B =
-                    golden_field_gpu(tree, &w, nullptr, cell_r_run)
-                    * mscale;
+                double B;
+                if (exact_field) {
+                    double acc = 0.0;
+                    for (int m = 0; m < n_mnps; m++) {
+                        double dx = w.x - mx[m], dy = w.y - my[m],
+                               dz = w.z - mz[m];
+                        double d2 = dx * dx + dy * dy + dz * dz;
+                        double num = mm[m] * (2 * dz * dz - dx * dx
+                                              - dy * dy);
+                        acc += d2 > cr2 ? num / (d2 * d2 * sqrt(d2))
+                                        : 0.0;
+                    }
+                    B = acc * 1e11;
+                } else {
+                    B = golden_field_gpu(tree, &w, nullptr, cell_r_run);
+                }
+                B *= mscale;
                 double intra = chem_kick;
                 if (mode == 1) {
                     double c = nD - 0.5;
@@ -335,6 +387,6 @@ int main(int argc, char **argv) {
         fprintf(f, "%.17g,%.17g\n", (j + 1) * (double)pfreq * p.tau, rows[j]);
     fclose(f);
     fprintf(stderr, "oracle done: %d walkers x %ld steps -> %ld rows\n",
-            n_water, steps, n_windows);
+            (n_water + wstride - 1) / wstride, steps, n_windows);
     return 0;
 }
