@@ -299,8 +299,24 @@ def main():
         "rms_diff": rms,
         "rms_expected_under_h0": rms_expected,
         "rms_ratio": float(rms / rms_expected),
-        "max_abs_z": float(np.abs(z).max()),
-        "mean_abs_z": float(np.abs(z).mean()),
+        # ONE statistic, one name (VERDICT r4 weak #2): the paired
+        # per-point t — mean_d(t) / se(t), se from the P scene-pair
+        # differences (P-1 dof).  With few pairs the per-point se
+        # estimate is itself noisy (t_{P-1} is heavy-tailed), so the
+        # pointwise MAX over thousands of correlated points is NOT a
+        # calibrated significance level — rms_ratio and final_diff /
+        # final_se are the calibrated summaries; the max and quartile
+        # values are reported for curve-shape diagnosis only, and
+        # ACCURACY.md quotes this same statistic at named times.
+        "stat_definition": "t_paired(t) = mean_d(t) / se(t); se(t) = "
+                           "std over scene-pair diffs / sqrt(P), P-1 "
+                           "dof (heavy-tailed for small P: max over "
+                           "the curve is diagnostic, not calibrated)",
+        "max_abs_t_paired": float(np.abs(z).max()),
+        "mean_abs_t_paired": float(np.abs(z).mean()),
+        "t_paired_at_quarters": {
+            f"{times[i]:.3f}ms": float(z[i])
+            for i in (n // 4, n // 2, 3 * n // 4, n - 1)},
         "curve_min": float(min(mo.min(), ours.mean(0).min())),
         "curve_decay_span": float(1.0 - min(mo.min(), ours.mean(0).min())),
         "times_ms": [float(times[0]), float(times[n - 1])],
