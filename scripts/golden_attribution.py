@@ -94,13 +94,26 @@ def same_stream_field_error(seed: int = 6000, rng_seed: int = 4242):
             float(np.abs(diff).max()))
 
 
+def _curve(path: str, n_walkers: int):
+    return np.loadtxt(path, delimiter=",")[:, 1] / n_walkers
+
+
+def _delta(a, b):
+    n = min(len(a), len(b))
+    d = a[:n] - b[:n]
+    return {"rms": float(np.sqrt(np.mean(d ** 2))),
+            "final": float(d[n - 1]),
+            "max_abs": float(np.abs(d).max())}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-framework", action="store_true")
-    ap.add_argument("--tight", default="2e-7")
-    ap.add_argument("--seeds", type=int, nargs="*", default=None,
-                    help="scene seeds with tight-octree oracle CSVs "
-                         "(default: every paired_tight<t>_*.csv found)")
+    ap.add_argument("--tights", nargs="*", default=["5e-7", "2.5e-7"],
+                    help="GOLDEN_MAX_PRODUCT values with committed "
+                         "paired_tight<t>_<seed>.csv runs")
+    ap.add_argument("--seeds", type=int, nargs="*",
+                    default=[6000, 6001, 6002, 6003])
     ap.add_argument("--out", default="GOLDEN_T2_FULL_ATTRIBUTION.json")
     args = ap.parse_args()
     work = os.path.join(gp.GOLDEN, "work")
@@ -129,45 +142,79 @@ def main():
             "verdict": "framework field model contributes "
                        f"{rms:.1e} rms — negligible vs the residual"}
 
-    seeds = args.seeds
-    if seeds is None:
-        seeds = sorted(int(f.split("_")[-1].split(".")[0])
-                       for f in os.listdir(work)
-                       if f.startswith(f"paired_tight{args.tight}_"))
-    tight = {}
-    for s in seeds:
-        tp = os.path.join(work, f"paired_tight{args.tight}_{s}.csv")
+    # Experiment 2 (the decisive one, VERDICT r4 item 1): the oracle's
+    # own curve as its field improves, under the SAME walker streams as
+    # the committed coarse runs.  Trajectories are field-independent,
+    # so every delta below has ZERO walker noise.  Three field-accuracy
+    # rungs: GOLDEN_MAX_PRODUCT 5e-7 and 2.5e-7 (4x / 8x tighter leaf
+    # criterion than the compiled 2e-6, octree.cpp:267 /
+    # SimulationBox.cpp:86) at the full 4032 walkers, plus the exact
+    # brute-force endpoint (GOLDEN_EXACT_FIELD=1 — the max_product->0
+    # limit) on a strict stride-4 walker subset (GOLDEN_WALKER_STRIDE,
+    # same per-walker streams) paired against its own strided coarse
+    # partner.
+    fwz = np.load("GOLDEN_T2_FULL_curves.npz")
+    per_seed = {}
+    for s in args.seeds:
         cp = os.path.join(work, f"paired_{s}.csv")
-        if not (os.path.exists(tp) and os.path.exists(cp)):
+        if not os.path.exists(cp):
             continue
-        to = np.loadtxt(tp, delimiter=",")[:, 1] / gp.N_WATER
-        co = np.loadtxt(cp, delimiter=",")[:, 1] / gp.N_WATER
-        # framework mean curves for the same scene from the FULL arm dump
-        z = np.load("GOLDEN_T2_FULL_curves.npz")
-        idx = s - gp.SCENE_SEED0
-        fw = z["framework"][idx]
-        n = min(len(to), len(co), len(fw))
-        tight[str(s)] = {
-            "coarse_minus_fw_rms":
-                float(np.sqrt(np.mean((co[:n] - fw[:n]) ** 2))),
-            "coarse_minus_fw_final": float(co[n - 1] - fw[n - 1]),
-            "tight_minus_fw_rms":
-                float(np.sqrt(np.mean((to[:n] - fw[:n]) ** 2))),
-            "tight_minus_fw_final": float(to[n - 1] - fw[n - 1]),
-            # tight and coarse oracle share walker RNG seed
-            # (ORACLE_RNG0+seed) and trajectories are field-independent,
-            # so this difference is the octree-error effect with ZERO
-            # walker noise — the oracle-side mirror of experiment 1
-            "tight_minus_coarse_rms":
-                float(np.sqrt(np.mean((to[:n] - co[:n]) ** 2))),
-            "tight_minus_coarse_final": float(to[n - 1] - co[n - 1]),
-            "single_pair_noise_rms_expected": 0.012,
+        co = _curve(cp, gp.N_WATER)
+        fw = fwz["framework"][s - gp.SCENE_SEED0]
+        entry = {"coarse_minus_fw": _delta(co, fw)}
+        for t in args.tights:
+            tp = os.path.join(work, f"paired_tight{t}_{s}.csv")
+            if not os.path.exists(tp):
+                continue
+            to = _curve(tp, gp.N_WATER)
+            entry[f"tight{t}_minus_coarse"] = _delta(to, co)
+            entry[f"tight{t}_minus_fw"] = _delta(to, fw)
+        xp = os.path.join(work, f"paired_exact-str4_{s}.csv")
+        cs = os.path.join(work, f"paired_coarse-str4_{s}.csv")
+        if os.path.exists(xp) and os.path.exists(cs):
+            ex = _curve(xp, 1008)
+            c4 = _curve(cs, 1008)
+            entry["exact_minus_coarse_str4"] = _delta(ex, c4)
+            # subset representativeness: how far the stride-4 coarse
+            # curve sits from the full-4032 coarse curve (walker-subset
+            # noise of a CURVE; the zero-noise DELTA above is far more
+            # stable than this, but report the bound honestly)
+            entry["coarse_str4_minus_coarse_full"] = _delta(c4, co)
+        if len(entry) > 1:
+            per_seed[str(s)] = entry
+
+    # Monotonicity + closure: does the oracle move toward the framework
+    # as its octree tightens, and does the exact endpoint land on it?
+    concl = {}
+    s0 = per_seed.get("6000", {})
+    if "tight5e-7_minus_coarse" in s0:
+        seq = [("coarse", s0["coarse_minus_fw"]["rms"])]
+        for t in args.tights:
+            k = f"tight{t}_minus_fw"
+            if k in s0:
+                seq.append((f"max_product={t}", s0[k]["rms"]))
+        concl["oracle_minus_fw_rms_by_field_accuracy_seed6000"] = seq
+        concl["monotone_toward_framework"] = all(
+            seq[i][1] > seq[i + 1][1] for i in range(len(seq) - 1))
+    if "exact_minus_coarse_str4" in s0:
+        concl["exact_endpoint"] = {
+            "explained_fraction_of_residual_final":
+                s0["exact_minus_coarse_str4"]["final"]
+                / (-s0["coarse_minus_fw"]["final"])
+                if s0["coarse_minus_fw"]["final"] else None,
+            "note": "exact_minus_coarse (zero-noise) vs "
+                    "-(coarse_minus_fw): 1.0 = the reference octree's "
+                    "field error accounts for the entire residual",
         }
     report["oracle_octree_tightening"] = {
-        "design": f"ref_t2_oracle with GOLDEN_MAX_PRODUCT={args.tight} "
-                  "(10x tighter leaf criterion; same scene + walker "
-                  "seeds as the paired arm)",
-        "per_seed": tight}
+        "design": "graduated GOLDEN_MAX_PRODUCT {5e-7, 2.5e-7} re-runs "
+                  "at 4032 walkers + exact brute-force endpoint "
+                  "(GOLDEN_EXACT_FIELD=1, stride-4 walker subset with "
+                  "its own strided coarse partner), ALL under the same "
+                  "per-walker streams as the committed coarse runs -> "
+                  "every delta is zero-walker-noise",
+        "per_seed": per_seed,
+        "conclusion": concl}
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report, indent=1))
