@@ -37,13 +37,27 @@ SEEDS = (6000, 6001)
 # Per-seed noise scale: the oracle and framework arms draw independent
 # walker RNG, so at the deep end var(cos phi) ~ 1/2 per walker per arm
 # -> sd of the per-point difference ~ sqrt(2 * 0.5 / 4032) ~ 0.0157 for
-# 1 framework rep.  Measured per-seed rms_diff on these curves is
-# ~0.008; 0.030 is ~4x that — loose enough for RNG-stream drift across
-# jax versions, tight enough that any physics/precision defect (which
-# shows up as a bias across the whole 2000-point curve, not noise)
-# fails loudly.
-RMS_GATE = 0.030
-FINAL_GATE = 0.045
+# 1 framework rep.  Measured per-seed rms_diff (GOLDEN_T2_FULL_curves,
+# 4-rep framework means): 0.0098 / 0.0180 for seeds 6000 / 6001.  The
+# gates are ~2x measured (VERDICT r4 weak #1) — a regression that
+# doubles the residual fails:
+RMS_GATE = 0.025          # per seed; 2x the larger measured rms
+FINAL_GATE = 0.060        # per seed; final POINT carries ~0.022 1-rep
+#                           noise on top of the -0.009..-0.043 measured
+#                           systematic, so the sharp statistics are the
+#                           WINDOWED means below, not the final point
+# Time-signature gates (the attributed residual's known shape,
+# GOLDEN_T2_FULL_ATTRIBUTION.json: reference-octree smoothing -> oracle
+# HIGH pre-first-echo; leaf-jump phase noise -> oracle LOW at depth).
+# Windowed means average ~250-500 points, so their 1-rep noise is
+# ~0.01; measured early in [-0.003, +0.009], late in [-0.025, -0.009].
+# A SIGN FLIP of the residual (late-window mean going positive) or a
+# >2x growth fails on the cross-seed mean.
+EARLY_WINDOW = 250        # pre-first-echo: t < 0.25 ms (tcp = 250k)
+LATE_WINDOW = 500         # 1.5-2.0 ms
+EARLY_ABS_GATE = 0.020    # per seed
+LATE_RANGE = (-0.055, +0.010)       # per seed
+LATE_MEAN_RANGE = (-0.040, 0.000)   # cross-seed mean (noise ~0.007)
 
 
 def _args():
@@ -70,13 +84,22 @@ class TestGoldenFullScale:
             assert n == gp.STEPS // gp.PFREQ
             diff = oracle[:n] - ours[:n]
             rms = float(np.sqrt(np.mean(diff**2)))
-            diffs.append(rms)
+            diffs.append(diff)
             finals.append(float(diff[-1]))
             # the deep-decay regime is actually reached
             assert oracle[n - 1] < 0.45
             assert ours[n - 1] < 0.45
             assert rms < RMS_GATE, (seed, rms)
             assert abs(diff[-1]) < FINAL_GATE, (seed, diff[-1])
-        # paired mean across seeds must not show a one-sided bias at the
-        # single-seed noise scale
+            # the attributed residual's time signature, per seed
+            early = float(diff[:EARLY_WINDOW].mean())
+            late = float(diff[-LATE_WINDOW:].mean())
+            assert abs(early) < EARLY_ABS_GATE, (seed, early)
+            assert LATE_RANGE[0] < late < LATE_RANGE[1], (seed, late)
+        # cross-seed means: a sign flip or >2x growth of the attributed
+        # residual fails here even when single-seed noise hides it
         assert abs(np.mean(finals)) < FINAL_GATE
+        late_mean = float(np.mean([d[-LATE_WINDOW:].mean()
+                                   for d in diffs]))
+        assert LATE_MEAN_RANGE[0] < late_mean < LATE_MEAN_RANGE[1], \
+            late_mean
