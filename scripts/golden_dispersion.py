@@ -107,10 +107,11 @@ def main():
         scene = gp.load_scene(d, p)
         scene.mnps[:, 4] *= MSCALE   # same linear scaling as the oracle
         scenes.append(scene)
-    for tcp in TCPS:
-        a = arm_args(tcp)
-        curves = []
-        for s in seeds:
+    oracle_idx = {}                  # tcp -> seed indices present, so a
+    for tcp in TCPS:                 # missing MIDDLE seed cannot pair a
+        a = arm_args(tcp)            # framework row with the wrong scene
+        curves, idx = [], []
+        for si, s in enumerate(seeds):
             if not args.skip_oracle:
                 gp.run_oracle(args.work_dir, s, a)
             path = gp.oracle_csv(args.work_dir, s, gp.tag_of(a))
@@ -120,8 +121,10 @@ def main():
                 continue
             curves.append(np.loadtxt(path, delimiter=",")[:, 1]
                           / gp.N_WATER)
+            idx.append(si)
         if curves:
             oracle[tcp] = np.asarray(curves)
+            oracle_idx[tcp] = idx
     if not oracle:
         raise SystemExit("no oracle CSVs available")
 
@@ -137,7 +140,7 @@ def main():
             continue
         oc = oracle[tcp]
         S = oc.shape[0]
-        fw = ours[:S, ti]
+        fw = ours[oracle_idx[tcp], ti]
         n = min(oc.shape[1], fw.shape[1])
         oc, fw = oc[:, :n], fw[:, :n]
         d = oc - fw
