@@ -92,6 +92,10 @@ def main():
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--fw-reps", type=int, default=2)
     ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--fw-cache", default=None,
+                    help="npz caching the per-scene reconstruction "
+                         "curves (run the TPU arm early, assemble "
+                         "later)")
     ap.add_argument("--out", default="GOLDEN_DISPERSION.json")
     args = ap.parse_args()
 
@@ -128,7 +132,17 @@ def main():
     if not oracle:
         raise SystemExit("no oracle CSVs available")
 
-    ours = run_framework_records(scenes, p, args.fw_reps)  # [S, T, W]
+    if args.fw_cache and os.path.exists(args.fw_cache):
+        z = np.load(args.fw_cache)
+        assert list(z["seeds"]) == list(seeds), "fw cache seed mismatch"
+        ours = z["curves"]                                   # [S, T, W]
+        print(f"[framework] cached records from {args.fw_cache}",
+              file=sys.stderr)
+    else:
+        ours = run_framework_records(scenes, p, args.fw_reps)
+        if args.fw_cache:
+            np.savez(args.fw_cache, curves=ours,
+                     seeds=np.asarray(seeds))
     times = np.loadtxt(
         gp.oracle_csv(args.work_dir, seeds[0],
                       gp.tag_of(arm_args(sorted(oracle)[0]))),

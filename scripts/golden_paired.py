@@ -169,6 +169,27 @@ def load_scene(d: str, p):
                          lookup_table=lookup, num_intra_mnps=p.num_cells)
 
 
+def run_framework_cached(scenes, p, args, seeds):
+    """run_framework with an optional npz cache (--fw-cache): the
+    framework (TPU) arm is independent of the oracle CSVs, so on a
+    1-CPU box it can run EARLY while the oracle queue churns, and the
+    assembly later just loads the curves.  The cache stores the seed
+    list; a mismatch falls through to a fresh run."""
+    path = getattr(args, "fw_cache", None)
+    if path and os.path.exists(path):
+        z = np.load(path)
+        if list(z["seeds"]) == list(seeds):
+            print(f"[framework] cached curves from {path}",
+                  file=sys.stderr)
+            return z["curves"]
+        print(f"[framework] cache seed mismatch, re-running",
+              file=sys.stderr)
+    curves = run_framework(scenes, p, args)
+    if path:
+        np.savez(path, curves=curves, seeds=np.asarray(seeds))
+    return curves
+
+
 def run_framework(scenes, p, args):
     """One compiled sprint across all seeds: MNP tables padded to a
     common length with zero-moment entries far outside the box (never
@@ -236,6 +257,9 @@ def main():
                          "(the DWI axis; adds z * Gz * 2pi*g*tau*1e-3 "
                          "to the per-step phase kick)")
     ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--fw-cache", default=None,
+                    help="npz path caching the framework-arm curves "
+                         "(run the TPU arm early, assemble later)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.reflect:
@@ -268,7 +292,8 @@ def main():
                        delimiter=",")[:, 0]
     oracle = np.asarray(oracle)
 
-    ours = run_framework(scenes, p, args)
+    ours = run_framework_cached(scenes, p, args,
+                                [s for s in seeds])
     n = min(oracle.shape[1], ours.shape[1])
     oracle, ours, times = oracle[:, :n], ours[:, :n], times[:n]
 
