@@ -14,12 +14,20 @@ independent experiments:
    (final -4.8e-5) — 30x below the observed residual.  Our field model
    is not the cause.
 
-2. **Oracle octree error is the cause** — ref_t2_oracle re-run with
-   GOLDEN_MAX_PRODUCT=2e-7 (10x tighter leaf criterion than the
-   reference's compiled 2e-6, SimulationBox.cpp:86; field error drops
-   ~10x from the 6.8e-2 RMS of GOLDEN_PARITY.json).  Same scene, same
-   walker RNG seed as the paired_6000 arm: the tight-octree curve moves
-   toward the framework by the bulk of the residual.
+2. **Oracle octree error is the cause** — ref_t2_oracle re-run under
+   the SAME walker streams as the committed coarse runs at three
+   field-accuracy rungs (round 5): GOLDEN_MAX_PRODUCT=5e-7 and 2.5e-7
+   (4x/8x tighter leaf criterion than the reference's compiled 2e-6,
+   SimulationBox.cpp:86 / octree.cpp:267; the 10x build of round 4 was
+   not feasible on this box's single CPU — build cost is superlinear:
+   0.5 s at 2e-6, 52 s at 5e-7, 9.4 min at 2.5e-7), plus the EXACT
+   endpoint: GOLDEN_EXACT_FIELD=1 evaluates the brute-force masked
+   dipole sum over all MNPs (the max_product -> 0 limit of the octree,
+   GPU convention cuda_sim.cu:107-114) on a stride-4 walker subset
+   (GOLDEN_WALKER_STRIDE keeps each walker's stream and source water,
+   so the strided pair is zero-noise too).  The oracle's curve moves
+   monotonically toward the framework as its field improves, and the
+   exact endpoint lands on it.
 
 Physics: the octree caches B at leaf sub-octant centers (octree.cpp:
 274-297).  The cached value UNDERSTATES the true static field spread
