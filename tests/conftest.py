@@ -35,12 +35,32 @@ def pytest_configure(config):
         "markers", "slow: long-running test; deselect with -m 'not slow'")
 
 
+def _slow_prefixes():
+    """Durations-informed slow tier: tests/slow_tests.txt lists the
+    node-id prefixes (function level, parametrizations included) of
+    every test measured >= 15 s on this 1-CPU box — two thirds of the
+    suite's wall time in ~10% of its tests.  The per-commit gate is
+    ``pytest -m "not slow"`` (< 10 min); the full suite runs at the
+    round snapshot.  Regenerate the list from a ``--durations=0`` run
+    when the distribution shifts."""
+    path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    if not os.path.exists(path):
+        return ()
+    with open(path) as f:
+        return tuple(line.strip() for line in f if line.strip())
+
+
 def pytest_collection_modifyitems(config, items):
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     skip_tpu = pytest.mark.skip(reason="requires real TPU (set MRI_TPU_TESTS=1)")
+    slow = _slow_prefixes()
+    mark_slow = pytest.mark.slow
     for item in items:
         if "tpu" in item.keywords and not on_tpu:
             item.add_marker(skip_tpu)
+        base = item.nodeid.split("[")[0]
+        if base in slow:
+            item.add_marker(mark_slow)
 
 
 @pytest.fixture(scope="session")
