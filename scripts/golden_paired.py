@@ -178,10 +178,11 @@ def run_framework_cached(scenes, p, args, seeds):
     path = getattr(args, "fw_cache", None)
     if path and os.path.exists(path):
         z = np.load(path)
-        if list(z["seeds"]) == list(seeds):
+        cached = [int(v) for v in z["seeds"]]
+        if all(s in cached for s in seeds):
             print(f"[framework] cached curves from {path}",
                   file=sys.stderr)
-            return z["curves"]
+            return z["curves"][[cached.index(s) for s in seeds]]
         print(f"[framework] cache seed mismatch, re-running",
               file=sys.stderr)
     curves = run_framework(scenes, p, args)
@@ -274,7 +275,7 @@ def main():
 
     seeds = [SCENE_SEED0 + i for i in range(args.seeds)]
     p = framework_params(args)
-    oracle, scenes = [], []
+    oracle, scenes, present = [], [], []
     for s in seeds:
         d = run_scene_dump(args.work_dir, s)
         if not args.skip_oracle:
@@ -286,14 +287,14 @@ def main():
         rows = np.loadtxt(path, delimiter=",")
         oracle.append(rows[:, 1] / N_WATER)
         scenes.append(load_scene(d, p))
+        present.append(s)
     if not oracle:
         raise SystemExit("no oracle CSVs available")
-    times = np.loadtxt(oracle_csv(args.work_dir, seeds[0], tag),
+    times = np.loadtxt(oracle_csv(args.work_dir, present[0], tag),
                        delimiter=",")[:, 0]
     oracle = np.asarray(oracle)
 
-    ours = run_framework_cached(scenes, p, args,
-                                [s for s in seeds])
+    ours = run_framework_cached(scenes, p, args, present)
     n = min(oracle.shape[1], ours.shape[1])
     oracle, ours, times = oracle[:, :n], ours[:, :n], times[:n]
 
