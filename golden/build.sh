@@ -20,7 +20,7 @@ sed 's/#define STCONST static const/#define STCONST static constexpr/' \
     "$REF/parameters.h" > build/src/parameters.h
 
 CXX=${CXX:-g++}
-FLAGS="-O3 -march=native -std=c++17 -w -pthread -Ibuild/src"
+FLAGS="-O3 -march=native -std=c++17 -w -pthread -fno-math-errno -Ibuild/src"
 SRCS="build/src/SimulationBox.cpp build/src/BacteriaBox.cpp build/src/octree.cpp"
 
 $CXX $FLAGS ref_scene_dump.cpp $SRCS -o build/ref_scene_dump
