@@ -58,6 +58,11 @@ LATE_WINDOW = 500         # 1.5-2.0 ms
 EARLY_ABS_GATE = 0.020    # per seed
 LATE_RANGE = (-0.055, +0.010)       # per seed
 LATE_MEAN_RANGE = (-0.040, 0.000)   # cross-seed mean (noise ~0.007)
+# vs the tightened-octree oracle (committed
+# golden/testdata/paired_tight2.5e-7_6000.csv): measured rms 0.0061 /
+# late -0.0040 with 4 framework reps; ~2x headroom + 1-rep noise
+TIGHT_RMS_GATE = 0.015
+TIGHT_LATE_ABS_GATE = 0.014
 
 
 def _args():
@@ -96,6 +101,23 @@ class TestGoldenFullScale:
             late = float(diff[-LATE_WINDOW:].mean())
             assert abs(early) < EARLY_ABS_GATE, (seed, early)
             assert LATE_RANGE[0] < late < LATE_RANGE[1], (seed, late)
+            # apples-to-apples parity: against the TIGHTENED-octree
+            # oracle (GOLDEN_MAX_PRODUCT=2.5e-7 — 8x tighter leaf
+            # criterion, attribution round 5) the residual collapses to
+            # the walker-noise floor; gate ~2x the measured 0.0061 rms
+            # / -0.0040 late-window (same reference physics, better
+            # field: the curve the reference WOULD produce without its
+            # documented 6.8e-2 field error)
+            tight_csv = os.path.join(
+                TESTDATA, f"paired_tight2.5e-7_{seed}.csv")
+            if os.path.exists(tight_csv):
+                to = np.loadtxt(tight_csv, delimiter=",")[:, 1] \
+                    / gp.N_WATER
+                td = to[:n] - ours[:n]
+                t_rms = float(np.sqrt(np.mean(td ** 2)))
+                t_late = float(td[-LATE_WINDOW:].mean())
+                assert t_rms < TIGHT_RMS_GATE, (seed, t_rms)
+                assert abs(t_late) < TIGHT_LATE_ABS_GATE, (seed, t_late)
         # cross-seed means: a sign flip or >2x growth of the attributed
         # residual fails here even when single-seed noise hides it
         assert abs(np.mean(finals)) < FINAL_GATE
