@@ -114,9 +114,16 @@ class TestAttributionArtifact:
         rep = _load("GOLDEN_T2_FULL_ATTRIBUTION.json")
         fw = rep["framework_field_error_same_streams"]
         assert fw["rms"] < 1e-3
-        frac = rep["oracle_octree_tightening"]["conclusion"][
-            "exact_endpoint"]["explained_fraction_of_residual_final"]
-        assert frac is not None
+        endpoint = rep["oracle_octree_tightening"]["conclusion"][
+            "exact_endpoint"]
+        seeds = [k for k in endpoint if k != "note"]
+        assert len(seeds) >= 2
+        for s in seeds:
+            frac = endpoint[s][
+                "explained_fraction_of_residual_late_window"]
+            # measured 1.08 / 0.95 on seeds 6000 / 6001; the window
+            # tolerates stride-subset sampling of the systematic
+            assert 0.6 < frac < 1.6, (s, frac)
 
 
 class TestGradientArtifact:
